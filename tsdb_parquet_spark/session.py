@@ -1,0 +1,62 @@
+"""SparkSession factory with the engine's canonical configuration.
+
+Design notes for scale (SURVEY.md §4, §7):
+
+- AQE on: runtime coalescing, skew-join splitting, and dynamic join
+  strategy switching replace hand-tuning at 100 TB.
+- UTC session timezone pins determinism convention D3 (SURVEY.md §2.3).
+- Arrow enabled for every Python<->JVM columnar hop (Pandas UDFs,
+  ``toPandas``) — the slow path stays vectorized.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count; on a
+  real cluster this is overridden (or left to AQE's coalescing with a high
+  initial partition number).
+- Parquet: dictionary encoding on (labels are low-cardinality strings —
+  reference uses RLE_DICTIONARY, ``hello.go:139-147``), snappy compression
+  for parity with the reference (``hello.go:126-144``); zstd is the 100 TB
+  at-rest recommendation (set ``TSDB_SPARK_CODEC=zstd``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _local_cores() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "tsdb_parquet_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    In local mode the driver is the only JVM; ``spark.driver.memory`` is the
+    one memory knob. On a cluster, executor sizing is deployment config and
+    deliberately not baked in here.
+    """
+    cores = _local_cores()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", os.environ.get("TSDB_SPARK_CODEC", "snappy"))
+        .config("spark.hadoop.parquet.enable.dictionary", "true")
+        .config("spark.driver.memory", os.environ.get("TSDB_SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
