@@ -1,0 +1,127 @@
+"""Prometheus label-matcher compiler → Spark ``Column`` predicates.
+
+This is the engine's query-language frontend, the PySpark counterpart of the
+reference's ``promMatchersToFrostDBExprs`` (``/root/reference/hello.go:302-318``),
+which translates the four Prometheus matcher types into engine expressions:
+
+- ``=``   equality        → ``Col(name).Eq(Literal(v))``      (hello.go:306-307)
+- ``!=``  not-equal       → ``Col(name).NotEq(Literal(v))``   (hello.go:308-309)
+- ``=~``  regex           → ``Col(name).RegexMatch(v)``       (hello.go:310-311)
+- ``!~``  negated regex   → ``Col(name).RegexNotMatch(v)``    (hello.go:312-313)
+
+and AND-combines them (hello.go:317).
+
+Semantics notes (SURVEY.md §2.1 R10-R12):
+
+- The reference's ``!=`` / ``!~`` inherit SQL three-valued logic from the
+  underlying engine: a NULL label value makes the predicate NULL and the row
+  is dropped.  Real Prometheus treats an absent label as the empty string, so
+  ``label != "v"`` *matches* series without the label.  Both behaviors are
+  real query semantics a user may want, so the compiler exposes
+  ``null_semantics``: ``"sql"`` (reference behavior, 3VL) or ``"prometheus"``
+  (NULL label counts as a non-match of the positive form, i.e. negative
+  matchers keep NULL rows).
+- The reference forwards regex patterns **unanchored** to the engine
+  (hello.go:310-311) even though Prometheus itself anchors ``^(?:...)$``
+  internally before matchers reach storage.  We anchor by default
+  (``anchored=True``) for Prometheus parity; pass ``anchored=False`` for the
+  reference's literal behavior.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Literal
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MatchType = Literal["=", "!=", "=~", "!~"]
+NullSemantics = Literal["sql", "prometheus"]
+
+
+@dataclass(frozen=True)
+class Matcher:
+    """One Prometheus label matcher, e.g. ``Matcher("=", "job", "prometheus")``."""
+
+    op: MatchType
+    name: str
+    value: str
+
+
+def wide_label_col(name: str) -> Column:
+    """Label accessor for the wide physical layout (one ``label_<name>``
+    string column per label name — the FrostDB ``labels.<name>`` dynamic
+    column model, hello.go:139-147)."""
+    return F.col(f"label_{name}")
+
+
+def map_label_col(name: str) -> Column:
+    """Label accessor for the long/canonical layout (``labels`` MAP column)."""
+    return F.col("labels").getItem(name)
+
+
+def _anchor(pattern: str) -> str:
+    return f"^(?:{pattern})$"
+
+
+def matcher_to_column(
+    m: Matcher,
+    label_col: Callable[[str], Column] = wide_label_col,
+    null_semantics: NullSemantics = "sql",
+    anchored: bool = True,
+) -> Column:
+    """Compile one matcher to a boolean ``Column``."""
+    c = label_col(m.name)
+    pat = _anchor(m.value) if anchored else m.value
+
+    if m.op == "=":
+        # Prometheus: `label=""` matches series WITHOUT the label.
+        if null_semantics == "prometheus" and m.value == "":
+            return c.isNull() | (c == "")
+        return c == F.lit(m.value)
+    if m.op == "!=":
+        if null_semantics == "prometheus":
+            return c.isNull() | (c != F.lit(m.value))
+        return c != F.lit(m.value)
+    if m.op == "=~":
+        return c.rlike(pat)
+    if m.op == "!~":
+        if null_semantics == "prometheus":
+            return c.isNull() | ~c.rlike(pat)
+        return ~c.rlike(pat)
+    raise ValueError(f"unknown matcher op: {m.op!r}")
+
+
+def matchers_to_column(
+    matchers: list[Matcher],
+    label_col: Callable[[str], Column] = wide_label_col,
+    null_semantics: NullSemantics = "sql",
+    anchored: bool = True,
+) -> Column:
+    """AND-combine a matcher list into one predicate (hello.go:317's
+    ``logicalplan.And``).  Empty list → ``lit(True)``."""
+    if not matchers:
+        return F.lit(True)
+    out = matcher_to_column(matchers[0], label_col, null_semantics, anchored)
+    for m in matchers[1:]:
+        out = out & matcher_to_column(m, label_col, null_semantics, anchored)
+    return out
+
+
+def apply_matchers(
+    df: DataFrame,
+    matchers: list[Matcher],
+    label_col: Callable[[str], Column] = wide_label_col,
+    null_semantics: NullSemantics = "sql",
+    anchored: bool = True,
+) -> DataFrame:
+    """Filter a DataFrame by a matcher list.
+
+    On the wide layout these predicates are plain-column comparisons, so
+    Catalyst pushes equality/inequality down to the Parquet scan (row-group
+    min/max + dictionary skipping) — the Spark equivalent of the reference's
+    index-assisted selection.  Regex predicates evaluate post-scan in both
+    engines (SURVEY.md §4 O1).
+    """
+    return df.filter(matchers_to_column(matchers, label_col, null_semantics, anchored))

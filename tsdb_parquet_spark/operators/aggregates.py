@@ -1,0 +1,54 @@
+"""Aggregation operators — grouped multi-agg, exact distinct, rollup/cube.
+
+Not in the reference (SURVEY.md §2.2 "Aggregations"); Spark's hash aggregate
+runs partial (map-side) + final (post-shuffle) automatically, so a groupBy
+over 100 TB shuffles only one partial-aggregate row per (task, group), not
+the raw rows.
+
+Determinism convention D2: measures are cast to DECIMAL **before** summing
+(exact, order-independent — float sums depend on partition order), and the
+result is emitted as DOUBLE so Spark's and DuckDB's output types agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def decimal_sum(col: Column | str, precision: int = 18, scale: int = 4) -> Column:
+    """Order-independent exact sum: cast to decimal per row, sum, emit double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def grouped_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    """groupBy().agg() with explicit aliased aggregate columns."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def exact_count_distinct(df: DataFrame, keys: list[str], col: str, alias: str) -> DataFrame:
+    """Exact COUNT(DISTINCT col) per group.  Spark plans this as a two-phase
+    expand+agg — exact but shuffle-heavy; at 100 TB prefer
+    ``approx_count_distinct`` (HLL) unless exactness is required (the
+    approximate form is engine surface but never oracle-declared,
+    SURVEY.md §2.3)."""
+    return df.groupBy(*keys).agg(F.countDistinct(col).alias(alias))
+
+
+def rollup_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[Column],
+    grouping_aliases: list[str] | None = None,
+) -> DataFrame:
+    """ROLLUP over ``keys`` with GROUPING() indicator columns (cast to INT so
+    the oracle's type matches — Spark emits TINYINT, DuckDB BIGINT)."""
+    out = df.rollup(*keys).agg(
+        *[
+            F.grouping(k).cast("int").alias(a)
+            for k, a in zip(keys, grouping_aliases or [f"g{i+1}" for i in range(len(keys))])
+        ],
+        *aggs,
+    )
+    return out

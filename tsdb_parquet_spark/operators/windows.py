@@ -1,0 +1,82 @@
+"""Window-function operators — ranking, analytic frames, sessionization.
+
+Not in the reference (SURVEY.md §2.2 "Window functions").  Spark windows
+shuffle once on ``partitionBy`` and sort within partitions; there is no
+cross-partition state, so they scale linearly in partition count.  The
+skew risk is a single giant partition key — at 100 TB, sessionization by a
+hot user is the classic case; AQE cannot split a window partition, so key
+salting (bucket the key by a time prefix) is the mitigation when needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    k: int,
+    rn_alias: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via ROW_NUMBER ≤ k.  ``order_by`` must end with a
+    unique tiebreaker for determinism (convention D1)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rn_alias, F.row_number().over(w).cast("int"))
+        .filter(F.col(rn_alias) <= k)
+    )
+
+
+def lag_moving_avg(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    lag_col: str,
+    avg_col: str,
+    preceding: int = 2,
+    round_dp: int = 4,
+    lag_alias: str = "prev_id",
+    avg_alias: str = "mavg",
+) -> DataFrame:
+    """LAG + moving average over a ROWS frame — the analytic-window shape
+    (Q19).  Frame is ``ROWS BETWEEN <preceding> PRECEDING AND CURRENT ROW``.
+    Both functions share one window partitioning → a single exchange."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    wf = w.rowsBetween(-preceding, Window.currentRow)
+    return df.withColumn(lag_alias, F.lag(lag_col).over(w)).withColumn(
+        avg_alias, F.round(F.avg(avg_col).over(wf), round_dp)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    gap_seconds: int = 1800,
+    session_alias: str = "session_id",
+) -> DataFrame:
+    """Assign session ids by inactivity gap: a new session starts when the
+    time since the previous event (per user) exceeds ``gap_seconds``.
+    lag → new-session flag → running sum — standard batch sessionization
+    (Q28's batch form; the streaming form is ``session_window``,
+    streaming/windows.py).
+
+    Both window passes share the same (partitionBy, orderBy), so Spark plans
+    a single shuffle + sort on ``user_col``.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    # Full-precision epoch seconds (double keeps the µs fraction) so the gap
+    # comparison is exact — second-truncation here would mis-bucket events
+    # whose gap straddles the threshold by <1s.
+    epoch = F.col(ts_col).cast("double")
+    prev_epoch = F.lag(epoch).over(w)
+    new_session = F.when(
+        prev_epoch.isNull() | (epoch - prev_epoch > F.lit(float(gap_seconds))), 1
+    ).otherwise(0)
+    return df.withColumn("_new_session", new_session).withColumn(
+        session_alias, F.sum("_new_session").over(w)
+    ).drop("_new_session")

@@ -1,0 +1,231 @@
+"""Time-series query pipeline: scan → filter → project → regroup → merge.
+
+PySpark-native re-expression of the reference's query half
+(``/root/reference/hello.go:513-534``)::
+
+    engine.ScanTable("tsdb_table")
+      .Filter(And(time > start, time < end, matchers...))
+      .Project(DynCol("labels"), Col("time"), Col("value"))
+      .Execute(ctx, callback)          # callback regroups rows into series
+
+and its series-reassembly half (hello.go:319-428): dictionary decode →
+hash-group rows by label set → 2-way sorted merge of sample runs.
+
+Spark mapping (SURVEY.md §1.4, §2.1 R7-R20):
+
+- scan        → ``spark.read.parquet`` (vectorized, dictionary-decoding reader)
+- filter      → ``df.filter(...)`` — Catalyst pushes the time-range and
+                equality matchers into the Parquet scan; with the sorted
+                layout (writer.py) row groups outside the range are skipped.
+- projection  → ``df.select(...)``; the dynamic ``labels.*`` family
+                (``DynCol``, hello.go:527) becomes a name-prefix select over
+                ``label_*`` columns.
+- regroup     → ``groupBy(label cols).agg(sort_array(collect_list(...)))`` —
+                Spark's shuffle replaces the reference's single-threaded (and
+                racy, hello.go:516/532) callback-side map mutation; grouping
+                is by exact label values, not a 64-bit hash, so the
+                xxhash-collision risk of hello.go:352 disappears.
+- merge       → ``UNION ALL`` + total sort.  The reference's 2-way merge
+                (hello.go:380-418) preserves duplicate timestamps and keeps
+                the LEFT run first on ties (``av <= bv``, hello.go:406); we
+                encode that as a stable ``(time, src)`` sort key.
+
+Scale notes (100 TB): the regroup shuffles once on the label columns —
+unavoidable and correct (it IS the aggregation); partial aggregation
+(map-side collect_list append) happens automatically.  The series filter +
+projection run before the shuffle, so only surviving (time,value,labels)
+rows move.  Sorting samples per series happens inside ``sort_array`` on
+already-grouped data — no extra exchange.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .matchers import Matcher, NullSemantics, apply_matchers, wide_label_col
+
+# Fixed columns of the tsdb model (hello.go:120-138): time INT64 epoch-ms,
+# value DOUBLE.  Everything else is a dynamic label column.
+TIME_COL = "time"
+VALUE_COL = "value"
+LABEL_PREFIX = "label_"
+
+
+def label_columns(df: DataFrame) -> list[str]:
+    """The dynamic-column family: every ``label_*`` column, sorted by name —
+    the Spark counterpart of ``DynCol("labels")`` expansion (hello.go:527)
+    and of the two-pass label-name union the reference's bulk-ingest path
+    performs (hello.go:216-233, sorted at :233)."""
+    return sorted(c for c in df.columns if c.startswith(LABEL_PREFIX))
+
+
+def time_range(t0: int | None, t1: int | None) -> Column:
+    """Exclusive-both-ends time range predicate — the reference uses
+    ``time > start AND time < end`` with MinInt64/MaxInt64 defaults
+    (hello.go:514-515, 520-523)."""
+    cond = F.lit(True)
+    if t0 is not None:
+        cond = cond & (F.col(TIME_COL) > F.lit(t0))
+    if t1 is not None:
+        cond = cond & (F.col(TIME_COL) < F.lit(t1))
+    return cond
+
+
+def select_series(
+    df: DataFrame,
+    matchers: list[Matcher] | None = None,
+    t0: int | None = None,
+    t1: int | None = None,
+    label_col: Callable[[str], Column] = wide_label_col,
+    null_semantics: NullSemantics = "sql",
+    anchored: bool = True,
+    project_labels: list[str] | None = None,
+) -> DataFrame:
+    """scan → filter(time ∧ matchers) → project — hello.go:518-530.
+
+    ``project_labels=None`` projects the full dynamic family; a list projects
+    only those labels (column pruning reaches the Parquet scan either way).
+    """
+    out = df.filter(time_range(t0, t1))
+    if matchers:
+        out = apply_matchers(out, matchers, label_col, null_semantics, anchored)
+    labels = (
+        [f"{LABEL_PREFIX}{name}" for name in project_labels]
+        if project_labels is not None
+        else label_columns(df)
+    )
+    return out.select(TIME_COL, VALUE_COL, *labels)
+
+
+def regroup_series(df: DataFrame, labels: list[str] | None = None) -> DataFrame:
+    """Rows → one row per series with time-sorted samples.
+
+    The information-equivalent of the reference's ``parseRecord`` +
+    cross-batch accumulation (hello.go:319-366, 419-428): group by the full
+    label set, collect ``(time, value)`` samples, sort by time.  Returns
+    ``labels..., samples ARRAY<STRUCT<time,value>>, n_samples``.
+    """
+    labels = labels or label_columns(df)
+    return df.groupBy(*labels).agg(
+        F.sort_array(F.collect_list(F.struct(TIME_COL, VALUE_COL))).alias("samples"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
+def regroup_series_stats(df: DataFrame, labels: list[str] | None = None) -> DataFrame:
+    """Scalar-shaped series regroup (oracle-friendly form of Q6): per label
+    set, sample count, time span, and an exact decimal sum of values
+    (determinism convention D2 — decimal before aggregation, emitted as
+    DOUBLE so Spark's and DuckDB's result types agree)."""
+    labels = labels or label_columns(df)
+    return df.groupBy(*labels).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(TIME_COL).alias("t0"),
+        F.max(TIME_COL).alias("t1"),
+        F.sum(F.col(VALUE_COL).cast("decimal(28,6)")).cast("double").alias("sv"),
+    )
+
+
+def merge_series(
+    parts: list[tuple[str, DataFrame]],
+    value_round: int = 4,
+) -> DataFrame:
+    """Duplicate-preserving sorted merge of N sample runs (R18 generalized).
+
+    ``parts`` is ``[(src_tag, df), ...]`` where each df has (time, value).
+    Mirrors ``merge`` at hello.go:380-418: duplicates are preserved, ties
+    break toward the earlier-listed run (``av <= bv``, hello.go:406) — here
+    encoded as the total sort key ``(time, src)`` with src tags chosen in
+    list order.  Spark's distributed range-partitioned sort is the n-way
+    generalization of the reference's 2-way in-memory merge.
+    """
+    tagged = [
+        df.select(
+            F.col(TIME_COL),
+            F.round(F.col(VALUE_COL), value_round).alias("v"),
+            F.lit(tag).alias("src"),
+        )
+        for tag, df in parts
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionAll(t)
+    return out.orderBy(TIME_COL, "src")
+
+
+def table_meta(df: DataFrame) -> DataFrame:
+    """Row-count + time-span summary (the oracle-checkable half of the
+    reference's metadata inspection, R22/Q8; per-row-group footer details
+    live in metadata.inspect_parquet)."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(TIME_COL).alias("t0"),
+        F.max(TIME_COL).alias("t1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Layout conversion: wide (physical, FrostDB-style) ⇄ long (canonical map)
+# ---------------------------------------------------------------------------
+
+
+def long_from_wide(df: DataFrame) -> DataFrame:
+    """Wide physical layout → canonical long form
+    ``(time, value, labels MAP<STRING,STRING>)``.  NULL label values are
+    absent from the map — Prometheus semantics (the reference drops NULL and
+    empty labels on read-back, hello.go:339-349)."""
+    labels = label_columns(df)
+    entries = []
+    for c in labels:
+        name = c[len(LABEL_PREFIX) :]
+        entries.append(
+            F.when(
+                F.col(c).isNotNull() & (F.col(c) != ""),
+                F.struct(F.lit(name).alias("key"), F.col(c).alias("value")),
+            )
+        )
+    return df.select(
+        TIME_COL,
+        VALUE_COL,
+        F.map_from_entries(
+            F.filter(F.array(*entries), lambda e: e.isNotNull())
+        ).alias("labels"),
+    )
+
+
+def discover_label_names(df_long: DataFrame) -> list[str]:
+    """Pass 1 of the wide-view materializer: union of all label names across
+    the dataset, sorted — the distributed form of the reference's two-pass
+    label discovery (hello.go:216-233; sort at :233).  One shuffle on a tiny
+    (distinct label names) dataset."""
+    rows = (
+        df_long.select(F.explode(F.map_keys("labels")).alias("k"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["k"] for r in rows)
+
+
+def wide_from_long(df_long: DataFrame, names: list[str] | None = None) -> DataFrame:
+    """Pass 2: materialize one nullable string column per label name.
+
+    This restores FrostDB's pushdown property — Parquet gives min/max +
+    dictionary skipping to plain columns but not to map element access
+    (SURVEY.md §4 O1) — which is why the wide view is the at-rest layout for
+    the 100 TB target.
+    """
+    names = names if names is not None else discover_label_names(df_long)
+    cols = [
+        F.col("labels").getItem(n).alias(f"{LABEL_PREFIX}{n}") for n in names
+    ]
+    return df_long.select(TIME_COL, VALUE_COL, *cols)
+
+
+def load_tsdb(spark: SparkSession, path: str | None = None) -> DataFrame:
+    """Scan the tsdb table (R7)."""
+    from .tables import TSDB_PATH
+
+    return spark.read.parquet(path or TSDB_PATH)

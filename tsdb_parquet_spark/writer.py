@@ -1,0 +1,75 @@
+"""Sorted time-series Parquet write path.
+
+The reference declares its physical layout in the FrostDB schema: rows kept
+globally sorted by (time ASC, then each dynamic label ASC nulls-first)
+(``/root/reference/hello.go:148-155``), with value PLAIN+SNAPPY, time
+DELTA_BINARY_PACKED+SNAPPY, labels RLE_DICTIONARY (hello.go:126-144).  The
+sort is what makes time-range queries prune: Parquet row-group min/max stats
+on ``time`` become disjoint ranges, so a range scan touches few groups.
+
+Spark equivalent (SURVEY.md §4 O3): sorting is a write-time recipe, not a
+schema property —
+
+    df.repartitionByRange(N, "time")      # global range partition on time
+      .sortWithinPartitions("time", *labels, nulls-first)
+      .write.parquet(path)
+
+``repartitionByRange`` samples the time distribution, so output files hold
+disjoint time ranges (file-level pruning); ``sortWithinPartitions`` orders
+rows inside each file (row-group-level pruning).  Dictionary encoding is
+automatic; delta encoding comes with the Parquet V2 writer; snappy/zstd via
+session config (session.py).
+
+At 100 TB, additionally partition the output directory by a coarse time
+bucket (``date``) for catalog-level partition pruning — ``bucket_col``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .timeseries import TIME_COL, label_columns
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    num_files: int | None = None,
+    labels: list[str] | None = None,
+    bucket_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` in the reference's sorted time-series layout.
+
+    ``num_files`` controls the range-partition count (None → Spark default,
+    i.e. ``spark.sql.shuffle.partitions``; size so one file ≈ 128 MB-1 GB at
+    the target scale).  ``bucket_col`` adds a directory-level partition
+    column (e.g. a pre-computed date string) for partition pruning.
+    """
+    labels = labels if labels is not None else label_columns(df)
+    # nulls-first to mirror the reference's NullsFirst sorting columns
+    # (hello.go:153).
+    sort_cols = [F.col(TIME_COL).asc()] + [F.col(c).asc_nulls_first() for c in labels]
+
+    if num_files:
+        out = df.repartitionByRange(num_files, TIME_COL)
+    else:
+        out = df.repartitionByRange(TIME_COL)
+    out = out.sortWithinPartitions(*sort_cols)
+
+    writer = out.write.mode(mode)
+    if bucket_col:
+        writer = writer.partitionBy(bucket_col)
+    writer.parquet(path)
+
+
+def with_time_bucket(df: DataFrame, granularity: str = "dt") -> DataFrame:
+    """Add a coarse time-bucket column (UTC date string from epoch-ms
+    ``time``) for directory partitioning at scale."""
+    ts = F.timestamp_millis(F.col(TIME_COL))
+    if granularity == "dt":
+        return df.withColumn("dt", F.date_format(ts, "yyyy-MM-dd"))
+    if granularity == "hour":
+        return df.withColumn("dt", F.date_format(ts, "yyyy-MM-dd-HH"))
+    raise ValueError(f"unknown granularity: {granularity!r}")
