@@ -1,9 +1,11 @@
 """Generate the deterministic `tsdb` reference-parity fixture (FIXTURES.md §1).
 
-Mirrors the reference's committed Prometheus self-scrape block
-(`/root/reference/01GW1T7K3E9F9R361GDPVH8NZF/meta.json`: 767 series,
-154,529 samples, span 1679382479083..1679385600000 ms) in the wide physical
-layout the reference's FrostDB schema produces (`hello.go:120-157`): fixed
+Shaped like the reference's committed Prometheus self-scrape block
+(`/root/reference/01GW1T7K3E9F9R361GDPVH8NZF/meta.json` reports 767 series /
+154,529 samples over span 1679382479083..1679385600000 ms; this generator
+lands at 740 series / 153,965 samples over the same span and label
+vocabulary) in the wide physical layout the reference's FrostDB schema
+produces (`hello.go:120-157`): fixed
 `time` INT64-ms / `value` DOUBLE columns plus one nullable string column per
 label name. Rows are written globally sorted by (time, labels) — the
 reference's declared sorting columns (`hello.go:148-155`).
@@ -191,11 +193,12 @@ def generate(out_path: str) -> None:
     )
     table = pa.table(cols, schema=schema)
     # Global (time, labels) sort — the reference's physical layout
-    # (hello.go:148-155); gives row-group min/max pruning on `time`.
+    # (hello.go:148-155, label columns ascending NULLS FIRST); gives
+    # row-group min/max pruning on `time`.
     order = [("time", "ascending")] + [
         (c, "ascending") for c in ("label_name", "label_quantile", "label_handler", "label_code")
     ]
-    table = table.sort_by(order)
+    table = table.sort_by(order, null_placement="at_start")
     pq.write_table(
         table,
         out_path,

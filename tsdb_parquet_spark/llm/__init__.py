@@ -10,26 +10,52 @@ multimodal decode stubs (Arrow-batched ``mapInPandas``).
 
 from .dedup import (
     exact_dedup,
+    char_shingles,
     minhash_signatures,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_signatures,
+    simhash_neardup_pairs,
     embedding_neardup_pairs,
 )
-from .similarity import cosine_topk_exact, lsh_bucketed_ann
-from .text import tokenize_counts, text_quality, language_id, doc_fingerprint
+from .similarity import (
+    cosine_cols,
+    cosine_topk_exact,
+    ivf_topk,
+    lsh_bucketed_ann,
+    vector_lit,
+)
+from .text import (
+    doc_fingerprint,
+    language_id,
+    text_quality,
+    token_count,
+    tokenize_counts,
+    tokens_col,
+)
+from .multimodal import decode_images, frame_sample_plan, make_multimodal_table
 
 __all__ = [
     "exact_dedup",
+    "char_shingles",
     "minhash_signatures",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "simhash_signatures",
+    "simhash_neardup_pairs",
     "embedding_neardup_pairs",
+    "cosine_cols",
     "cosine_topk_exact",
+    "ivf_topk",
     "lsh_bucketed_ann",
+    "vector_lit",
     "tokenize_counts",
+    "tokens_col",
+    "token_count",
     "text_quality",
     "language_id",
     "doc_fingerprint",
+    "decode_images",
+    "frame_sample_plan",
+    "make_multimodal_table",
 ]

@@ -1,0 +1,311 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding near-dup.
+
+North-star extension (SURVEY.md §2.2 "LLM-pipeline ops"); not in the
+reference (a single-table TSDB engine, ``/root/reference/hello.go``).
+
+Scale design (100 TB):
+
+- **Exact dedup** is a single hash aggregation on the text column — Spark
+  runs it partial+final, so only one row per (task, distinct text) shuffles.
+  For very long documents, dedup on a digest (``xxhash64(text)``) instead of
+  the raw text to shrink the shuffle payload (``exact_dedup(key="hash")``).
+- **MinHash/LSH** never materializes all pairs: signatures are computed
+  per-row with JVM higher-order functions (no Python, no shuffle), then LSH
+  *banding* buckets candidate pairs — the self-join is on (band, band_hash),
+  so only documents sharing a band bucket ever meet. All-pairs comparison
+  is O(n²) and unusable at scale; banding is O(n · bands + collisions).
+- **SimHash** is one 64-bit signature per document, computed in a single
+  per-row expression (aggregate/zip_with over tokens) — embarrassingly
+  parallel, no shuffle at all until the bucket join.
+- **Embedding near-dup** buckets by random-hyperplane sign bits (the
+  classic SRP-LSH) and only compares within buckets; exact cosine is then
+  computed JVM-side (zip_with + aggregate) on the candidates.
+
+All hot paths are built-in Spark SQL functions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: universal-hash modulus.  Products a*h stay well
+# below 2^63, so the arithmetic is safe under ANSI overflow checking.
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by_hash: bool = False,
+) -> DataFrame:
+    """Exact duplicate groups: per distinct text, the kept (min) id and the
+    duplicate count.  ``by_hash=True`` groups on ``xxhash64(text)`` instead
+    of the raw text — same grouping (modulo a 2^-64 collision risk), but the
+    shuffle carries 8 bytes instead of the whole document.
+    """
+    key = F.xxhash64(text_col).alias("text_key") if by_hash else F.col(text_col)
+    return df.groupBy(key).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("dups"),
+    )
+
+
+def char_shingles(col: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of a string column, as an array —
+    computed per-row with ``transform`` over an index sequence (JVM-side,
+    no explode, no shuffle)."""
+    c = F.col(col) if isinstance(col, str) else col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+        lambda i: F.substring(c, i, n),
+    )
+    return F.array_distinct(grams)
+
+
+def _mix(h: Column, a: int, b: int) -> Column:
+    """Universal hash family over Z_p (p = 2^31-1): (a·h + b) mod p."""
+    hp = F.pmod(h, F.lit(_MERSENNE))
+    return F.pmod(F.lit(a) * hp + F.lit(b), F.lit(_MERSENNE))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 128,
+    shingle_n: int = 5,
+    seed: int = 42,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Append a MinHash signature column (``array<bigint>`` of length
+    ``num_hashes``).
+
+    One ``xxhash64`` per distinct shingle, then ``num_hashes`` universal-hash
+    mixes and an ``array_min`` per hash — all inside one per-row JVM
+    expression.  Zero shuffles; at 100 TB this is a pure map stage.
+    """
+    rng = np.random.RandomState(seed)
+    coeffs = [
+        (int(rng.randint(1, _MERSENNE)), int(rng.randint(0, _MERSENNE)))
+        for _ in range(num_hashes)
+    ]
+    base = F.transform(char_shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+
+    def _minhash(a: int, b: int):
+        # factory, not a default-arg lambda: PySpark counts default args in
+        # the lambda's arity and would reject it as a 3-arg function
+        return F.array_min(F.transform(base, lambda h: _mix(h, a, b)))
+
+    sig = F.array(*[_minhash(a, b) for a, b in coeffs])
+    return df.withColumn(out_col, sig)
+
+
+def minhash_lsh_candidates(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands, hash each
+    band, and emit candidate pairs (id_a < id_b) that collide in ≥1 band.
+
+    The join key is (band_index, band_hash) — documents never meet unless a
+    band matches, so the shuffle volume is O(n·bands), not O(n²).  Output is
+    distinct pairs; rerank with ``ngram_jaccard_pairs`` for exact scores.
+    """
+    rpb = (F.size(F.col(sig_col)) / bands).cast("int")  # rows per band
+    buckets = sig_df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(b, F.slice(F.col(sig_col), b * rpb + 1, rpb)),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    ``candidates`` has (id_a, id_b); the doc side is joined twice.  At scale
+    the candidate set is the (small) LSH output, so both joins are skewed
+    toward broadcast/shuffled-hash on the id key — never all-pairs.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        char_shingles(text_col, shingle_n).alias("_sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        candidates.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+) -> DataFrame:
+    """Append a 64-bit SimHash signature (bigint).
+
+    Classic Charikar SimHash: hash each token to 64 bits, sum +1/-1 per bit
+    position over all tokens, signature bit = sign of the sum.  Implemented
+    as one per-row expression (aggregate + zip_with over the token array) —
+    no explode, no shuffle; a pure map stage at any scale.
+    """
+    # SQL-expression form: the Python API's shiftright/shiftleft demand a
+    # literal int shift amount, but in SQL the shift amount can be the
+    # lambda variable.  Everything stays one per-row JVM expression.
+    sums_expr = f"""
+        aggregate(
+            filter(split({text_col}, '\\\\s+'), w -> w != ''),
+            array_repeat(0, 64),
+            (acc, t) -> zip_with(
+                acc,
+                transform(sequence(0, 63),
+                          i -> CASE WHEN shiftright(xxhash64(t), i) & 1 = 1
+                                    THEN 1 ELSE -1 END),
+                (a, b) -> a + b))
+    """
+    sig_expr = """
+        aggregate(
+            zip_with(_simhash_sums, sequence(0, 63),
+                     (s, i) -> CASE WHEN s > 0
+                                    THEN shiftleft(CAST(1 AS BIGINT), i)
+                                    ELSE CAST(0 AS BIGINT) END),
+            CAST(0 AS BIGINT), (acc, x) -> acc + x)
+    """
+    return (
+        df.withColumn("_simhash_sums", F.expr(sums_expr))
+        .withColumn(out_col, F.expr(sig_expr))
+        .drop("_simhash_sums")
+    )
+
+
+def simhash_neardup_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Block-permutation LSH: split the 64-bit signature into 4 blocks of 16
+    bits; any pair within Hamming distance 3 must agree exactly on ≥1 block
+    (pigeonhole), so candidates are generated by a join on (block_idx,
+    block_value) and then filtered by exact popcount — never all-pairs.
+    """
+    n_blocks = 64 // block_bits
+    mask = (1 << block_bits) - 1
+    blocks = sig_df.select(
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col(sig_col), i * block_bits).bitwiseAND(F.lit(mask))
+                for i in range(n_blocks)
+            ])
+        ).alias("block", "block_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    xor = F.expr("a._sig").bitwiseXOR(F.expr("b._sig"))
+    hamming = F.bit_count(xor)
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicates: cosine ≥ threshold, bucketed by
+    signed-random-projection LSH so only same-bucket pairs are compared.
+
+    ``num_planes`` sign bits form the bucket key; high-cosine pairs land in
+    the same bucket with high probability (collision prob = 1 - θ/π per
+    plane).  The exact cosine on candidates is JVM-side higher-order
+    functions in float64.  Note: SRP-LSH trades recall for scale; lower
+    ``num_planes`` (or multiple hash tables) raises recall.
+    """
+    dim = len(df.select(emb_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((num_planes, dim))
+
+    def dot_with(plane: np.ndarray) -> Column:
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        return F.aggregate(
+            F.zip_with(F.col(emb_col), lit_plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = F.concat_ws(
+        "", *[F.when(dot_with(p) >= 0, "1").otherwise("0") for p in planes]
+    )
+    bucketed = df.select(
+        F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"), bucket.alias("_bucket")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    from .similarity import cosine_cols
+
+    sim = cosine_cols(F.col("a._emb"), F.col("b._emb"))
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star extension (SURVEY.md §2.2); not in the reference.
+
+Scale design (100 TB of vectors):
+
+- The **query vector is a literal/broadcast**, never a join side: scoring is
+  a pure map stage (one pass, no shuffle), and top-k plans as
+  TakeOrderedAndProject — each partition keeps k rows, only k·partitions
+  rows reach the driver merge.
+- The dot product / norms are **JVM higher-order functions**
+  (``zip_with`` + ``aggregate``) in float64 — no Python UDF, no Arrow hop,
+  whole-stage codegen keeps it in the scan stage.
+- The **IVF-style scale path** (`ivf_topk`) clusters once (sampled
+  centroids, SRP buckets), then probes only the nearest buckets —
+  scan cost drops from O(N) to O(N/buckets · nprobe).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_cols(a: Column, b: Column) -> Column:
+    """Float64 dot product of two array columns, sequential left-to-right —
+    deterministic and bit-identical to a single-threaded oracle."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_cols(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns (float64 end-to-end)."""
+    return dot_cols(a, b) / (norm_col(a) * norm_col(b))
+
+
+def vector_lit(v: Sequence[float]) -> Column:
+    """A vector as a literal array<double> column — the 'broadcast' of a
+    single query vector (a literal is shipped in the plan, strictly cheaper
+    than a broadcast join)."""
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def cosine_topk_exact(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_ids: Sequence[int] | None = None,
+    sim_alias: str = "sim",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact brute-force cosine top-k against one query vector.
+
+    Plan shape: parquet scan → per-row cosine (codegen) →
+    TakeOrderedAndProject.  One pass over the data, no shuffle, no UDF —
+    the right baseline at any scale; see ``ivf_topk`` for the sublinear path.
+    """
+    q = vector_lit(query_vec)
+    sim = F.round(cosine_cols(F.col(emb_col), q), round_dp).alias(sim_alias)
+    out = df.select(F.col(id_col), sim)
+    if exclude_ids:
+        out = out.filter(~F.col(id_col).isin(list(exclude_ids)))
+    return out.orderBy(F.desc(sim_alias), id_col).limit(k)
+
+
+def _srp_bucket(emb_col: str, planes: np.ndarray) -> Column:
+    """Signed-random-projection bucket id (one bit per hyperplane)."""
+    bits = []
+    for i, p in enumerate(planes):
+        d = dot_cols(F.col(emb_col), vector_lit(p))
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_bucketed_ann(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+    sim_alias: str = "sim",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Approximate top-k: SRP-LSH bucketing + exact rerank inside the
+    query's bucket (and buckets within ``multiprobe_hamming`` bit flips —
+    multi-probe raises recall without more tables).
+
+    Scale path: persist ``df`` pre-bucketed (partitionBy(bucket)) and the
+    probe becomes partition pruning — the scan touches ~nprobe/2^planes of
+    the data instead of all of it.
+    """
+    dim = len(query_vec)
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((num_planes, dim))
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbits = sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, qv)) >= 0)
+    probe = {qbits}
+    if multiprobe_hamming >= 1:
+        for i in range(num_planes):
+            probe.add(qbits ^ (1 << i))
+
+    bucketed = df.withColumn("_bucket", _srp_bucket(emb_col, planes))
+    cand = bucketed.filter(F.col("_bucket").isin(sorted(probe)))
+    sim = F.round(cosine_cols(F.col(emb_col), vector_lit(query_vec)), round_dp)
+    return (
+        cand.select(F.col(id_col), sim.alias(sim_alias))
+        .orderBy(F.desc(sim_alias), id_col)
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    sample_fraction: float = 0.1,
+    sim_alias: str = "sim",
+    round_dp: int = 4,
+) -> DataFrame:
+    """IVF-flat style ANN: sample → centroids (driver-side k-means on the
+    sample; the sample is bounded, not the dataset) → assign each vector to
+    its nearest centroid → probe the ``nprobe`` centroids nearest the query
+    → exact cosine rerank within probed cells.
+
+    At scale the assignment is written once (``partitionBy(cell)``) and
+    queries prune to nprobe cells.  The k-means here is deliberately simple
+    (Lloyd on a driver sample) — the operator's contract is the *layout*,
+    not the clustering quality.
+    """
+    sample = np.array(
+        df.select(emb_col).sample(fraction=min(1.0, sample_fraction), seed=seed)
+        .limit(num_centroids * 64).collect()
+    ).reshape(-1, len(query_vec)).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(num_centroids, len(sample)), replace=False)
+    centroids = sample[idx]
+    for _ in range(5):  # a few Lloyd iterations on the sample
+        d = sample @ centroids.T
+        assign = d.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+
+    # nearest-cell assignment as one JVM expression: argmax over centroid dots
+    cells = F.array(*[
+        F.struct(dot_cols(F.col(emb_col), vector_lit(c)).alias("d"),
+                 F.lit(i).alias("cell"))
+        for i, c in enumerate(centroids)
+    ])
+    best = F.array_max(cells)["cell"]
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort([-float(np.dot(c, qv)) for c in centroids])
+    probe_cells = [int(c) for c in order[:nprobe]]
+
+    sim = F.round(cosine_cols(F.col(emb_col), vector_lit(query_vec)), round_dp)
+    return (
+        df.withColumn("_cell", best)
+        .filter(F.col("_cell").isin(probe_cells))
+        .select(F.col(id_col), sim.alias(sim_alias))
+        .orderBy(F.desc(sim_alias), id_col)
+        .limit(k)
+    )

@@ -1,0 +1,144 @@
+"""Text analysis operators — tokenization/counts, quality scoring,
+language ID, document fingerprinting.
+
+North-star extension (SURVEY.md §2.2); not in the reference.  Everything is
+built-in Spark SQL functions (split/explode/regexp/aggregate) — JVM-side,
+whole-stage codegen, no Python in the hot path.  At 100 TB these are map
+stages except the word-count groupBy (one shuffle on the word key; the
+heavy-hitter skew on stopwords is absorbed by partial aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword seeds for the n-gram/stopword heuristic.
+# Deliberately small and deterministic; a production lang-id would load a
+# fastText-style model via mapInPandas (see multimodal.py for the pattern).
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "que", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "para", "que", "en"],
+}
+
+
+def tokens_col(text_col: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokens (empty strings removed) as an array column."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, r"\s+"), lambda w: w != "")
+
+
+def bpe_ish_tokens(text_col: Column | str) -> Column:
+    """A BPE-ish regex tokenization (GPT-2-style word/number/punct split):
+    runs of letters, runs of digits, or single non-space punctuation —
+    approximates subword pre-tokenization for token counting."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        F.split(F.regexp_replace(c, r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])", "$1"), ""),
+        lambda w: F.trim(w) != "",
+    )
+
+
+def tokenize_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int | None = 20,
+    word_alias: str = "w",
+    count_alias: str = "c",
+) -> DataFrame:
+    """Corpus word frequencies: explode(split) → groupBy(word) → count,
+    descending with the word as tiebreaker (determinism D1)."""
+    out = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias(word_alias))
+        .filter(F.col(word_alias) != "")
+        .groupBy(word_alias)
+        .agg(F.count(F.lit(1)).alias(count_alias))
+        .orderBy(F.desc(count_alias), word_alias)
+    )
+    return out.limit(top_n) if top_n else out
+
+
+def token_count(df: DataFrame, text_col: str = "text", alias: str = "n_tokens") -> Column:
+    """Per-document token count (whitespace tokenization), as a column."""
+    return F.size(tokens_col(text_col, lowercase=False)).alias(alias)
+
+
+def text_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document quality features: char/word counts, mean word length,
+    punctuation ratio, stopword ratio, alpha ratio.  Classic C4/Gopher-style
+    filters compose from these; all computed per-row, no shuffle."""
+    toks = tokens_col(text_col)
+    n_chars = F.length(text_col)
+    n_words = F.size(toks)
+    mean_wlen = F.when(
+        n_words > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+    n_punct = F.length(F.regexp_replace(text_col, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
+    stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(F.lit(0.0))
+    n_alpha = F.length(F.regexp_replace(text_col, r"[^a-zA-Z]", ""))
+    alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+    )
+
+
+def language_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_alias: str = "lang_pred",
+) -> DataFrame:
+    """Stopword-overlap language heuristic: score = fraction of tokens that
+    are stopwords of each candidate language; argmax wins (ties break to the
+    alphabetically-last language via struct max — deterministic)."""
+    toks = tokens_col(text_col)
+    n_words = F.greatest(F.size(toks), F.lit(1))
+    def _score(words: list[str]):
+        # factory, not a default-arg lambda (PySpark counts default args in
+        # lambda arity)
+        sw = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
+
+    scores = []
+    for lang, words in sorted(_STOPWORDS.items()):
+        hits = _score(words)
+        scores.append(
+            F.struct((hits.cast("double") / n_words).alias("score"), F.lit(lang).alias("lang"))
+        )
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias(lang_alias),
+        F.round(best["score"], 4).alias("lang_score"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_alias: str = "fingerprint",
+) -> DataFrame:
+    """Deterministic 64-bit document fingerprint over normalized text
+    (lowercase, collapsed whitespace) — the cheap key for exact-dup joins
+    and incremental-ingest change detection."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(F.col(id_col), F.xxhash64(norm).alias(fp_alias))

@@ -75,20 +75,20 @@ def matcher_to_column(
     c = label_col(m.name)
     pat = _anchor(m.value) if anchored else m.value
 
+    # Prometheus treats an absent label as the empty string, for ALL four
+    # operators: coalescing the label to "" before comparing reproduces
+    # that uniformly (e.g. `=~".*"` matches series without the label,
+    # `!=""` excludes them) with no per-case special-casing.
+    if null_semantics == "prometheus":
+        c = F.coalesce(c, F.lit(""))
+
     if m.op == "=":
-        # Prometheus: `label=""` matches series WITHOUT the label.
-        if null_semantics == "prometheus" and m.value == "":
-            return c.isNull() | (c == "")
         return c == F.lit(m.value)
     if m.op == "!=":
-        if null_semantics == "prometheus":
-            return c.isNull() | (c != F.lit(m.value))
         return c != F.lit(m.value)
     if m.op == "=~":
         return c.rlike(pat)
     if m.op == "!~":
-        if null_semantics == "prometheus":
-            return c.isNull() | ~c.rlike(pat)
         return ~c.rlike(pat)
     raise ValueError(f"unknown matcher op: {m.op!r}")
 

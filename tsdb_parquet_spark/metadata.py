@@ -54,21 +54,53 @@ class ParquetInfo:
     row_groups: list[RowGroupInfo] = field(default_factory=list)
 
 
+def _part_files(path: str) -> list[str]:
+    """A single Parquet file, or every part file of a Spark output
+    directory (``part-*.parquet``, sorted by name so row groups come back
+    in the writer's task order) — lets footer audits run directly on
+    ``writer.write_sorted`` output."""
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+        if not parts:
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        return parts
+    return [path]
+
+
 def inspect_parquet(path: str) -> ParquetInfo:
-    """Read a Parquet file's footer and return the same facts the reference's
-    inspector prints (hello.go:93-118), plus per-column min/max stats."""
-    f = pq.ParquetFile(path)
-    md = f.metadata
+    """Read a Parquet file's (or Spark output directory's) footers and
+    return the same facts the reference's inspector prints
+    (hello.go:93-118), plus per-column min/max stats.  For a directory the
+    per-file row groups are concatenated in filename order."""
+    files = _part_files(path)
+    first = pq.ParquetFile(files[0])
     info = ParquetInfo(
         path=path,
-        num_rows=md.num_rows,
-        num_row_groups=md.num_row_groups,
-        schema=str(f.schema_arrow),
-        created_by=md.created_by,
+        num_rows=0,
+        num_row_groups=0,
+        schema=str(first.schema_arrow),
+        created_by=first.metadata.created_by,
     )
+    gi_offset = 0
+    for fp in files:
+        f = pq.ParquetFile(fp)
+        md = f.metadata
+        info.num_rows += md.num_rows
+        info.num_row_groups += md.num_row_groups
+        _append_row_groups(info, md, gi_offset)
+        gi_offset += md.num_row_groups
+    return info
+
+
+def _append_row_groups(info: ParquetInfo, md, gi_offset: int) -> None:
     for gi in range(md.num_row_groups):
         rg = md.row_group(gi)
-        g = RowGroupInfo(index=gi, num_rows=rg.num_rows, total_byte_size=rg.total_byte_size)
+        g = RowGroupInfo(index=gi_offset + gi, num_rows=rg.num_rows, total_byte_size=rg.total_byte_size)
         for ci in range(rg.num_columns):
             col = rg.column(ci)
             stats = col.statistics
@@ -87,7 +119,6 @@ def inspect_parquet(path: str) -> ParquetInfo:
                 )
             )
         info.row_groups.append(g)
-    return info
 
 
 def row_group_time_ranges(path: str, column: str = "time") -> list[tuple[object, object]]:

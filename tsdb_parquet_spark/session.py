@@ -50,6 +50,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", os.environ.get("TSDB_SPARK_CODEC", "snappy"))
+        # Parquet TIMESTAMP(NANOS) (the events fixture) is otherwise
+        # unreadable by Spark (PARQUET_TYPE_ILLEGAL); read it as raw ns
+        # int64 and convert at load time (tables.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.hadoop.parquet.enable.dictionary", "true")
         .config("spark.driver.memory", os.environ.get("TSDB_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

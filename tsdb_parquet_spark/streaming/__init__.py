@@ -1,0 +1,25 @@
+"""Structured Streaming surface — the reference's converter made continuous
+(SURVEY.md §2.2 "Streaming"; the reference itself executes nothing
+streaming-shaped — its committed ``wal/`` segments are Prometheus artifacts
+never read by ``hello.go``, and FrostDB's WAL option is commented out at
+``hello.go:452``)."""
+
+from .windows import (
+    read_events_stream,
+    session_counts,
+    session_counts_batch,
+    stream_dedup,
+    tumbling_counts,
+    tumbling_counts_batch,
+    write_sorted_stream,
+)
+
+__all__ = [
+    "read_events_stream",
+    "tumbling_counts",
+    "tumbling_counts_batch",
+    "session_counts",
+    "session_counts_batch",
+    "stream_dedup",
+    "write_sorted_stream",
+]

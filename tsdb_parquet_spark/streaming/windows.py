@@ -1,0 +1,167 @@
+"""Streaming windowed aggregation — tumbling and session windows with
+watermarks, plus the batch-equivalent forms used for oracle checks and
+batch↔stream equivalence tests (SURVEY.md §5.2 item 4).
+
+Structured Streaming guarantees a streaming query's eventual result equals
+the batch query over the same input (modulo late data dropped past the
+watermark) — so each streaming transform here has a `_batch` twin with
+identical semantics, and the tests replay a bounded parquet file through
+both and compare.
+
+Scale notes: windowed streaming aggs keep state per (window, keys) in the
+state store; the watermark bounds state size (windows older than the
+watermark are evicted and finalized).  ``session_window`` state merges
+per-key sessions — the skew risk is a hot key, same as the batch window
+(operators/windows.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over a parquet directory/file — the replay source
+    for batch↔stream equivalence tests.  A schema is required by streaming
+    file sources; infer it from a batch peek when not supplied."""
+    schema = schema or spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming tumbling-window counts + decimal sums per key.
+
+    ``withWatermark`` bounds state: windows more than ``watermark`` behind
+    the max observed event time finalize and evict; later-arriving rows for
+    them are dropped (the documented late-data policy).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_len).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sv"),
+        )
+        .select(
+            F.unix_timestamp("win.start").alias("bucket_start"),
+            key_col,
+            "n",
+            "sv",
+        )
+    )
+
+
+def tumbling_counts_batch(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_len: str = "1 hour",
+) -> DataFrame:
+    """Batch twin of ``tumbling_counts`` — same ``window()`` expression, no
+    watermark (batch has no late data).  This is Q27's engine form."""
+    return (
+        events.groupBy(F.window(ts_col, window_len).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sv"),
+        )
+        .select(
+            F.unix_timestamp("win.start").alias("bucket_start"),
+            key_col,
+            "n",
+            "sv",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming session windows: per (user, session) event counts, sessions
+    merging while events arrive within ``gap`` of each other."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sess"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.unix_timestamp("sess.start").alias("session_start"),
+            F.unix_timestamp("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def session_counts_batch(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Batch twin of ``session_counts`` (``session_window`` works in batch
+    too — same state-merge semantics, executed as an aggregation)."""
+    return (
+        events.groupBy(F.session_window(ts_col, gap).alias("sess"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.unix_timestamp("sess.start").alias("session_start"),
+            F.unix_timestamp("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful streaming dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only within the
+    watermark horizon — the streaming counterpart of exact dedup
+    (llm/dedup.py) for at-least-once sources."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def write_sorted_stream(
+    df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    trigger_once: bool = True,
+):
+    """Streaming sink producing the engine's sorted parquet layout: each
+    micro-batch is range-partitioned + sorted on ``time`` via foreachBatch
+    (writer.write_sorted), making streaming ingest produce the same
+    prunable layout as batch ingest — the reference's converter made
+    continuous."""
+    from ..writer import write_sorted
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        write_sorted(batch_df, out_path, mode="append")
+
+    writer = df.writeStream.foreachBatch(_write).option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -137,23 +137,26 @@ def merge_series(
 
     ``parts`` is ``[(src_tag, df), ...]`` where each df has (time, value).
     Mirrors ``merge`` at hello.go:380-418: duplicates are preserved, ties
-    break toward the earlier-listed run (``av <= bv``, hello.go:406) — here
-    encoded as the total sort key ``(time, src)`` with src tags chosen in
-    list order.  Spark's distributed range-partitioned sort is the n-way
-    generalization of the reference's 2-way in-memory merge.
+    break toward the earlier-listed run (``av <= bv``, hello.go:406) —
+    encoded as the total sort key ``(time, part-list-index)``, so the
+    left-run-first tie-break holds regardless of how the caller's src tags
+    sort lexically; the tag stays as a display column.  Spark's distributed
+    range-partitioned sort is the n-way generalization of the reference's
+    2-way in-memory merge.
     """
     tagged = [
         df.select(
             F.col(TIME_COL),
             F.round(F.col(VALUE_COL), value_round).alias("v"),
             F.lit(tag).alias("src"),
+            F.lit(i).alias("_part_idx"),
         )
-        for tag, df in parts
+        for i, (tag, df) in enumerate(parts)
     ]
     out = tagged[0]
     for t in tagged[1:]:
         out = out.unionAll(t)
-    return out.orderBy(TIME_COL, "src")
+    return out.orderBy(TIME_COL, "_part_idx").drop("_part_idx")
 
 
 def table_meta(df: DataFrame) -> DataFrame:
