@@ -1,0 +1,159 @@
+"""LLM-pipeline operator semantics: dedup families, similarity search,
+text analysis, multimodal plumbing (SURVEY.md §2.2 north star)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from tsdb_parquet_spark import llm
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (2, "the quick brown fox jumped over the lazy dog"),  # near dup
+        (3, "completely different content about spark engines"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["keep_id"]: r["dups"] for r in llm.exact_dedup(docs).collect()}
+    assert out[0] == 2   # docs 0 and 1 collapse, min id kept
+    assert out[2] == 1 and out[3] == 1 and out[4] == 1
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sigs = {r["doc_id"]: r["minhash"] for r in
+            llm.minhash_signatures(docs, num_hashes=32).collect()}
+    assert sigs[0] == sigs[1]
+    assert len(sigs[0]) == 32
+    # near-dup shares most mins; unrelated shares few
+    agree_near = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    agree_far = sum(a == b for a, b in zip(sigs[0], sigs[3]))
+    assert agree_near > agree_far
+
+
+def test_minhash_lsh_finds_near_dups_not_far_pairs(docs):
+    sigs = llm.minhash_signatures(docs, num_hashes=32)
+    cand = llm.minhash_lsh_candidates(sigs, bands=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_ngram_jaccard_scores(spark, docs):
+    cand = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           llm.ngram_jaccard_pairs(docs, cand).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.5 < out[(0, 2)] < 1.0
+    assert out[(0, 3)] < 0.2
+
+
+def test_simhash_hamming_ordering(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in llm.simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(sigs[0], sigs[2]) < hamming(sigs[0], sigs[3])
+    assert sigs[4] == 0  # empty doc: no tokens, all bit-sums 0
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((20, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs[0]
+    out = llm.cosine_topk_exact(df, [float(x) for x in q], k=3, exclude_ids=[0]).collect()
+
+    v64 = vecs.astype(np.float64)
+    sims = v64 @ v64[0] / (np.linalg.norm(v64, axis=1) * np.linalg.norm(v64[0]))
+    expect = sorted(((round(s, 4), i) for i, s in enumerate(sims) if i != 0),
+                    key=lambda t: (-t[0], t[1]))[:3]
+    assert [(r["vec_id"], r["sim"]) for r in out] == [(i, s) for s, i in expect]
+
+
+def test_lsh_ann_returns_plausible_topk(spark):
+    rng = np.random.RandomState(1)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    vecs[7] = vecs[0] + 0.01 * rng.standard_normal(8).astype(np.float32)  # planted near-dup
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = llm.lsh_bucketed_ann(df, [float(x) for x in vecs[0]], k=3, num_planes=4)
+    got = [r["vec_id"] for r in out.collect()]
+    assert 7 in got  # the planted neighbor collides in the query's bucket
+
+
+def test_text_quality_features(spark):
+    df = spark.createDataFrame([(0, "The cat, the hat!")], "doc_id long, text string")
+    r = llm.text_quality(df).collect()[0]
+    assert r["n_chars"] == 17
+    assert r["n_words"] == 4
+    assert r["punct_ratio"] == round(2 / 17, 4)
+    assert r["stopword_ratio"] == 0.5  # 'the' twice of 4 tokens
+    assert r["mean_word_len"] == round((3 + 4 + 3 + 4) / 4, 4)
+
+
+def test_language_id_picks_stopword_language(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is in the hat and it is good"),
+            (1, "der hund ist nicht ein katze und das ist gut"),
+            (2, "le chat est dans la maison pour les amis"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in llm.language_id(df).collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "fr"
+
+
+def test_doc_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, "hello worlds")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in llm.doc_fingerprint(df).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+
+
+def test_multimodal_decode_roundtrip(spark, docs):
+    table = llm.make_multimodal_table(spark, docs.filter("text <> ''"))
+    out = {r["item_id"]: r for r in llm.decode_images(table, fake=True).collect()}
+    assert len(out) == 4
+    # payload is utf-8 of the text; n_bytes must match text length
+    assert out[0]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert out[0]["width"] >= 1 and out[0]["height"] >= 1
+
+
+def test_multimodal_real_decode_raises(spark, docs):
+    table = llm.make_multimodal_table(spark, docs.limit(1))
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        llm.decode_images(table, fake=False).collect()
+
+
+def test_embedding_neardup_finds_planted_pair(spark):
+    rng = np.random.RandomState(2)
+    vecs = rng.standard_normal((30, 8)).astype(np.float32)
+    vecs[9] = vecs[3] + 0.01 * rng.standard_normal(8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = llm.embedding_neardup_pairs(df, threshold=0.95, num_planes=4)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (3, 9) in pairs

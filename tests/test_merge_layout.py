@@ -1,0 +1,99 @@
+"""Merge-order invariants (R18, hello.go:380-418) and sorted-layout footer
+assertions (R5/O3, hello.go:148-155) — SURVEY.md §5.2 items 2-3 & 5."""
+
+from __future__ import annotations
+
+import os
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.metadata import inspect_parquet, row_group_time_ranges
+from tsdb_parquet_spark.timeseries import merge_series, regroup_series
+from tsdb_parquet_spark.writer import write_sorted
+
+
+def test_merge_preserves_duplicates_and_left_ties(spark):
+    # identical timestamps in both runs: duplicates preserved, left first
+    a = spark.createDataFrame([(1, 1.0), (2, 1.0), (3, 1.0)], "time long, value double")
+    b = spark.createDataFrame([(2, 2.0), (3, 2.0), (4, 2.0)], "time long, value double")
+    out = merge_series([("x", a), ("y", b)]).collect()
+    assert [(r["time"], r["src"]) for r in out] == [
+        (1, "x"), (2, "x"), (2, "y"), (3, "x"), (3, "y"), (4, "y"),
+    ]
+
+
+def test_merge_tiebreak_is_list_order_not_tag_sort(spark):
+    # tags sort the "wrong" way lexically; list order must still win
+    a = spark.createDataFrame([(1, 1.0)], "time long, value double")
+    b = spark.createDataFrame([(1, 2.0)], "time long, value double")
+    out = merge_series([("zzz", a), ("aaa", b)]).collect()
+    assert [r["src"] for r in out] == ["zzz", "aaa"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    ta=st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=12),
+    tb=st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=12),
+)
+def test_merge_property_sorted_and_complete(spark, ta, tb):
+    # property: output is time-sorted, length-preserving, tie -> 'a' first
+    if not ta and not tb:
+        return
+    a = spark.createDataFrame([(t, 0.0) for t in ta] or [(0, 0.0)], "time long, value double")
+    b = spark.createDataFrame([(t, 1.0) for t in tb] or [(0, 1.0)], "time long, value double")
+    if not ta:
+        a = a.filter(F.lit(False))
+    if not tb:
+        b = b.filter(F.lit(False))
+    rows = merge_series([("a", a), ("b", b)]).collect()
+    assert len(rows) == len(ta) + len(tb)
+    key = [(r["time"], 0 if r["src"] == "a" else 1) for r in rows]
+    assert key == sorted(key)
+
+
+def test_regroup_series_collects_sorted_samples(spark, tsdb_mini):
+    out = regroup_series(tsdb_mini, ["label_name"])
+    lat = next(r for r in out.collect() if r["label_name"] == "latency")
+    assert lat["n_samples"] == 3
+    assert [s["time"] for s in lat["samples"]] == [2000, 3000, 5000]
+
+
+def test_write_sorted_row_groups_monotone(spark, tmp_path):
+    # random-order input -> sorted layout -> footer time ranges monotone
+    import random
+
+    rnd = random.Random(7)
+    rows = [(t, float(t)) for t in rnd.sample(range(100000), 50000)]
+    df = spark.createDataFrame(rows, "time long, value double")
+    out = str(tmp_path / "sorted")
+    write_sorted(df, out, num_files=4)
+
+    ranges = row_group_time_ranges(out)
+    assert len(ranges) >= 4
+    # within the concatenated file order, each group is internally valid
+    for lo, hi in ranges:
+        assert lo <= hi
+    # ranges must be pairwise disjoint when sorted by min — the pruning
+    # property: a time-range scan can skip every non-overlapping group
+    by_min = sorted(ranges)
+    for (lo1, hi1), (lo2, hi2) in zip(by_min, by_min[1:]):
+        assert hi1 <= lo2
+
+    info = inspect_parquet(out)
+    assert info.num_rows == 50000
+
+
+def test_inspect_parquet_single_file(spark):
+    # works against the committed fixture file (single-file path)
+    from tsdb_parquet_spark.tables import TSDB_PATH
+
+    if not os.path.exists(TSDB_PATH):
+        return
+    info = inspect_parquet(TSDB_PATH)
+    assert info.num_rows == 153965
+    ranges = row_group_time_ranges(TSDB_PATH)
+    by_min = sorted(ranges)
+    for (lo1, hi1), (lo2, hi2) in zip(by_min, by_min[1:]):
+        assert hi1 <= lo2

@@ -1,0 +1,99 @@
+"""Batch↔stream equivalence (SURVEY.md §5.2 item 4): replay a bounded
+parquet file through the streaming source; the streaming windowed
+aggregation must equal its batch twin — the guarantee Structured Streaming
+makes and the contract Q27/Q28's batch forms stand in for."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.streaming import (
+    read_events_stream,
+    session_counts,
+    session_counts_batch,
+    stream_dedup,
+    tumbling_counts,
+    tumbling_counts_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    # bounded synthetic event stream: 2 users, 3 hours, some dup event_ids
+    rows = []
+    base = 1_700_000_000  # epoch seconds
+    eid = 0
+    for u in (1, 2):
+        for k in range(40):
+            ts = base + u * 120 + k * 300  # every 5 min
+            rows.append((eid, ts, u, "click" if k % 3 else "view", float(k)))
+            eid += 1
+    # duplicates of the first two events (at-least-once delivery)
+    rows.append((0, base + 120, 1, "view", 0.0))
+    rows.append((40, base + 240, 2, "view", 0.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_epoch long, user_id long, event_type string, value double"
+    ).withColumn("ts", F.timestamp_seconds("ts_epoch")).drop("ts_epoch")
+    p = str(tmp_path_factory.mktemp("stream") / "events")
+    df.repartition(4).write.parquet(p)  # 4 files -> 4 micro-batches
+    return p
+
+
+def _run_stream_to_memory(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _canon(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, events_path):
+    batch_df = spark.read.parquet(events_path)
+    stream_df = read_events_stream(spark, events_path)
+
+    expected = tumbling_counts_batch(batch_df)
+    got = _run_stream_to_memory(spark, tumbling_counts(stream_df), "tumbling_t")
+
+    cols = ["bucket_start", "event_type", "n", "sv"]
+    assert _canon(got, cols) == _canon(expected, cols)
+
+
+def test_session_stream_equals_batch(spark, events_path):
+    batch_df = spark.read.parquet(events_path)
+    stream_df = read_events_stream(spark, events_path)
+
+    expected = session_counts_batch(batch_df)
+    # equivalence holds modulo late data beyond the watermark; the replay
+    # shuffles rows across micro-batches arbitrarily, so the watermark must
+    # exceed the full event-time span for exact equality
+    got = _run_stream_to_memory(
+        spark, session_counts(stream_df, watermark="24 hours"), "session_t"
+    )
+
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _canon(got, cols) == _canon(expected, cols)
+
+
+def test_stream_dedup_drops_watermark_duplicates(spark, events_path):
+    stream_df = read_events_stream(spark, events_path)
+    deduped = stream_dedup(stream_df, ["event_id"], watermark="6 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("dedup_t")
+    assert out.count() == 80  # 82 rows in, 2 duplicates dropped
+    assert out.select("event_id").distinct().count() == 80
