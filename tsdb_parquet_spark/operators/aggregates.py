@@ -36,6 +36,45 @@ def exact_count_distinct(df: DataFrame, keys: list[str], col: str, alias: str) -
     return df.groupBy(*keys).agg(F.countDistinct(col).alias(alias))
 
 
+def cube_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[Column],
+    grouping_aliases: list[str] | None = None,
+) -> DataFrame:
+    """CUBE over ``keys`` (every subset combination) with GROUPING()
+    indicators — same plan shape as rollup: Spark expands the grouping
+    sets before the hash aggregate, so the shuffle carries one partial row
+    per (expanded set, group), not the raw input."""
+    return df.cube(*keys).agg(
+        *[
+            F.grouping(k).cast("int").alias(a)
+            for k, a in zip(keys, grouping_aliases or [f"g{i+1}" for i in range(len(keys))])
+        ],
+        *aggs,
+    )
+
+
+def median_percentiles(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    percentiles: list[float] = (0.9,),
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact per-group median + continuous percentiles (linear
+    interpolation — the same definition DuckDB's MEDIAN/QUANTILE_CONT use).
+    Exact percentile buffers each group's values; at 100 TB prefer
+    ``approx_percentile`` (t-digest sketch, bounded memory, mergeable —
+    engine surface but never oracle-declared, SURVEY.md §2.3)."""
+    aggs = [F.round(F.median(col), round_dp).alias("med")]
+    for p in percentiles:
+        aggs.append(
+            F.round(F.percentile(col, F.lit(p)), round_dp).alias(f"p{int(p * 100)}")
+        )
+    return df.groupBy(*keys).agg(*aggs)
+
+
 def rollup_agg(
     df: DataFrame,
     keys: list[str],

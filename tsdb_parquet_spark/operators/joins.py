@@ -47,6 +47,57 @@ def broadcast_join(
     return fact.join(F.broadcast(dim), on, how)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    right_value_col: str,
+    alias: str = "asof_val",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the value of the latest
+    right row with ``right.ts <= left.ts`` and the same ``key`` (left rows
+    with no prior right row keep NULL) — the time-series join Spark lacks
+    as a built-in (SURVEY.md §2.2 "Joins": as-of via window over unioned
+    keys).
+
+    Implementation: union-tag-window.  Tag right rows 0 / left rows 1,
+    sort within each key by (ts, tag) — right-before-left on ties makes the
+    join inclusive — and carry the right value forward with
+    ``last(ignorenulls)`` over an unbounded-preceding frame, then keep the
+    left rows.
+
+    Scale notes: ONE shuffle on ``key`` (the window partition), no join
+    node at all — this beats the naive per-left-row range join (which
+    explodes to per-key cross products) and is the classic distributed
+    as-of plan.  Right rows should be unique per (key, ts); pre-aggregate
+    if not.
+    """
+    rv_type = dict(right.dtypes)[right_value_col]
+    l_tagged = left.withColumn("_is_left", F.lit(1)).withColumn(
+        "_rv", F.lit(None).cast(rv_type)
+    )
+    r_tagged = right.select(
+        F.col(key),
+        F.col(ts_col),
+        F.col(right_value_col).alias("_rv"),
+    ).withColumn("_is_left", F.lit(0))
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn(alias, F.last("_rv", ignorenulls=True).over(w))
+        .filter(F.col("_is_left") == 1)
+        .drop("_is_left", "_rv")
+    )
+
+
 def interval_self_join(
     df: DataFrame,
     key: str,

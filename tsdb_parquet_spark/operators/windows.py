@@ -51,6 +51,27 @@ def lag_moving_avg(
     )
 
 
+def range_frame_sum(
+    df: DataFrame,
+    partition_by: list[str],
+    range_col: Column,
+    preceding: int,
+    sum_col: str,
+    alias: str = "range_sum",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Aggregate over a RANGE frame — value-based, not row-based: the frame
+    is every row whose ``range_col`` lies within ``[current - preceding,
+    current]``, e.g. a '10 minutes of event time' sliding sum.  One shuffle
+    on the partition keys, sort within; same scale profile as any window."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(range_col)
+        .rangeBetween(-preceding, Window.currentRow)
+    )
+    return df.withColumn(alias, F.round(F.sum(sum_col).over(w), round_dp))
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,
