@@ -159,6 +159,51 @@ def merge_series(
     return out.orderBy(TIME_COL, "_part_idx").drop("_part_idx")
 
 
+def counter_rate(
+    df: DataFrame,
+    labels: list[str] | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """PromQL-style counter ``increase``/``rate`` per series, reset-aware —
+    the TSDB-domain aggregation the reference's end goal (a PromQL engine,
+    ``README.md:9``) would need, expressed entirely in built-ins.
+
+    Per series (label set): order samples by time, take positive deltas
+    only (a negative delta is a counter reset; Prometheus adds the
+    post-reset value, i.e. treats the reset as a restart from 0 — so the
+    contribution of a reset sample is its own value), sum them as the
+    increase over the span, divide by the span seconds for the rate.
+
+    Plan: one shuffle on the label columns (the window partition), then a
+    partial+final aggregate over the same keys — Spark reuses the window's
+    partitioning, so the aggregate needs no second exchange.
+    """
+    from pyspark.sql import Window
+
+    labels = labels or label_columns(df)
+    w = Window.partitionBy(*labels).orderBy(TIME_COL)
+    prev_v = F.lag(VALUE_COL).over(w)
+    delta = F.when(prev_v.isNull(), F.lit(0.0)).otherwise(
+        F.when(F.col(VALUE_COL) >= prev_v, F.col(VALUE_COL) - prev_v)
+        .otherwise(F.col(VALUE_COL))  # reset: restart from 0
+    )
+    with_delta = df.withColumn("_delta", delta)
+    span_s = (F.max(TIME_COL) - F.min(TIME_COL)).cast("double") / 1000.0
+    # decimal-before-sum (convention D2): the per-series delta sum is exact
+    # and order-independent, so distributed summation can't drift
+    inc = F.sum(F.col("_delta").cast("decimal(28,6)")).cast("double")
+    return (
+        with_delta.groupBy(*labels)
+        .agg(
+            F.round(inc, round_dp).alias("increase"),
+            F.when(span_s > 0, F.round(inc / span_s, round_dp))
+            .otherwise(F.lit(None).cast("double"))
+            .alias("rate"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+
+
 def table_meta(df: DataFrame) -> DataFrame:
     """Row-count + time-span summary (the oracle-checkable half of the
     reference's metadata inspection, R22/Q8; per-row-group footer details
