@@ -1,0 +1,119 @@
+"""CLI driver — the engine's counterpart of the reference's entry points
+(``/root/reference/hello.go:541-557`` main pipeline, ``hello.go:75-119``
+visualize): ingest a long-form table into the sorted wide layout, query it
+with Prometheus-style matchers, inspect Parquet footers.
+
+Usage::
+
+    python -m tsdb_parquet_spark.cli ingest  IN_PARQUET OUT_DIR [--files N]
+    python -m tsdb_parquet_spark.cli query   TABLE_PATH [-m 'name=up' ...]
+                                             [--t0 MS] [--t1 MS] [--limit N]
+                                             [--null-semantics sql|prometheus]
+    python -m tsdb_parquet_spark.cli inspect PARQUET_PATH
+    python -m tsdb_parquet_spark.cli rate    TABLE_PATH [-m ...] [--labels a,b]
+
+Matcher syntax mirrors PromQL selectors: ``name=value``, ``name!=value``,
+``name=~regex``, ``name!~regex`` (hello.go:517, README.md:130-138).
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+
+_MATCHER_RE = re.compile(r"^([a-zA-Z_][a-zA-Z0-9_]*)(=~|!~|!=|=)(.*)$")
+
+
+def parse_matcher(s: str):
+    from .matchers import Matcher
+
+    m = _MATCHER_RE.match(s)
+    if not m:
+        raise SystemExit(f"bad matcher {s!r} (want name=value / name!=v / name=~re / name!~re)")
+    return Matcher(m.group(2), m.group(1), m.group(3))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="tsdb_parquet_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    p_ing = sub.add_parser("ingest", help="long/wide parquet -> sorted wide layout")
+    p_ing.add_argument("src")
+    p_ing.add_argument("dest")
+    p_ing.add_argument("--files", type=int, default=None)
+
+    p_q = sub.add_parser("query", help="matcher query (scan->filter->project)")
+    p_q.add_argument("table")
+    p_q.add_argument("-m", "--matcher", action="append", default=[])
+    p_q.add_argument("--t0", type=int, default=None)
+    p_q.add_argument("--t1", type=int, default=None)
+    p_q.add_argument("--limit", type=int, default=20)
+    p_q.add_argument("--null-semantics", choices=["sql", "prometheus"], default="sql")
+    p_q.add_argument("--regroup", action="store_true", help="group rows into series")
+
+    p_i = sub.add_parser("inspect", help="Parquet footer report (hello.go:75-119 parity)")
+    p_i.add_argument("path")
+
+    p_r = sub.add_parser("rate", help="reset-aware counter increase/rate per series")
+    p_r.add_argument("table")
+    p_r.add_argument("-m", "--matcher", action="append", default=[])
+    p_r.add_argument("--labels", default=None, help="comma-separated label columns")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "inspect":  # no Spark needed — pure pyarrow footer read
+        from .metadata import format_info, inspect_parquet
+
+        print(format_info(inspect_parquet(args.path)))
+        return
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"tsdb_cli_{args.cmd}")
+
+    if args.cmd == "ingest":
+        from .timeseries import label_columns, wide_from_long
+        from .writer import write_sorted
+
+        df = spark.read.parquet(args.src)
+        if "labels" in df.columns:  # canonical long form -> widen first
+            df = wide_from_long(df)
+        write_sorted(df, args.dest, num_files=args.files)
+        n = spark.read.parquet(args.dest).count()
+        print(f"wrote {args.dest}: {n} rows, labels={label_columns(df)}")
+        return
+
+    matchers = [parse_matcher(s) for s in args.matcher]
+
+    if args.cmd == "query":
+        from .timeseries import regroup_series, select_series
+
+        df = select_series(
+            spark.read.parquet(args.table),
+            matchers=matchers,
+            t0=args.t0,
+            t1=args.t1,
+            null_semantics=args.null_semantics,
+        )
+        if args.regroup:
+            df = regroup_series(df)
+        df.show(args.limit, truncate=False)
+        print(f"({df.count()} rows)")
+        return
+
+    if args.cmd == "rate":
+        from .matchers import apply_matchers
+        from .timeseries import counter_rate
+
+        df = spark.read.parquet(args.table)
+        if matchers:
+            df = apply_matchers(df, matchers)
+        labels = args.labels.split(",") if args.labels else None
+        out = counter_rate(df, labels)
+        out.orderBy(*out.columns[:-3]).show(50, truncate=False)
+        return
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
