@@ -1,0 +1,87 @@
+"""Secondary sources (CSV/JSON round-trip), bucketed co-located joins
+(no-Exchange plan assertion), PromQL selector parsing, counter-rate
+semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.matchers import Matcher, parse_selector
+from tsdb_parquet_spark.sources import read_csv, read_jsonl, write_bucketed
+from tsdb_parquet_spark.timeseries import counter_rate
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double")
+    p = str(tmp_path / "csv")
+    df.write.option("header", "true").csv(p)
+    back = read_csv(spark, p, schema="id long, s string, v double")
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "a", 1.5), (2, "b", 2.5)]
+
+
+def test_jsonl_roundtrip_and_corrupt_tolerance(spark, tmp_path):
+    p = tmp_path / "data.jsonl"
+    p.write_text('{"id": 1, "s": "a"}\n{"id": 2, "s": "b"}\nnot json at all\n')
+    out = read_jsonl(
+        spark, str(p), schema="id long, s string, _corrupt_record string"
+    )
+    rows = out.collect()
+    good = [(r["id"], r["s"]) for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert sorted(good) == [(1, "a"), (2, "b")]
+    assert len(bad) == 1  # corrupt line captured, job not failed
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+        b = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+        write_bucketed(a, "bucket_a", "k", num_buckets=4, sort_col="k")
+        write_bucketed(b, "bucket_b", "k", num_buckets=4, sort_col="k")
+        j = spark.table("bucket_a").join(spark.table("bucket_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # co-located: SortMergeJoin with NO Exchange on either side
+        assert "Exchange" not in plan, plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bucket_a")
+        spark.sql("DROP TABLE IF EXISTS bucket_b")
+
+
+def test_parse_selector_full():
+    ms = parse_selector('up{instance="localhost:9090",job=~"prom.*",code!="500"}')
+    assert ms == [
+        Matcher("=", "name", "up"),
+        Matcher("=", "instance", "localhost:9090"),
+        Matcher("=~", "job", "prom.*"),
+        Matcher("!=", "code", "500"),
+    ]
+
+
+def test_parse_selector_bare_metric_and_block():
+    assert parse_selector("go_goroutines") == [Matcher("=", "name", "go_goroutines")]
+    assert parse_selector('{handler!~"/api/.*"}') == [Matcher("!~", "handler", "/api/.*")]
+
+
+def test_parse_selector_escapes_and_errors():
+    ms = parse_selector(r'{path="a\"b"}')
+    assert ms == [Matcher("=", "path", 'a"b')]
+    with pytest.raises(ValueError):
+        parse_selector('up{bad')
+    with pytest.raises(ValueError):
+        parse_selector('1up')
+
+
+def test_counter_rate_reset_handling(spark):
+    # one series: 0 -> 10 -> 3 (reset) -> 8; increase = 10 + 3 + 5 = 18
+    rows = [
+        (0, 0.0, "m"), (1000, 10.0, "m"), (2000, 3.0, "m"), (3000, 8.0, "m"),
+    ]
+    df = spark.createDataFrame(rows, "time long, value double, label_name string")
+    out = counter_rate(df, ["label_name"]).collect()[0]
+    assert out["increase"] == 18.0
+    assert out["rate"] == 6.0  # 18 over 3 s
+    assert out["n_samples"] == 4

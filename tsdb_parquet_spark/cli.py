@@ -46,6 +46,10 @@ def main(argv: list[str] | None = None) -> None:
     p_q = sub.add_parser("query", help="matcher query (scan->filter->project)")
     p_q.add_argument("table")
     p_q.add_argument("-m", "--matcher", action="append", default=[])
+    p_q.add_argument(
+        "-s", "--selector", default=None,
+        help='PromQL selector, e.g. \'up{instance="localhost:9090"}\'',
+    )
     p_q.add_argument("--t0", type=int, default=None)
     p_q.add_argument("--t1", type=int, default=None)
     p_q.add_argument("--limit", type=int, default=20)
@@ -85,6 +89,10 @@ def main(argv: list[str] | None = None) -> None:
         return
 
     matchers = [parse_matcher(s) for s in args.matcher]
+    if getattr(args, "selector", None):
+        from .matchers import parse_selector
+
+        matchers.extend(parse_selector(args.selector))
 
     if args.cmd == "query":
         from .timeseries import regroup_series, select_series

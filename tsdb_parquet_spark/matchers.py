@@ -30,6 +30,7 @@ Semantics notes (SURVEY.md §2.1 R10-R12):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import Callable, Literal
 
@@ -47,6 +48,51 @@ class Matcher:
     op: MatchType
     name: str
     value: str
+
+
+_SELECTOR_RE = re.compile(
+    r'\s*([a-zA-Z_][a-zA-Z0-9_]*)\s*(=~|!~|!=|=)\s*"((?:[^"\\]|\\.)*)"\s*'
+)
+
+
+def parse_selector(selector: str, metric_label: str = "name") -> list[Matcher]:
+    """Parse a PromQL-style instant-vector selector into matchers — the
+    query-language frontend seed the reference stops short of (its stated
+    end goal is a PromQL engine, ``README.md:9``; its matchers are
+    hand-built at ``hello.go:517``).
+
+    Accepts ``metric{name="v",n2=~"re"}``, bare ``metric``, or a bare
+    ``{...}`` matcher block.  The metric name desugars to an equality
+    matcher on ``metric_label`` (Prometheus's ``__name__``; this engine's
+    fixture stores it as the ``name`` label, hence the default).
+    """
+    s = selector.strip()
+    out: list[Matcher] = []
+    brace = s.find("{")
+    if brace == -1:
+        metric, body = s, ""
+    else:
+        metric, body = s[:brace].strip(), s[brace + 1 :].rstrip()
+        if not body.endswith("}"):
+            raise ValueError(f"unterminated matcher block in {selector!r}")
+        body = body[:-1]
+    if metric:
+        if not re.fullmatch(r"[a-zA-Z_:][a-zA-Z0-9_:]*", metric):
+            raise ValueError(f"bad metric name {metric!r}")
+        out.append(Matcher("=", metric_label, metric))
+    pos = 0
+    while pos < len(body):
+        m = _SELECTOR_RE.match(body, pos)
+        if not m:
+            raise ValueError(f"bad matcher at {body[pos:]!r}")
+        value = m.group(3).encode().decode("unicode_escape")
+        out.append(Matcher(m.group(2), m.group(1), value))  # type: ignore[arg-type]
+        pos = m.end()
+        if pos < len(body):
+            if body[pos] != ",":
+                raise ValueError(f"expected ',' at {body[pos:]!r}")
+            pos += 1
+    return out
 
 
 def wide_label_col(name: str) -> Column:
