@@ -97,3 +97,35 @@ def test_stream_dedup_drops_watermark_duplicates(spark, events_path):
     out = spark.table("dedup_t")
     assert out.count() == 80  # 82 rows in, 2 duplicates dropped
     assert out.select("event_id").distinct().count() == 80
+
+
+def test_stateful_running_totals_matches_batch(spark, events_path):
+    from tsdb_parquet_spark.streaming.stateful import running_totals
+
+    stream_df = read_events_stream(spark, events_path)
+    q = (
+        running_totals(stream_df, key_col="user_id", value_col="value")
+        .writeStream.format("memory")
+        .queryName("totals_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode appends one row per (key, batch); the final state per key
+    # is the row with the max running count
+    got = {
+        r["key"]: (r["n"], round(r["sv"], 6))
+        for r in spark.sql(
+            "SELECT key, n, sv FROM totals_t t WHERE n = "
+            "(SELECT MAX(n) FROM totals_t WHERE key = t.key)"
+        ).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], round(r["sv"], 6))
+        for r in spark.read.parquet(events_path)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    assert got == batch

@@ -204,6 +204,42 @@ def counter_rate(
     )
 
 
+def downsample(
+    df: DataFrame,
+    step_ms: int,
+    labels: list[str] | None = None,
+) -> DataFrame:
+    """Time-bucket downsampling per series: bucket = floor(time/step), with
+    count/avg/min/max/last per (series, bucket) — the hypertable-rollup /
+    continuous-aggregate shape, all built-ins.
+
+    ``last`` is the sample with the max time in the bucket, computed via
+    ``max_by`` (no window, stays inside the single hash aggregate).  One
+    shuffle on (labels, bucket); partial aggregation map-side.  At 100 TB
+    this is the materialized-rollup write path: compute once per step,
+    store sorted by (bucket, labels) with writer.write_sorted.
+    """
+    labels = labels or label_columns(df)
+    bucket = (F.col(TIME_COL) / F.lit(step_ms)).cast("bigint").alias("bucket")
+    return (
+        df.groupBy(*labels, bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal-before-sum (D2): the sum is exact and
+            # order-independent, so sum/count is a deterministic double —
+            # no rounding needed (and cross-engine ROUND(double) is itself
+            # a portability hazard at .5 boundaries)
+            (
+                F.sum(F.col(VALUE_COL).cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_v"),
+            F.min(VALUE_COL).alias("min_v"),
+            F.max(VALUE_COL).alias("max_v"),
+            F.max_by(VALUE_COL, F.col(TIME_COL)).alias("last_v"),
+        )
+    )
+
+
 def table_meta(df: DataFrame) -> DataFrame:
     """Row-count + time-span summary (the oracle-checkable half of the
     reference's metadata inspection, R22/Q8; per-row-group footer details
