@@ -85,3 +85,25 @@ def test_counter_rate_reset_handling(spark):
     assert out["increase"] == 18.0
     assert out["rate"] == 6.0  # 18 over 3 s
     assert out["n_samples"] == 4
+
+
+def test_udtf_parse_promql(spark):
+    from tsdb_parquet_spark.functions import register_udtfs
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT * FROM parse_promql('up{instance=\"localhost:9090\",code!~\"5..\"}')"
+    ).collect()
+    assert [(r["name"], r["op"], r["value"]) for r in rows] == [
+        ("name", "=", "up"),
+        ("instance", "=", "localhost:9090"),
+        ("code", "!~", "5.."),
+    ]
+
+
+def test_bpe_ish_tokens(spark):
+    from tsdb_parquet_spark.llm.text import bpe_ish_tokens
+
+    df = spark.createDataFrame([("abc123, def!",)], "text string")
+    toks = df.select(bpe_ish_tokens("text").alias("t")).collect()[0]["t"]
+    assert toks == ["abc", "123", ",", "def", "!"]

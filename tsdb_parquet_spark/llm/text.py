@@ -38,7 +38,8 @@ def bpe_ish_tokens(text_col: Column | str) -> Column:
     approximates subword pre-tokenization for token counting."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.filter(
-        F.split(F.regexp_replace(c, r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])", "$1"), ""),
+        F.split(F.regexp_replace(c, r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])", "$1\u0001"),
+                "[\\s\u0001]+"),
         lambda w: F.trim(w) != "",
     )
 
