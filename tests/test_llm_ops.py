@@ -157,3 +157,36 @@ def test_embedding_neardup_finds_planted_pair(spark):
     out = llm.embedding_neardup_pairs(df, threshold=0.95, num_planes=4)
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (3, 9) in pairs
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    # SURVEY §7.1 M3 exit: LSH recall measured against exact Jaccard.
+    # corpus: 30 base docs, 10 planted near-dups (small token edits)
+    import itertools
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    base = [
+        (i, " ".join(words[(i + j) % 8] for j in range(30)))
+        for i in range(30)
+    ]
+    planted = [
+        (100 + i, base[i][1].replace("alpha", "alpha2", 1)) for i in range(10)
+    ]
+    docs = spark.createDataFrame(base + planted, "doc_id long, text string")
+
+    sh = {r["doc_id"]: set() for r in docs.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for d, t in texts.items():
+        sh[d] = {t[k : k + 5] for k in range(len(t) - 4)}
+    exact_pairs = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(texts), 2)
+        if len(sh[a] & sh[b]) / len(sh[a] | sh[b]) >= 0.8
+    }
+    assert len(exact_pairs) >= 10  # the planted pairs are above threshold
+
+    sigs = llm.minhash_signatures(docs, num_hashes=64, shingle_n=5)
+    cand = llm.minhash_lsh_candidates(sigs, bands=16)
+    got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    recall = len(exact_pairs & got) / len(exact_pairs)
+    assert recall >= 0.9, f"LSH recall {recall} over {len(exact_pairs)} true pairs"

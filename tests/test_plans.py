@@ -1,0 +1,96 @@
+"""Physical-plan regression guards: the scale story (SCALE.md) depends on
+specific plan shapes — pushdown reaching the scan, dims broadcasting,
+top-k avoiding global sorts, the as-of join staying a single window.
+These assertions fail loudly if a refactor silently degrades a plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def entry(spark):
+    import __spark_entry__ as m
+
+    # default metadata rendering truncates PushedFilters at 100 chars
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    return m
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q02_matchers_pushed_to_scan(entry, spark):
+    df = entry.q02_eq_matchers_time_range(spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    pushed = plan[plan.index("PushedFilters") :].split("]")[0]
+    for frag in ("GreaterThan(time", "LessThan(time", "EqualTo(label_name,up"):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+    assert "Exchange" not in plan  # pure scan->filter->project, no shuffle
+
+
+def test_q02_scan_prunes_columns(entry, spark):
+    plan = plan_of(entry.q02_eq_matchers_time_range(spark, SF))
+    read = plan[plan.index("ReadSchema") :].split("\n")[0]
+    assert "label_handler" not in read and "label_code" not in read
+
+
+def test_q09_dims_broadcast_fact_not_shuffled_before_agg(entry, spark):
+    plan = plan_of(entry.q09_join_agg(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # lineitem scan reads only the 3 needed columns
+    assert "l_extendedprice" in plan and "l_shipdate" not in plan
+
+
+def test_q14_interval_join_is_not_cartesian(entry, spark):
+    plan = plan_of(entry.q14_interval_self_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_topk_is_take_ordered(entry, spark):
+    plan = plan_of(entry.q20_global_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # no global sort shuffle for top-k
+
+
+def test_q30_asof_single_exchange(entry, spark):
+    # union-tag-window as-of: exactly one shuffle (the window partition)
+    # before the final presentation sort
+    df = entry.q30_asof_join(spark, SF)
+    plan = plan_of(df)
+    body = plan.split("TakeOrdered")[0]
+    n_exchanges = body.count("Exchange")
+    # one for the window; the trailing orderBy adds one range exchange
+    assert n_exchanges <= 2, plan
+    assert "Join" not in body  # no join node at all
+
+
+def test_q26_cosine_no_join_no_exchange_before_topk(entry, spark):
+    df = entry.q26_cosine_topk(spark, SF)
+    plan = plan_of(df)
+    assert "Join" not in plan  # query vector is a literal, not a join side
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filter_pushdown_through_long_form(spark):
+    # predicates on wide columns still push after select_series projection
+    from tsdb_parquet_spark.matchers import Matcher
+    from tsdb_parquet_spark.tables import load_table
+    from tsdb_parquet_spark.timeseries import select_series
+
+    tsdb = load_table(spark, SF, "tsdb")
+    df = select_series(tsdb, [Matcher("=", "job", "prometheus")], t0=0)
+    plan = plan_of(df)
+    assert "EqualTo(label_job,prometheus)" in plan
