@@ -190,3 +190,35 @@ def test_minhash_lsh_recall_vs_exact(spark):
     got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
     recall = len(exact_pairs & got) / len(exact_pairs)
     assert recall >= 0.9, f"LSH recall {recall} over {len(exact_pairs)} true pairs"
+
+
+def test_multimodal_resize_and_features(spark, docs):
+    from tsdb_parquet_spark.llm.multimodal import extract_features, resize_images
+
+    table = llm.make_multimodal_table(spark, docs.filter("text <> ''"))
+    resized = {r["item_id"]: r for r in resize_images(table, max_dim=64).collect()}
+    assert all(max(r["width"], r["height"]) <= 64 for r in resized.values())
+
+    feats = {r["item_id"]: r["embedding"] for r in extract_features(table, dim=8).collect()}
+    assert all(len(v) == 8 for v in feats.values())
+    assert feats[0] == feats[1]          # identical payloads -> identical features
+    assert feats[0] != feats[3]
+    # pseudo-embeddings flow into the real similarity operator
+    emb_df = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in feats.items()],
+        "vec_id long, embedding array<float>",
+    )
+    top = llm.cosine_topk_exact(emb_df, feats[0], k=1, exclude_ids=[0]).collect()
+    assert top[0]["vec_id"] == 1 and top[0]["sim"] == 1.0
+
+
+def test_query_selector_end_to_end(spark):
+    from tsdb_parquet_spark.tables import load_table
+    from tsdb_parquet_spark.timeseries import query_selector
+
+    tsdb = load_table(spark, "/root/testdata/sf0.001", "tsdb")
+    out = query_selector(
+        tsdb, 'up{instance="localhost:9090",job="prometheus"}',
+        t0=1679383000000, t1=1679385000000,
+    )
+    assert out.count() == 134  # same result as q02 (the hello.go query)

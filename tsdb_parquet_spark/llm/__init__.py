@@ -33,7 +33,13 @@ from .text import (
     tokenize_counts,
     tokens_col,
 )
-from .multimodal import decode_images, frame_sample_plan, make_multimodal_table
+from .multimodal import (
+    decode_images,
+    extract_features,
+    frame_sample_plan,
+    make_multimodal_table,
+    resize_images,
+)
 
 __all__ = [
     "exact_dedup",
@@ -56,6 +62,8 @@ __all__ = [
     "language_id",
     "doc_fingerprint",
     "decode_images",
+    "resize_images",
+    "extract_features",
     "frame_sample_plan",
     "make_multimodal_table",
 ]

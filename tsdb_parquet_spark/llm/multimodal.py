@@ -117,6 +117,69 @@ def decode_images(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.select("item_id", "content").mapInPandas(_decode, schema=_DECODED_SCHEMA)
 
 
+def resize_images(df: DataFrame, max_dim: int = 256, fake: bool = True) -> DataFrame:
+    """Resize payloads to fit ``max_dim`` (aspect-preserving).  Fake mode
+    recomputes target dimensions from the decode stub's fake dims and
+    passes bytes through; ``fake=False`` is where PIL's ``thumbnail``
+    would run.  Same Arrow-batched mapInPandas plumbing as decode."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL/libvips — not in this container"
+                )
+            out_w, out_h, content = [], [], []
+            for b in pdf["content"]:
+                bb = bytes(b)
+                w = (hash(bb) & 0x7FF) + 1
+                h = ((hash(bb) >> 11) & 0x7FF) + 1
+                scale = min(1.0, max_dim / max(w, h))
+                out_w.append(max(1, int(w * scale)))
+                out_h.append(max(1, int(h * scale)))
+                content.append(bb)  # fake: bytes unchanged
+            yield pd.DataFrame(
+                {"item_id": pdf["item_id"], "content": content,
+                 "width": out_w, "height": out_h}
+            )
+
+    return df.select("item_id", "content").mapInPandas(
+        _resize, schema="item_id bigint, content binary, width int, height int"
+    )
+
+
+def extract_features(df: DataFrame, dim: int = 16, fake: bool = True) -> DataFrame:
+    """Feature-extract payloads into a ``dim``-length float vector — the
+    embedding hop of a multimodal pipeline.  Fake mode derives a
+    deterministic pseudo-embedding from a rolling byte hash so downstream
+    similarity plumbing (llm/similarity.py) is exercisable end-to-end;
+    ``fake=False`` is where a vision model would run (batch inference per
+    Arrow batch — exactly this mapInPandas shape, which is why the stub
+    keeps it)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real feature extraction requires a vision model — not in this container"
+                )
+            feats = []
+            for b in pdf["content"]:
+                bb = bytes(b)
+                h = 1469598103934665603  # FNV-1a rolling over bytes
+                vec = []
+                for i in range(dim):
+                    for byte in bb[i::dim] or b"\x00":
+                        h = ((h ^ byte) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+                    vec.append(((h >> 11) % 2_000_001 - 1_000_000) / 1_000_000.0)
+                feats.append(vec)
+            yield pd.DataFrame({"item_id": pdf["item_id"], "embedding": feats})
+
+    return df.select("item_id", "content").mapInPandas(
+        _extract, schema="item_id bigint, embedding array<double>"
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expands each video row into frame
     timestamps (0, every_ms, ...) without decoding — the real decode of each

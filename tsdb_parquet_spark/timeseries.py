@@ -100,6 +100,24 @@ def select_series(
     return out.select(TIME_COL, VALUE_COL, *labels)
 
 
+def query_selector(
+    df: DataFrame,
+    selector: str,
+    t0: int | None = None,
+    t1: int | None = None,
+    null_semantics: NullSemantics = "sql",
+) -> DataFrame:
+    """One-call PromQL-selector query: ``query_selector(tsdb,
+    'up{job="prometheus"}', t0, t1)`` — parse the selector
+    (matchers.parse_selector), compile to pushdown-able predicates, and
+    run the scan→filter→project pipeline."""
+    from .matchers import parse_selector
+
+    return select_series(
+        df, parse_selector(selector), t0=t0, t1=t1, null_semantics=null_semantics
+    )
+
+
 def regroup_series(df: DataFrame, labels: list[str] | None = None) -> DataFrame:
     """Rows → one row per series with time-sorted samples.
 
