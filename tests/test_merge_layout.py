@@ -97,3 +97,35 @@ def test_inspect_parquet_single_file(spark):
     by_min = sorted(ranges)
     for (lo1, hi1), (lo2, hi2) in zip(by_min, by_min[1:]):
         assert hi1 <= lo2
+
+
+def test_operators_on_empty_input(spark):
+    # every core operator must return a well-formed empty result, not throw
+    from tsdb_parquet_spark.timeseries import (
+        counter_rate,
+        downsample,
+        regroup_series_stats,
+        select_series,
+        table_meta,
+    )
+    from tsdb_parquet_spark.matchers import Matcher
+
+    empty = spark.createDataFrame(
+        [], "time long, value double, label_name string"
+    )
+    assert select_series(empty, [Matcher("=", "name", "x")], t0=0, t1=1).count() == 0
+    assert regroup_series_stats(empty).count() == 0
+    assert counter_rate(empty).count() == 0
+    assert downsample(empty, 1000).count() == 0
+    meta = table_meta(empty).collect()[0]
+    assert meta["n"] == 0 and meta["t0"] is None and meta["t1"] is None
+
+
+def test_counter_rate_single_sample_has_null_rate(spark):
+    df = spark.createDataFrame(
+        [(1000, 5.0, "m")], "time long, value double, label_name string"
+    )
+    from tsdb_parquet_spark.timeseries import counter_rate
+
+    r = counter_rate(df, ["label_name"]).collect()[0]
+    assert r["increase"] == 0.0 and r["rate"] is None  # zero span -> no rate
