@@ -53,7 +53,21 @@ def main() -> None:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    bench_set = {name: fn for name, fn in queries.items() if name in oracles}
+    # Headline set: the data-path queries (scans, joins, aggs, windows,
+    # time-series and LLM ops).  Breadth/function-coverage queries
+    # (q2x/q4x scalar suites etc.) stay correctness-only: at bench scale
+    # they measure Spark's fixed per-job floor, not the engine.
+    headline = [
+        "q01_scan_project", "q02_eq_matchers_time_range", "q06_series_regroup",
+        "q07_sorted_merge", "q09_join_agg", "q10_left_outer_join",
+        "q14_interval_self_join", "q15_multi_agg", "q16_count_distinct",
+        "q18_topk_per_group", "q19_lag_moving_avg", "q20_global_topk",
+        "q22_scalar_functions", "q24_exact_dedup", "q25_tokenize_counts",
+        "q26_cosine_topk", "q27_tumbling_window", "q28_session_windows",
+        "q30_asof_join", "q34_wide_long_roundtrip", "q35_counter_rate",
+        "q37_downsample", "q39_promql_rate_window", "q42_sliding_window",
+    ]
+    bench_set = {name: queries[name] for name in headline if name in oracles}
 
     per_query: dict[str, float] = {}
     total = 0.0
