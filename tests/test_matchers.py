@@ -89,3 +89,32 @@ def test_conjunction(tsdb_mini):
         [Matcher("=", "name", "latency"), Matcher("=", "instance", "a:9090")],
     )
     assert times(out) == [2000, 3000]
+
+
+def test_eq_neq_complementarity_property(spark):
+    # SURVEY §5.2 item 5: on a non-null domain, eq and neq partition the
+    # rows exactly (3VL and prometheus agree when no NULLs exist)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    values = ["a", "b", "c", ""]
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.sampled_from(values), min_size=1, max_size=12),
+           st.sampled_from(values))
+    def prop(labels, target):
+        df = spark.createDataFrame(
+            [(i, 0.0, v) for i, v in enumerate(labels)],
+            "time long, value double, label_q string",
+        )
+        def n(op, sem):
+            return apply_matchers(
+                df, [Matcher(op, "q", target)],
+                label_col=lambda name: df["label_q"],
+                null_semantics=sem,
+            ).count()
+        assert n("=", "sql") + n("!=", "sql") == len(labels)
+        assert n("=", "prometheus") + n("!=", "prometheus") == len(labels)
+        assert n("=", "sql") == sum(1 for v in labels if v == target)
+
+    prop()

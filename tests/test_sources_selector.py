@@ -107,3 +107,19 @@ def test_bpe_ish_tokens(spark):
     df = spark.createDataFrame([("abc123, def!",)], "text string")
     toks = df.select(bpe_ish_tokens("text").alias("t")).collect()[0]["t"]
     assert toks == ["abc", "123", ",", "def", "!"]
+
+
+def test_pandas_udaf_geometric_mean(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.functions import geometric_mean_udaf
+
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 8.0), ("b", 3.0), ("b", 0.0)], "k string, v double"
+    )
+    out = {r["k"]: r["gm"] for r in
+           df.groupBy("k").agg(geometric_mean_udaf("v").alias("gm")).collect()}
+    assert out["a"] == pytest.approx(4.0)       # sqrt(2*8)
+    assert out["b"] == pytest.approx(3.0)       # zero filtered out

@@ -13,3 +13,7 @@ functions) and the registration helper.
 from .udtf import ParseSelector, register_udtfs
 
 __all__ = ["ParseSelector", "register_udtfs"]
+
+from .udaf import geometric_mean_udaf  # noqa: E402
+
+__all__.append("geometric_mean_udaf")
