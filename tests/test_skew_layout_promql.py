@@ -89,3 +89,44 @@ def test_rate_reset_aware_per_window(spark):
     # window 1: cross-window delta (20->30) excluded; reset contributes 5;
     # then +10 => increase 15 over 40 s
     assert out[1] == (15.0, 0.375)
+
+
+def test_promql_aggregate_by_and_binary_op(spark):
+    from tsdb_parquet_spark.promql import aggregate_by, binary_op
+
+    rows = [
+        (1000, 2.0, "h1", "200"), (1000, 6.0, "h1", "500"),
+        (1000, 3.0, "h2", "200"), (2000, 4.0, "h1", "200"),
+    ]
+    df = spark.createDataFrame(
+        rows, "time long, value double, label_handler string, label_code string"
+    )
+    s = {(r["time"], r["label_handler"]): r["sum"] for r in
+         aggregate_by(df, "sum", ["label_handler"]).collect()}
+    assert s == {(1000, "h1"): 8.0, (1000, "h2"): 3.0, (2000, "h1"): 4.0}
+
+    shares = binary_op(df, aggregate_by(df, "sum", ["label_handler"]), "/",
+                       on=["label_handler"], right_value="sum", result="share")
+    got = sorted(round(r["share"], 4) for r in shares.collect())
+    assert got == [0.25, 0.75, 1.0, 1.0]
+
+
+def test_ingest_increment_idempotent(spark, tmp_path):
+    from tsdb_parquet_spark.writer import ingest_increment
+
+    p = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(t, float(t), "m") for t in range(100)],
+        "time long, value double, label_name string",
+    )
+    assert ingest_increment(spark, base, p) == 100
+    # overlapping batch: 50 dups + 50 new
+    nxt = spark.createDataFrame(
+        [(t, float(t), "m") for t in range(50, 150)],
+        "time long, value double, label_name string",
+    )
+    assert ingest_increment(spark, nxt, p) == 50
+    assert spark.read.parquet(p).count() == 150
+    # full replay appends nothing
+    assert ingest_increment(spark, nxt, p) == 0
+    assert spark.read.parquet(p).count() == 150

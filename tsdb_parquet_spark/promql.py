@@ -65,6 +65,66 @@ def delta(
     )
 
 
+def aggregate_by(
+    df: DataFrame,
+    op: str,
+    by: list[str],
+    value_col: str = VALUE_COL,
+) -> DataFrame:
+    """PromQL aggregation operators — ``sum/avg/min/max/count by (labels)``
+    at each instant: group by (time, kept labels), collapse everything
+    else.  One shuffle on (time, by); partial aggregation map-side.
+
+    ``sum by (handler) (prometheus_http_requests_total)`` becomes
+    ``aggregate_by(df, "sum", ["label_handler"])``.
+    """
+    v = F.col(value_col)
+    exprs = {
+        "sum": F.sum(v.cast("decimal(28,6)")).cast("double"),
+        "avg": (F.sum(v.cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))),
+        "min": F.min(v),
+        "max": F.max(v),
+        "count": F.count(F.lit(1)).cast("double"),
+    }
+    if op not in exprs:
+        raise ValueError(f"unsupported aggregation operator {op!r}")
+    return df.groupBy(TIME_COL, *by).agg(exprs[op].alias(op))
+
+
+_BINOPS = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: F.when(b != 0, a / b),
+}
+
+
+def binary_op(
+    left: DataFrame,
+    right: DataFrame,
+    op: str,
+    on: list[str],
+    left_value: str = VALUE_COL,
+    right_value: str = VALUE_COL,
+    result: str = "value",
+) -> DataFrame:
+    """PromQL vector binary operation with explicit matching labels
+    (``on (labels)``): inner-join the two instant vectors on (time,
+    matching labels), apply the arithmetic.  Division by zero yields NULL
+    (Prometheus drops the sample).  One shuffle per side on the join key —
+    at scale pre-partition both selector outputs identically and the join
+    co-locates."""
+    if op not in _BINOPS:
+        raise ValueError(f"unsupported binary operator {op!r}")
+    keys = [TIME_COL, *on]
+    l = left.select(*keys, F.col(left_value).alias("_lv"))
+    r = right.select(*keys, F.col(right_value).alias("_rv"))
+    return (
+        l.join(r, keys)
+        .select(*keys, _BINOPS[op](F.col("_lv"), F.col("_rv")).alias(result))
+    )
+
+
 def rate(
     df: DataFrame,
     window_ms: int,

@@ -64,6 +64,51 @@ def write_sorted(
     writer.parquet(path)
 
 
+def ingest_increment(
+    spark,
+    new_df: DataFrame,
+    path: str,
+    key_cols: list[str] | None = None,
+) -> int:
+    """Idempotent incremental ingest: append only rows whose fingerprint
+    (xxhash64 over ``key_cols``, default: all columns) is absent from the
+    existing table — the at-least-once-safe batch ingest pattern (the
+    streaming twin is ``streaming.stream_dedup``).
+
+    Scale: the anti-join key is an 8-byte hash, so the shuffle carries
+    (hash) pairs, not rows; the existing side is pre-projected to the
+    hash column only.  At 100 TB, additionally restrict the existing-side
+    scan to the time range of the new batch (partition pruning makes the
+    anti-join read only overlapping partitions).
+
+    Returns the number of rows appended.
+    """
+    import os
+
+    cols = key_cols or new_df.columns
+    fp = F.xxhash64(*cols)
+    if not os.path.exists(path):
+        write_sorted(new_df, path)
+        return new_df.count()
+    existing = spark.read.parquet(path)
+    # prune the existing side to the new batch's time range before hashing
+    t = new_df.agg(F.min(TIME_COL), F.max(TIME_COL)).collect()[0]
+    if t[0] is not None:
+        existing = existing.filter(
+            (F.col(TIME_COL) >= t[0]) & (F.col(TIME_COL) <= t[1])
+        )
+    seen = existing.select(F.xxhash64(*cols).alias("_fp")).distinct()
+    novel = (
+        new_df.withColumn("_fp", fp)
+        .join(seen, "_fp", "left_anti")
+        .drop("_fp")
+    )
+    n = novel.count()
+    if n:
+        write_sorted(novel, path, mode="append")
+    return n
+
+
 def with_time_bucket(df: DataFrame, granularity: str = "dt") -> DataFrame:
     """Add a coarse time-bucket column (UTC date string from epoch-ms
     ``time``) for directory partitioning at scale."""
