@@ -65,6 +65,47 @@ def delta(
     )
 
 
+def instant_vector(
+    df: DataFrame,
+    at_ms: int,
+    labels: list[str] | None = None,
+    staleness_ms: int = 300_000,
+) -> DataFrame:
+    """PromQL instant-vector evaluation: per series, the most recent sample
+    at or before ``at_ms``, but only if it is within the staleness window
+    (Prometheus marks a series stale after 5 minutes without a sample).
+
+    Plan: time-range filter (pushed to the scan — on the sorted layout
+    this touches only the row groups covering the staleness window, NOT
+    all history) → one hash aggregate with ``max_by``.  This is the
+    evaluation primitive under every PromQL instant query.
+    """
+    labels = labels if labels is not None else label_columns(df)
+    windowed = df.filter(
+        (F.col(TIME_COL) <= at_ms) & (F.col(TIME_COL) > at_ms - staleness_ms)
+    )
+    return windowed.groupBy(*labels).agg(
+        F.max(TIME_COL).alias("sample_time"),
+        F.max_by(VALUE_COL, F.col(TIME_COL)).alias(VALUE_COL),
+    )
+
+
+def topk_series(
+    df: DataFrame,
+    k: int,
+    at_ms: int,
+    labels: list[str] | None = None,
+    staleness_ms: int = 300_000,
+) -> DataFrame:
+    """PromQL ``topk(k, v)`` at an instant: evaluate the instant vector,
+    keep the k series with the largest values (ties broken by labels for
+    determinism, D1).  Plans as instant_vector → TakeOrderedAndProject."""
+    labels = labels if labels is not None else label_columns(df)
+    iv = instant_vector(df, at_ms, labels, staleness_ms)
+    order = [F.desc(VALUE_COL)] + [F.asc_nulls_first(c) for c in labels]
+    return iv.orderBy(*order).limit(k)
+
+
 def aggregate_by(
     df: DataFrame,
     op: str,
