@@ -84,6 +84,18 @@ def test_write_sorted_row_groups_monotone(spark, tmp_path):
     info = inspect_parquet(out)
     assert info.num_rows == 50000
 
+    # Encoding parity with the reference's time column (hello.go:131-138):
+    # with parquet.writer.version=v2 (session.py), the monotone int64 time
+    # column must carry DELTA_BINARY_PACKED.  50k distinct values also
+    # overflow the dictionary, so this asserts the real fallback encoding,
+    # not a dictionary page.
+    time_encodings = set()
+    for g in info.row_groups:
+        for c in g.columns:
+            if c.column == "time":
+                time_encodings.update(c.encodings)
+    assert "DELTA_BINARY_PACKED" in time_encodings, time_encodings
+
 
 def test_inspect_parquet_single_file(spark):
     # works against the committed fixture file (single-file path)

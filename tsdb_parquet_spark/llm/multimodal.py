@@ -27,6 +27,7 @@ shuffle.
 
 from __future__ import annotations
 
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -107,8 +108,11 @@ def decode_images(df: DataFrame, fake: bool = True) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "item_id": pdf["item_id"],
-                    "width": [(hash(bytes(b)) & 0x7FF) + 1 for b in contents],
-                    "height": [((hash(bytes(b)) >> 11) & 0x7FF) + 1 for b in contents],
+                    # zlib.crc32, not hash(): builtin hash is SipHash salted
+                    # by PYTHONHASHSEED — seed-independent digest makes the
+                    # fake structurally deterministic across environments
+                    "width": [(zlib.crc32(bytes(b)) & 0x7FF) + 1 for b in contents],
+                    "height": [((zlib.crc32(bytes(b)) >> 11) & 0x7FF) + 1 for b in contents],
                     "n_bytes": [len(b) for b in contents],
                     "checksum": [int(sum(bytes(b)) & 0x7FFFFFFF) for b in contents],
                 }
@@ -132,8 +136,8 @@ def resize_images(df: DataFrame, max_dim: int = 256, fake: bool = True) -> DataF
             out_w, out_h, content = [], [], []
             for b in pdf["content"]:
                 bb = bytes(b)
-                w = (hash(bb) & 0x7FF) + 1
-                h = ((hash(bb) >> 11) & 0x7FF) + 1
+                w = (zlib.crc32(bb) & 0x7FF) + 1
+                h = ((zlib.crc32(bb) >> 11) & 0x7FF) + 1
                 scale = min(1.0, max_dim / max(w, h))
                 out_w.append(max(1, int(w * scale)))
                 out_h.append(max(1, int(h * scale)))

@@ -55,6 +55,22 @@ _SELECTOR_RE = re.compile(
 )
 
 
+_ESCAPES = {"\\": "\\", '"': '"', "n": "\n", "t": "\t", "r": "\r"}
+
+
+def _unescape(s: str) -> str:
+    """Decode PromQL string escapes (``\\\\ \\" \\n \\t \\r``) on an
+    already-unicode string.  NOT ``unicode_escape`` — that round-trips
+    through latin-1 and mangles non-ASCII label values (``café`` →
+    ``cafÃ©``), silently matching nothing.  Unknown escapes pass through
+    verbatim (Prometheus raises; lenient pass-through keeps the previous
+    permissive behavior for e.g. regex ``\\d`` typed in a quoted value).
+    """
+    return re.sub(
+        r"\\(.)", lambda m: _ESCAPES.get(m.group(1), "\\" + m.group(1)), s
+    )
+
+
 def parse_selector(selector: str, metric_label: str = "name") -> list[Matcher]:
     """Parse a PromQL-style instant-vector selector into matchers — the
     query-language frontend seed the reference stops short of (its stated
@@ -85,7 +101,7 @@ def parse_selector(selector: str, metric_label: str = "name") -> list[Matcher]:
         m = _SELECTOR_RE.match(body, pos)
         if not m:
             raise ValueError(f"bad matcher at {body[pos:]!r}")
-        value = m.group(3).encode().decode("unicode_escape")
+        value = _unescape(m.group(3))
         out.append(Matcher(m.group(2), m.group(1), value))  # type: ignore[arg-type]
         pos = m.end()
         if pos < len(body):

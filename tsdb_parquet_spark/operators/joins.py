@@ -63,9 +63,13 @@ def asof_join(
 
     Implementation: union-tag-window.  Tag right rows 0 / left rows 1,
     sort within each key by (ts, tag) — right-before-left on ties makes the
-    join inclusive — and carry the right value forward with
+    join inclusive — and carry the *matched right row* forward with
     ``last(ignorenulls)`` over an unbounded-preceding frame, then keep the
-    left rows.
+    left rows.  The carried payload is a struct (non-null for every right
+    row, null for left rows), so a matched right row whose VALUE is NULL
+    still wins the carry and the join returns that NULL — matching DuckDB
+    ASOF semantics — instead of skipping back to an older non-null value
+    (round-3 advisor finding).
 
     Scale notes: ONE shuffle on ``key`` (the window partition), no join
     node at all — this beats the naive per-left-row range join (which
@@ -73,14 +77,13 @@ def asof_join(
     as-of plan.  Right rows should be unique per (key, ts); pre-aggregate
     if not.
     """
-    rv_type = dict(right.dtypes)[right_value_col]
     l_tagged = left.withColumn("_is_left", F.lit(1)).withColumn(
-        "_rv", F.lit(None).cast(rv_type)
+        "_r", F.lit(None).cast(f"struct<v:{dict(right.dtypes)[right_value_col]}>")
     )
     r_tagged = right.select(
         F.col(key),
         F.col(ts_col),
-        F.col(right_value_col).alias("_rv"),
+        F.struct(F.col(right_value_col).alias("v")).alias("_r"),
     ).withColumn("_is_left", F.lit(0))
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
@@ -92,9 +95,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        u.withColumn(alias, F.last("_rv", ignorenulls=True).over(w))
+        u.withColumn(alias, F.last("_r", ignorenulls=True).over(w)["v"])
         .filter(F.col("_is_left") == 1)
-        .drop("_is_left", "_rv")
+        .drop("_is_left", "_r")
     )
 
 

@@ -39,7 +39,10 @@ def over_time(
     labels = labels if labels is not None else label_columns(df)
     v = F.col(VALUE_COL)
     exprs = {
-        "avg": (F.sum(v.cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))),
+        # denominator is count(v) — non-null count — so a NULL sample is
+        # skipped by BOTH sum and count, matching standard avg semantics
+        # (count(1) would count every row and deflate the average)
+        "avg": (F.sum(v.cast("decimal(28,6)")).cast("double") / F.count(v)),
         "min": F.min(v),
         "max": F.max(v),
         "sum": F.sum(v.cast("decimal(28,6)")).cast("double"),
@@ -122,7 +125,8 @@ def aggregate_by(
     v = F.col(value_col)
     exprs = {
         "sum": F.sum(v.cast("decimal(28,6)")).cast("double"),
-        "avg": (F.sum(v.cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))),
+        # count(v) not count(1): NULL samples must not deflate the mean
+        "avg": (F.sum(v.cast("decimal(28,6)")).cast("double") / F.count(v)),
         "min": F.min(v),
         "max": F.max(v),
         "count": F.count(F.lit(1)).cast("double"),

@@ -55,6 +55,12 @@ def get_spark(
         # int64 and convert at load time (tables.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.hadoop.parquet.enable.dictionary", "true")
+        # Parquet V2 data pages: int64 columns that overflow dictionary
+        # encoding (the sorted `time` column) fall back to
+        # DELTA_BINARY_PACKED instead of PLAIN — encoding parity with the
+        # reference's time column (hello.go:131-138).  Asserted by
+        # tests/test_merge_layout.py via metadata.inspect_parquet.
+        .config("spark.hadoop.parquet.writer.version", "v2")
         .config("spark.driver.memory", os.environ.get("TSDB_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

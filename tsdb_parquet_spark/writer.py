@@ -91,12 +91,17 @@ def ingest_increment(
         write_sorted(new_df, path)
         return new_df.count()
     existing = spark.read.parquet(path)
-    # prune the existing side to the new batch's time range before hashing
-    t = new_df.agg(F.min(TIME_COL), F.max(TIME_COL)).collect()[0]
-    if t[0] is not None:
-        existing = existing.filter(
-            (F.col(TIME_COL) >= t[0]) & (F.col(TIME_COL) <= t[1])
-        )
+    # Prune the existing side to the new batch's time range before hashing —
+    # but ONLY when the fingerprint covers the time column.  If key_cols
+    # excludes time, an existing row with the same key at a time outside the
+    # batch's range would be invisible to the pruned scan and the duplicate
+    # would be appended, breaking idempotence (round-3 advisor finding).
+    if TIME_COL in cols and TIME_COL in existing.columns:
+        t = new_df.agg(F.min(TIME_COL), F.max(TIME_COL)).collect()[0]
+        if t[0] is not None:
+            existing = existing.filter(
+                (F.col(TIME_COL) >= t[0]) & (F.col(TIME_COL) <= t[1])
+            )
     seen = existing.select(F.xxhash64(*cols).alias("_fp")).distinct()
     novel = (
         new_df.withColumn("_fp", fp)
