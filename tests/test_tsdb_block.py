@@ -1,0 +1,121 @@
+"""Prometheus TSDB block reader (R1-R3 parity) — decode the reference's own
+committed block (`/root/reference/01GW1T7K3E9F9R361GDPVH8NZF`) and check the
+result against the block's meta.json, which the reference itself trusts
+(hello.go:50-74 openBlock, hello.go:480-510 sample loop)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tsdb_parquet_spark import tsdb_block as tb
+
+BLOCK = "/root/reference/01GW1T7K3E9F9R361GDPVH8NZF"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(BLOCK), reason="reference block not present"
+)
+
+
+def test_crc32c_known_vector():
+    # the Castagnoli check value from the CRC catalogue
+    assert tb.crc32c(b"123456789") == 0xE3069283
+
+
+def test_read_index_counts_and_labels():
+    series = tb.read_index(os.path.join(BLOCK, "index"))
+    meta = tb.block_meta(BLOCK)
+    assert len(series) == meta["stats"]["numSeries"] == 767
+    assert sum(len(s.chunk_refs) for s in series) == meta["stats"]["numChunks"]
+    # every series carries the scrape-target labels
+    for s in series:
+        assert "__name__" in s.labels
+        assert s.labels.get("job") == "prometheus"
+
+
+def test_decode_matches_meta_json():
+    meta = tb.block_meta(BLOCK)
+    n_samples = 0
+    tmin, tmax = None, None
+    for _labels, samples in tb.read_block(BLOCK):
+        n_samples += len(samples)
+        for t, _ in samples:
+            tmin = t if tmin is None else min(tmin, t)
+            tmax = t if tmax is None else max(tmax, t)
+    assert n_samples == meta["stats"]["numSamples"] == 154529
+    assert tmin == meta["minTime"]
+    # maxTime in meta.json is exclusive (rounded up to the block boundary)
+    assert tmax < meta["maxTime"]
+    assert tmax >= meta["maxTime"] - 15_000  # within one scrape interval
+
+
+def test_up_series_is_reference_query_target():
+    # hello.go:517's exact matchers: up{instance="localhost:9090",job="prometheus"}
+    ups = [
+        s
+        for l, s in tb.read_block(BLOCK)
+        if l.get("__name__") == "up"
+        and l.get("instance") == "localhost:9090"
+        and l.get("job") == "prometheus"
+    ]
+    assert len(ups) == 1
+    samples = ups[0]
+    assert all(v in (0.0, 1.0) for _, v in samples)  # `up` is a 0/1 gauge
+    ts = [t for t, _ in samples]
+    assert ts == sorted(ts)
+
+
+def test_chunk_crc_detected(tmp_path):
+    # corrupt one byte of the chunks segment -> CRC must fail loudly
+    import shutil
+
+    dst = tmp_path / "block"
+    shutil.copytree(BLOCK, dst)
+    seg = dst / "chunks" / "000001"
+    os.chmod(seg, 0o644)
+    data = bytearray(seg.read_bytes())
+    data[100] ^= 0xFF
+    seg.write_bytes(data)
+    with pytest.raises(ValueError, match="CRC"):
+        for _ in tb.read_block(str(dst)):
+            pass
+
+
+def test_ingest_block_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "block_pq")
+    n = tb.ingest_block(spark, BLOCK, out, num_files=2)
+    assert n == 154529
+    df = spark.read.parquet(out)
+    assert df.count() == 154529
+    # the reference's literal query shape works on the ingested table
+    got = (
+        df.filter(
+            (df.label_name == "up")
+            & (df.label_instance == "localhost:9090")
+            & (df.label_job == "prometheus")
+        ).count()
+    )
+    assert got == 209
+
+
+def test_ingest_blocks_distributed(spark, tmp_path):
+    # two copies of the same block through the mapInPandas fan-out path:
+    # per-block tasks, union schema, 2x the samples
+    out = str(tmp_path / "blocks_pq")
+    n = tb.ingest_blocks(spark, [BLOCK, BLOCK], out, num_files=2)
+    assert n == 2 * 154529
+
+
+def test_committed_fixture_matches_block():
+    # data/tsdb_block is the committed ingest artifact q56 queries; it must
+    # stay in sync with the block bytes
+    import duckdb
+
+    path = "/root/repo/data/tsdb_block"
+    if not os.path.isdir(path):
+        pytest.skip("committed ingest artifact absent")
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{path}/part-*.parquet')"
+    ).fetchone()[0]
+    assert n == 154529

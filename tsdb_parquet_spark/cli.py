@@ -59,6 +59,14 @@ def main(argv: list[str] | None = None) -> None:
     p_i = sub.add_parser("inspect", help="Parquet footer report (hello.go:75-119 parity)")
     p_i.add_argument("path")
 
+    p_tb = sub.add_parser(
+        "ingest-tsdb",
+        help="Prometheus TSDB block(s) -> sorted wide layout (hello.go:50-74,480-510)",
+    )
+    p_tb.add_argument("blocks", nargs="+", help="block directories (ULID dirs)")
+    p_tb.add_argument("dest")
+    p_tb.add_argument("--files", type=int, default=None)
+
     p_r = sub.add_parser("rate", help="reset-aware counter increase/rate per series")
     p_r.add_argument("table")
     p_r.add_argument("-m", "--matcher", action="append", default=[])
@@ -75,6 +83,19 @@ def main(argv: list[str] | None = None) -> None:
     from .session import get_spark
 
     spark = get_spark(app_name=f"tsdb_cli_{args.cmd}")
+
+    if args.cmd == "ingest-tsdb":
+        from .tsdb_block import block_meta, ingest_block, ingest_blocks
+
+        if len(args.blocks) == 1:
+            n = ingest_block(spark, args.blocks[0], args.dest, num_files=args.files)
+        else:
+            n = ingest_blocks(spark, args.blocks, args.dest, num_files=args.files)
+        expected = sum(
+            block_meta(b)["stats"]["numSamples"] for b in args.blocks
+        )
+        print(f"wrote {args.dest}: {n} rows (block meta.json total: {expected})")
+        return
 
     if args.cmd == "ingest":
         from .timeseries import label_columns, wide_from_long
