@@ -130,3 +130,68 @@ def test_ingest_increment_idempotent(spark, tmp_path):
     # full replay appends nothing
     assert ingest_increment(spark, nxt, p) == 0
     assert spark.read.parquet(p).count() == 150
+
+
+def test_range_query_grid_and_staleness(spark):
+    from tsdb_parquet_spark.promql import instant_vector, range_query
+
+    # series 'a': samples at 0s and 1000s (a >15-min gap);
+    # series 'b': one sample at 100s only
+    df = spark.createDataFrame(
+        [(0, 1.0, "a"), (1_000_000, 2.0, "a"), (100_000, 9.0, "b")],
+        "time long, value double, label_name string",
+    )
+    out = range_query(df, 0, 1_200_000, 100_000, labels=["label_name"])
+    rows = {(r["label_name"], r["step_ts"]): (r["sample_time"], r["value"])
+            for r in out.collect()}
+    # 'a' live at steps 0..200000 (lookback 300000 exclusive-left) and again
+    # from 1000000; stale in between -> absent
+    assert rows[("a", 0)] == (0, 1.0)
+    assert rows[("a", 200_000)] == (0, 1.0)
+    assert ("a", 300_000) not in rows  # time > step-300000 is strict
+    assert ("a", 900_000) not in rows
+    assert rows[("a", 1_000_000)] == (1_000_000, 2.0)
+    assert rows[("a", 1_200_000)] == (1_000_000, 2.0)
+    # 'b' live at 100000..300000 then stale forever
+    assert rows[("b", 100_000)] == (100_000, 9.0)
+    assert rows[("b", 300_000)] == (100_000, 9.0)
+    assert ("b", 400_000) not in rows
+
+    # equivalence: every grid cell == an instant_vector evaluation there
+    for at in (0, 100_000, 300_000, 1_100_000):
+        iv = {(r["label_name"], at): (r["sample_time"], r["value"])
+              for r in instant_vector(df, at, labels=["label_name"]).collect()}
+        grid_at = {k: v for k, v in rows.items() if k[1] == at}
+        assert iv == grid_at
+
+
+def test_range_query_plan_has_no_join(spark):
+    # the scale contract: explode+aggregate, never a steps-x-samples join
+    from tsdb_parquet_spark.promql import range_query
+
+    df = spark.createDataFrame(
+        [(0, 1.0, "a")], "time long, value double, label_name string"
+    )
+    plan = range_query(df, 0, 600_000, 60_000, labels=["label_name"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Generate explode" in plan
+
+
+def test_range_rate_single_sample_window_null_rate(spark):
+    from tsdb_parquet_spark.promql import range_rate
+
+    df = spark.createDataFrame(
+        [(50_000, 10.0, "m"), (70_000, 30.0, "m")],
+        "time long, value double, label_name string",
+    )
+    out = {r["step_ts"]: (r["increase"], r["rate"])
+           for r in range_rate(df, 0, 600_000, 60_000, 120_000,
+                               labels=["label_name"]).collect()}
+    # step 60000: only sample t=50000 in window -> zero-span, NULL rate
+    assert out[60_000] == (0.0, None)
+    # step 120000: both samples in window -> inc 20 over 20s span
+    assert out[120_000] == (20.0, 1.0)
+    # step 180000: window (60000,180000] holds only t=70000 (50000 is out,
+    # exclusive left edge) -> single sample again, zero span
+    assert out[180_000] == (0.0, None)

@@ -170,6 +170,119 @@ def binary_op(
     )
 
 
+def range_query(
+    df: DataFrame,
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    labels: list[str] | None = None,
+    staleness_ms: int = 300_000,
+) -> DataFrame:
+    """PromQL RANGE-query evaluation: the step-aligned grid of instant
+    evaluations that is every Prometheus graph — ``query_range(selector,
+    start, end, step)`` with the 5-minute lookback/staleness rule.  This is
+    the reference's stated end-goal surface (``README.md:9``, the Thanos
+    PromQL engine) glued together from this module's primitives.
+
+    Plan (ONE job, no per-step loop): each sample serves the grid steps in
+    ``[t, t + staleness)`` — a bounded set of ``staleness/step`` steps — so
+    we ``sequence()``+``explode`` that per-sample step range map-side (pure
+    JVM codegen, no Python), then one hash aggregate on (labels, step_ts)
+    picks ``max_by(value, time)``: the latest sample at-or-before each
+    step.  Scale: expansion factor is the constant ``staleness/step``; the
+    only shuffle is the final aggregate, and the time-range filter prunes
+    the scan to [start - staleness, end] row groups on the sorted layout.
+    Compare: a steps⨯samples range join re-scans or broadcasts; a per-step
+    ``instant_vector`` loop pays one Spark job per step.  Both lose.
+
+    Returns (labels…, step_ts, sample_time, value) — one row per series per
+    step where the series is live (has a sample within the lookback), the
+    inner-join semantic Prometheus uses.
+    """
+    labels = labels if labels is not None else label_columns(df)
+    n_steps = (end_ms - start_ms) // step_ms
+    t = F.col(TIME_COL)
+    # steps k with: step_ts >= t  AND  step_ts < t + staleness
+    k_min = F.greatest(
+        F.lit(0), F.ceil((t - F.lit(start_ms)) / F.lit(step_ms)).cast("bigint")
+    )
+    k_max = F.least(
+        F.lit(n_steps),
+        F.floor((t + F.lit(staleness_ms - 1) - F.lit(start_ms)) / F.lit(step_ms)).cast("bigint"),
+    )
+    return (
+        df.filter((t <= end_ms) & (t > start_ms - staleness_ms))
+        .filter(k_min <= k_max)  # guard: sequence(hi, lo) would descend
+        .withColumn("_k", F.explode(F.sequence(k_min, k_max)))
+        .withColumn("step_ts", F.lit(start_ms) + F.col("_k") * F.lit(step_ms))
+        .groupBy(*labels, "step_ts")
+        .agg(
+            F.max(TIME_COL).alias("sample_time"),
+            F.max_by(VALUE_COL, F.col(TIME_COL)).alias(VALUE_COL),
+        )
+    )
+
+
+def range_rate(
+    df: DataFrame,
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    window_ms: int,
+    labels: list[str] | None = None,
+) -> DataFrame:
+    """``rate(selector[window])`` evaluated over a range-query grid — the
+    composition ``rate(x[5m])`` stepped over [start, end].
+
+    Plan: the per-series lag pass computes each adjacent-sample delta ONCE
+    (one window shuffle on labels); each sample then explodes over the
+    steps whose window contains it (``step_ts ∈ [t, t + window)``, bounded
+    ``window/step`` expansion), and the final aggregate per (labels,
+    step_ts) sums reset-aware deltas — counting a delta only when its
+    *previous* sample also falls inside that step's window — and divides by
+    the in-window sample span.  Same "both samples in window" increase
+    definition as ``rate`` (documented there); denominator = (max-min)
+    sample time, Prometheus's pre-extrapolation span.  Two shuffles total,
+    independent of step count.
+    """
+    labels = labels if labels is not None else label_columns(df)
+    n_steps = (end_ms - start_ms) // step_ms
+    w = Window.partitionBy(*labels).orderBy(TIME_COL)
+    prev_v = F.lag(VALUE_COL).over(w)
+    prev_t = F.lag(TIME_COL).over(w)
+    d = F.when(prev_v.isNull(), F.lit(0.0)).otherwise(
+        F.when(F.col(VALUE_COL) >= prev_v, F.col(VALUE_COL) - prev_v)
+        .otherwise(F.col(VALUE_COL))
+    )
+    t = F.col(TIME_COL)
+    with_d = (
+        df.filter((t <= end_ms) & (t > start_ms - window_ms))
+        .withColumn("_d", d)
+        .withColumn("_pt", prev_t)
+    )
+    k_min = F.greatest(
+        F.lit(0), F.ceil((t - F.lit(start_ms)) / F.lit(step_ms)).cast("bigint")
+    )
+    k_max = F.least(
+        F.lit(n_steps),
+        F.floor((t + F.lit(window_ms - 1) - F.lit(start_ms)) / F.lit(step_ms)).cast("bigint"),
+    )
+    exploded = (
+        with_d.filter(k_min <= k_max)  # guard: sequence(hi, lo) would descend
+        .withColumn("_k", F.explode(F.sequence(k_min, k_max)))
+        .withColumn("step_ts", F.lit(start_ms) + F.col("_k") * F.lit(step_ms))
+    )
+    in_window_d = F.when(
+        F.col("_pt") > F.col("step_ts") - F.lit(window_ms), F.col("_d")
+    ).otherwise(F.lit(0.0))
+    span_s = (F.max(TIME_COL) - F.min(TIME_COL)).cast("double") / 1000.0
+    inc = F.sum(in_window_d.cast("decimal(28,6)")).cast("double")
+    return exploded.groupBy(*labels, "step_ts").agg(
+        inc.alias("increase"),
+        F.when(span_s > 0, inc / span_s).otherwise(F.lit(None).cast("double")).alias("rate"),
+    )
+
+
 def rate(
     df: DataFrame,
     window_ms: int,
