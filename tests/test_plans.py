@@ -45,12 +45,23 @@ def test_q02_scan_prunes_columns(entry, spark):
     assert "label_handler" not in read and "label_code" not in read
 
 
-def test_q09_dims_broadcast_fact_not_shuffled_before_agg(entry, spark):
+def test_q09_dim_broadcasts_facts_shuffle_join(entry, spark):
     plan = plan_of(entry.q09_join_agg(spark, SF))
+    # customer (dim) broadcasts; orders ⋈ lineitem (fact ⋈ fact) is an
+    # explicitly hinted shuffle join — a size mis-estimate must never be
+    # able to broadcast a fact side (observed 10x regression at sf1)
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" in plan, plan
     # lineitem scan reads only the 3 needed columns
     assert "l_extendedprice" in plan and "l_shipdate" not in plan
+
+
+def test_q10_fact_side_never_broadcast(entry, spark):
+    plan = plan_of(entry.q10_left_outer_join(spark, SF))
+    # left-outer forces BuildRight and orders is fact-scale: the hint must
+    # hold the plan to a shuffled join
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan
 
 
 def test_q14_interval_join_is_not_cartesian(entry, spark):

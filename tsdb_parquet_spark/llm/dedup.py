@@ -265,19 +265,27 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     num_planes: int = 16,
     seed: int = 42,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Embedding near-duplicates: cosine ≥ threshold, bucketed by
     signed-random-projection LSH so only same-bucket pairs are compared.
 
-    ``num_planes`` sign bits form the bucket key; high-cosine pairs land in
-    the same bucket with high probability (collision prob = 1 - θ/π per
-    plane).  The exact cosine on candidates is JVM-side higher-order
-    functions in float64.  Note: SRP-LSH trades recall for scale; lower
-    ``num_planes`` (or multiple hash tables) raises recall.
+    ``num_planes`` sign bits form each bucket key; high-cosine pairs land
+    in the same bucket with probability ``(1 - θ/π)^num_planes`` per table.
+    ``num_tables`` independent plane sets are OR-ed (a pair is a candidate
+    if it collides in ANY table), lifting recall to ``1 - (1-p^k)^L`` — the
+    standard LSH recall/cost dial (measured in
+    tests/test_lsh_recall_density.py; e.g. 8 planes × 4 tables ≥ 0.95
+    recall at cosine ≥ 0.98).  The exact cosine on candidates is JVM-side
+    higher-order functions in float64.
+
+    Scale: rows explode ×``num_tables`` into (table, bucket) keys, the
+    join shuffles on that composite key, and only same-bucket pairs are
+    ever compared — candidate volume is governed by bucket occupancy,
+    never O(n²).
     """
     dim = len(df.select(emb_col).first()[0])
     rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((num_planes, dim))
 
     def dot_with(plane: np.ndarray) -> Column:
         lit_plane = F.array(*[F.lit(float(x)) for x in plane])
@@ -287,11 +295,18 @@ def embedding_neardup_pairs(
             lambda acc, x: acc + x,
         )
 
-    bucket = F.concat_ws(
-        "", *[F.when(dot_with(p) >= 0, "1").otherwise("0") for p in planes]
-    )
+    table_buckets = []
+    for _ in range(num_tables):
+        planes = rng.standard_normal((num_planes, dim))
+        table_buckets.append(
+            F.concat_ws(
+                "", *[F.when(dot_with(p) >= 0, "1").otherwise("0") for p in planes]
+            )
+        )
     bucketed = df.select(
-        F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"), bucket.alias("_bucket")
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_emb"),
+        F.posexplode(F.array(*table_buckets)).alias("_tbl", "_bucket"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     from .similarity import cosine_cols
@@ -300,12 +315,16 @@ def embedding_neardup_pairs(
     return (
         a.join(
             b,
-            (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")),
+            (F.col("a._tbl") == F.col("b._tbl"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
         )
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             F.round(sim, 6).alias("cosine"),
         )
+        # a pair colliding in several tables appears once
+        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cosine") >= threshold)
     )

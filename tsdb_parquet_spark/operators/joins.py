@@ -47,6 +47,29 @@ def broadcast_join(
     return fact.join(F.broadcast(dim), on, how)
 
 
+def fact_fact_join(
+    left: DataFrame,
+    right: DataFrame,
+    on=None,
+    cond=None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two FACT-scale relations with an explicit shuffle-hash hint.
+
+    Why this exists: Catalyst's broadcast decision uses the *estimated*
+    post-pruning scan size, and a few pruned columns of a fact table can
+    estimate under the broadcast threshold — at which point the planner
+    happily broadcasts millions of fact rows (observed: a 6M-row lineitem
+    broadcast at sf1, 10x the query's runtime; at cluster scale it's an
+    OOM).  When the caller KNOWS both sides scale with the data, the
+    correct plan is a shuffled join on the key, full stop — the hint makes
+    mis-estimation impossible instead of tuning thresholds around it.
+    Shuffle-hash (not merge): co-partitioned build beats sorting both
+    sides when neither input is pre-sorted on the key; AQE may still
+    elect sort-merge if a side spills."""
+    return left.hint("shuffle_hash").join(right, on if on is not None else cond, how)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -125,4 +148,6 @@ def interval_self_join(
             <= F.expr(f"{left_alias}.{ts_col} + {interval_expr}")
         )
     )
-    return a.join(b, cond, "inner")
+    # both sides are the same fact-scale table: hint the shuffle join so a
+    # pruned-size mis-estimate can never broadcast it (see fact_fact_join)
+    return a.hint("shuffle_hash").join(b, cond, "inner")
