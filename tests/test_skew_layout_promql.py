@@ -195,3 +195,41 @@ def test_range_rate_single_sample_window_null_rate(spark):
     # step 180000: window (60000,180000] holds only t=70000 (50000 is out,
     # exclusive left edge) -> single sample again, zero span
     assert out[180_000] == (0.0, None)
+
+
+def test_salted_running_agg_matches_plain_window(spark):
+    # skewed fixture: one hot key with 20k rows, two normal keys
+    from pyspark.sql import Window
+    from tsdb_parquet_spark.operators.skew import salted_running_agg
+
+    rows = [(t * 100, float(t % 97), "hot") for t in range(20_000)]
+    rows += [(t * 5_000, float(t % 13), "k1") for t in range(400)]
+    rows += [(t * 7_000 + 3, float(t % 7), "k2") for t in range(300)]
+    df = spark.createDataFrame(rows, "ts long, value double, key string")
+
+    for kind in ("sum", "count", "min", "max"):
+        got = salted_running_agg(
+            df, ["key"], "ts", "value", kind=kind, chunk_span=200_000
+        )
+        w = Window.partitionBy("key").orderBy("ts").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        import pyspark.sql.functions as SF
+        plain_expr = {
+            "sum": SF.sum("value"), "count": SF.count(SF.lit(1)),
+            "min": SF.min("value"), "max": SF.max("value"),
+        }[kind]
+        plain = df.withColumn("running", plain_expr.over(w))
+        diff = (
+            got.select("key", "ts", "running")
+            .exceptAll(plain.select("key", "ts", "running"))
+            .count()
+        )
+        assert diff == 0, f"salted {kind} diverges from plain window"
+
+    # the salted plan's windows partition by (key, chunk): the hot key's
+    # 20k rows spread over 10 chunks instead of one task
+    plan = salted_running_agg(
+        df, ["key"], "ts", "value", chunk_span=200_000
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "_chunk" in plan

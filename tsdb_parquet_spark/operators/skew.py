@@ -65,6 +65,81 @@ def salted_agg(
     return partial.groupBy(*keys).agg(*final_exprs)
 
 
+def salted_running_agg(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    kind: str = "sum",
+    chunk_span: int = 3_600_000,
+    out: str = "running",
+) -> DataFrame:
+    """Skew-safe RUNNING aggregate (cumulative sum/count/min/max per key
+    ordered by time) — the window-function twin of ``salted_agg``.
+
+    Why: ``Window.partitionBy(key)`` puts EVERY row of a hot key in one
+    task, and unlike joins, AQE cannot split a window partition (SCALE.md
+    §4's shuffle inventory) — a single key with 10^9 rows stalls the
+    stage.  The fix is the classic distributed prefix-sum, expressed in
+    three bounded steps:
+
+    1. chunk each key's timeline by ``chunk_span`` (same granularity knob
+       as ``timeseries.downsample``) and run the window INSIDE (key,
+       chunk) — the hot key now spreads over its chunks;
+    2. aggregate one total per (key, chunk) — tiny — and prefix-combine
+       the PRECEDING chunks' totals with a window over that tiny relation
+       (≤ #chunks rows per key);
+    3. broadcast-join the per-chunk offsets back and combine with the
+       intra-chunk running value.
+
+    Supported kinds are the associative ones (sum/count/min/max), same
+    restriction as ``salted_agg``.  Results equal the plain
+    ``Window.partitionBy(key).orderBy(ts)`` form (asserted in
+    tests/test_skew_layout_promql.py) whenever ``ts`` is unique per key —
+    ties across a chunk boundary order by chunk, ties within a chunk by
+    the engine's row order, exactly like the unsalted window.
+    """
+    from pyspark.sql import Window
+
+    if kind not in _COMBINES:
+        raise ValueError(f"unsupported running aggregate {kind!r}")
+    partial_fn, _ = _COMBINES[kind]
+    combine_col = {
+        "sum": lambda a, b: a + b,
+        "count": lambda a, b: a + b,
+        "min": F.least,
+        "max": F.greatest,
+    }[kind]
+    src = F.col(value_col)
+    chunk = (F.col(ts_col) / F.lit(chunk_span)).cast("bigint").alias("_chunk")
+    chunked = df.withColumn("_chunk", chunk)
+
+    w_intra = (
+        Window.partitionBy(*keys, "_chunk")
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = chunked.withColumn(
+        "_intra", (partial_fn(src) if kind != "count" else F.count(F.lit(1))).over(w_intra)
+    )
+
+    totals = chunked.groupBy(*keys, "_chunk").agg(
+        (partial_fn(src) if kind != "count" else F.count(F.lit(1))).alias("_tot")
+    )
+    w_prefix = (
+        Window.partitionBy(*keys)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn("_off", _COMBINES[kind][1](F.col("_tot")).over(w_prefix)).drop("_tot")
+
+    joined = intra.join(F.broadcast(offsets), [*keys, "_chunk"], "left")
+    running = F.when(F.col("_off").isNull(), F.col("_intra")).otherwise(
+        combine_col(F.col("_intra"), F.col("_off"))
+    )
+    return joined.withColumn(out, running).drop("_chunk", "_intra", "_off")
+
+
 def salted_join(
     skewed: DataFrame,
     small: DataFrame,
