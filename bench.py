@@ -108,7 +108,10 @@ def main() -> None:
         futs = [pool.submit(lambda f=fn: f(spark, sf_dir).toPandas())
                 for fn in bench_set.values()]
         for f in futs:
-            f.result()
+            try:
+                f.result()
+            except Exception as e:  # noqa: BLE001 — keep the suite number
+                print(f"bench concurrent error: {e}", file=sys.stderr)
     concurrent_wall = time.time() - t0
 
     out = {

@@ -1,0 +1,121 @@
+"""PromQL expression frontend (promql_expr.py): parser AST shapes, instant
+and range evaluation composed from the promql primitives."""
+
+from __future__ import annotations
+
+import pytest
+
+from tsdb_parquet_spark.matchers import Matcher
+from tsdb_parquet_spark.promql_expr import (
+    Agg,
+    BinOp,
+    PromQLEngine,
+    RangeFn,
+    Scalar,
+    Selector,
+    TopK,
+    parse_duration_ms,
+    parse_expr,
+    query_instant,
+    query_range,
+)
+
+
+def test_parse_durations():
+    assert parse_duration_ms("5m") == 300_000
+    assert parse_duration_ms("90s") == 90_000
+    assert parse_duration_ms("2h") == 7_200_000
+    with pytest.raises(ValueError):
+        parse_duration_ms("5x")
+
+
+def test_parse_selector_and_rate():
+    n = parse_expr('rate(http_requests{job="prom",code!="500"}[5m])')
+    assert isinstance(n, RangeFn) and n.fn == "rate" and n.window_ms == 300_000
+    assert n.arg.matchers[0] == Matcher("=", "name", "http_requests")
+    assert Matcher("!=", "code", "500") in n.arg.matchers
+
+
+def test_parse_agg_topk_binop():
+    n = parse_expr("topk(3, sum by (handler) (rate(m[1m])) / 60)")
+    assert isinstance(n, TopK) and n.k == 3
+    assert isinstance(n.arg, BinOp) and n.arg.op == "/"
+    assert isinstance(n.arg.left, Agg) and n.arg.left.by == ["handler"]
+    assert isinstance(n.arg.right, Scalar) and n.arg.right.value == 60.0
+
+
+def test_parse_errors():
+    for bad in ("sum by (h) (", "rate(m)", "topk(, m)", "m + "):
+        with pytest.raises(ValueError):
+            parse_expr(bad)
+
+
+@pytest.fixture()
+def mini(spark):
+    rows = [
+        # two counter series under one handler, one under another
+        (t * 1000, float(v), "req", h, c)
+        for h, c, series in [
+            ("/a", "200", [0, 10, 20, 30]),
+            ("/a", "500", [0, 1, 2, 3]),
+            ("/b", "200", [0, 100, 200, 300]),
+        ]
+        for t, v in enumerate(series)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "time long, value double, label_name string, label_handler string, "
+        "label_code string",
+    )
+
+
+def test_instant_selector_and_scalar_op(spark, mini):
+    out = query_instant(mini, 'req{handler="/a"} * 2', at_ms=3000)
+    got = {(r["label_handler"], r["label_code"]): r["value"] for r in out.collect()}
+    assert got == {("/a", "200"): 60.0, ("/a", "500"): 6.0}
+
+
+def test_instant_sum_by_rate(spark, mini):
+    # rate over the full 3 s span: /a: (30+3)/3 = 11, /b: 300/3 = 100
+    out = query_instant(mini, "sum by (handler) (rate(req[1m]))", at_ms=3000)
+    got = {r["label_handler"]: round(r["value"], 6) for r in out.collect()}
+    assert got == {"/a": 11.0, "/b": 100.0}
+
+
+def test_instant_topk(spark, mini):
+    out = query_instant(mini, "topk(2, req)", at_ms=3000)
+    got = [(r["label_handler"], r["label_code"], r["value"]) for r in out.collect()]
+    assert got == [("/b", "200", 300.0), ("/a", "200", 30.0)]
+
+
+def test_instant_vector_division(spark, mini):
+    # share of each series within its handler total
+    out = query_instant(mini, "req / sum by (handler) (req)", at_ms=3000)
+    got = {(r["label_handler"], r["label_code"]): round(r["value"], 4)
+           for r in out.collect()}
+    assert got[("/a", "200")] == round(30 / 33, 4)
+    assert got[("/a", "500")] == round(3 / 33, 4)
+    assert got[("/b", "200")] == 1.0
+
+
+def test_range_selector_matches_range_query(spark, mini):
+    from tsdb_parquet_spark.promql import range_query
+
+    expr_out = query_range(mini, "req", 0, 4000, 1000)
+    prim_out = range_query(mini, 0, 4000, 1000).drop("sample_time")
+    assert expr_out.exceptAll(prim_out).count() == 0
+    assert prim_out.exceptAll(expr_out).count() == 0
+
+
+def test_range_avg_over_time_grid(spark, mini):
+    out = query_range(mini, 'avg_over_time(req{handler="/b"}[2s])', 0, 3000, 1000)
+    got = {r["step_ts"]: r["value"] for r in out.collect()}
+    # window (t-2000, t]: at 0 -> avg(0); 1000 -> avg(0,100); 2000 ->
+    # avg(100,200); 3000 -> avg(200,300)
+    assert got == {0: 0.0, 1000: 50.0, 2000: 150.0, 3000: 250.0}
+
+
+def test_engine_rejects_scalar_only(spark, mini):
+    eng = PromQLEngine(mini)
+    with pytest.raises(ValueError):
+        eng.eval_instant("2", 0)

@@ -1,0 +1,485 @@
+"""PromQL expression frontend: parse + evaluate a practical subset of the
+language over the wide tsdb layout.
+
+The reference names the Thanos PromQL engine as its end goal
+(``/root/reference/README.md:9``) but ships only hand-built matchers
+(``hello.go:517``).  ``matchers.parse_selector`` covers the selector
+syntax; ``promql.py`` the evaluation primitives; this module is the glue:
+a tokenizer + recursive-descent parser producing a tiny AST, and an
+evaluator that composes the primitives into ONE Spark plan per expression
+(instant) or one plan per range query — never a per-step or per-node job.
+
+Grammar (the working subset)::
+
+    expr      := term (('+'|'-') term)*            # vector/scalar arith
+    term      := unary (('*'|'/') unary)*
+    unary     := number | call | aggregate | selector_expr | '(' expr ')'
+    call      := FUNC '(' expr '[' duration ']' ')'        # range function
+               | 'topk' '(' number ',' expr ')'
+    aggregate := OP ('by' '(' labels ')')? '(' expr ')'
+    selector  := metric? '{' matchers '}' | metric
+
+Range functions: rate, increase, avg/min/max/sum/count/last_over_time,
+delta.  Aggregations: sum, avg, min, max, count.  Binary ops between two
+vectors match on the intersection of their label columns (PromQL's
+default one-to-one matching on all shared labels); scalar-vector ops
+broadcast the scalar.
+
+Evaluation semantics: every vector node evaluates to a DataFrame of
+(labels…, value) at one instant ``at_ms`` (with the 5-min
+lookback/staleness rule), or (labels…, step_ts, value) over a grid via
+``eval_range`` — the composition rules are identical, so one AST serves
+both, exactly like a PromQL engine's instant vs range entry points.
+
+Scale: parsing is driver-side string work on a sub-KB expression; the
+produced plan is whatever the composed primitives plan (selector pushdown
+into the scan, one agg per rollup, bounded explodes for grids).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .matchers import Matcher, apply_matchers, parse_selector
+from .timeseries import TIME_COL, VALUE_COL, label_columns
+
+_RANGE_FNS = {
+    "rate", "increase", "delta",
+    "avg_over_time", "min_over_time", "max_over_time",
+    "sum_over_time", "count_over_time", "last_over_time",
+}
+_AGG_OPS = {"sum", "avg", "min", "max", "count"}
+
+_DURATION_RE = re.compile(r"^(\d+)(ms|s|m|h|d|w)$")
+_DURATION_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+                "d": 86_400_000, "w": 604_800_000}
+
+
+def parse_duration_ms(s: str) -> int:
+    m = _DURATION_RE.match(s)
+    if not m:
+        raise ValueError(f"bad duration {s!r}")
+    return int(m.group(1)) * _DURATION_MS[m.group(2)]
+
+
+# ---------------------------------------------------------------------------
+# AST
+
+@dataclass
+class Node:
+    pass
+
+
+@dataclass
+class Scalar(Node):
+    value: float
+
+
+@dataclass
+class Selector(Node):
+    matchers: list[Matcher] = field(default_factory=list)
+
+
+@dataclass
+class RangeFn(Node):
+    fn: str
+    arg: Selector
+    window_ms: int
+
+
+@dataclass
+class Agg(Node):
+    op: str
+    by: list[str]
+    arg: Node
+
+
+@dataclass
+class TopK(Node):
+    k: int
+    arg: Node
+
+
+@dataclass
+class BinOp(Node):
+    op: str
+    left: Node
+    right: Node
+
+
+# ---------------------------------------------------------------------------
+# tokenizer + recursive descent
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<number>\d+\.\d+|\d+(?!\w))          |
+        (?P<duration>\d+(?:ms|s|m|h|d|w))       |
+        (?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)     |
+        (?P<brace>\{(?:[^"}]|"(?:[^"\\]|\\.)*")*\}) |
+        (?P<op>[-+*/(),\[\]])
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(s: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m or m.end() == pos:
+            if s[pos:].strip() == "":
+                break
+            raise ValueError(f"bad token at {s[pos:]!r}")
+        for kind in ("duration", "number", "ident", "brace", "op"):
+            if m.group(kind):
+                out.append((kind, m.group(kind)))
+                break
+        pos = m.end()
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]], metric_label: str):
+        self.toks = tokens
+        self.i = 0
+        self.metric_label = metric_label
+
+    def peek(self, k: int = 0) -> Optional[tuple[str, str]]:
+        return self.toks[self.i + k] if self.i + k < len(self.toks) else None
+
+    def eat(self, want: str | None = None) -> tuple[str, str]:
+        if self.i >= len(self.toks):
+            raise ValueError("unexpected end of expression")
+        kind, val = self.toks[self.i]
+        if want is not None and val != want and kind != want:
+            raise ValueError(f"expected {want!r}, got {val!r}")
+        self.i += 1
+        return kind, val
+
+    def parse(self) -> Node:
+        node = self.expr()
+        if self.i != len(self.toks):
+            raise ValueError(f"trailing tokens: {self.toks[self.i:]}")
+        return node
+
+    def expr(self) -> Node:
+        node = self.term()
+        while self.peek() and self.peek()[1] in ("+", "-"):
+            op = self.eat()[1]
+            node = BinOp(op, node, self.term())
+        return node
+
+    def term(self) -> Node:
+        node = self.unary()
+        while self.peek() and self.peek()[1] in ("*", "/"):
+            op = self.eat()[1]
+            node = BinOp(op, node, self.unary())
+        return node
+
+    def unary(self) -> Node:
+        tok = self.peek()
+        if tok is None:
+            raise ValueError("unexpected end of expression")
+        kind, val = tok
+        if val == "(":
+            self.eat("(")
+            node = self.expr()
+            self.eat(")")
+            return node
+        if kind == "number":
+            self.eat()
+            return Scalar(float(val))
+        if kind == "ident":
+            if val in _RANGE_FNS:
+                return self.range_fn()
+            if val == "topk":
+                return self.topk()
+            if val in _AGG_OPS and self.peek(1) and self.peek(1)[1] in ("by", "("):
+                return self.aggregate()
+            return self.selector()
+        if kind == "brace":
+            return self.selector()
+        raise ValueError(f"unexpected token {val!r}")
+
+    def selector(self) -> Selector:
+        parts = []
+        kind, val = self.peek()
+        if kind == "ident":
+            parts.append(self.eat()[1])
+        if self.peek() and self.peek()[0] == "brace":
+            parts.append(self.eat()[1])
+        if not parts:
+            raise ValueError("empty selector")
+        return Selector(parse_selector("".join(parts), self.metric_label))
+
+    def range_fn(self) -> RangeFn:
+        fn = self.eat()[1]
+        self.eat("(")
+        sel = self.selector()
+        self.eat("[")
+        dur = self.eat("duration")[1]
+        self.eat("]")
+        self.eat(")")
+        return RangeFn(fn, sel, parse_duration_ms(dur))
+
+    def aggregate(self) -> Agg:
+        op = self.eat()[1]
+        by: list[str] = []
+        if self.peek() and self.peek()[1] == "by":
+            self.eat("by")
+            self.eat("(")
+            while self.peek() and self.peek()[1] != ")":
+                by.append(self.eat("ident")[1])
+                if self.peek() and self.peek()[1] == ",":
+                    self.eat(",")
+            self.eat(")")
+        self.eat("(")
+        arg = self.expr()
+        self.eat(")")
+        return Agg(op, by, arg)
+
+    def topk(self) -> TopK:
+        self.eat("topk")
+        self.eat("(")
+        k = int(float(self.eat("number")[1]))
+        self.eat(",")
+        arg = self.expr()
+        self.eat(")")
+        return TopK(k, arg)
+
+
+def parse_expr(expr: str, metric_label: str = "name") -> Node:
+    """Parse a PromQL expression string into the module AST."""
+    return _Parser(_tokenize(expr), metric_label).parse()
+
+
+# ---------------------------------------------------------------------------
+# evaluator
+
+class PromQLEngine:
+    """Evaluate parsed expressions against a wide-layout tsdb DataFrame.
+
+    ``eval_instant(expr, at_ms)`` → DataFrame (labels…, value).
+    ``eval_range(expr, start, end, step)`` → (labels…, step_ts, value) —
+    every node evaluates gridded, so composition needs no per-step loop.
+    """
+
+    def __init__(self, df: DataFrame, metric_label: str = "name",
+                 staleness_ms: int = 300_000):
+        self.df = df
+        self.metric_label = metric_label
+        self.staleness_ms = staleness_ms
+
+    # -- instant ----------------------------------------------------------
+
+    def eval_instant(self, expr: str | Node, at_ms: int) -> DataFrame:
+        node = parse_expr(expr, self.metric_label) if isinstance(expr, str) else expr
+        out = self._inst(node, at_ms)
+        if not isinstance(out, DataFrame):
+            raise ValueError("expression is a scalar; instant vectors only")
+        return out
+
+    def _inst(self, node: Node, at: int):
+        from . import promql
+
+        if isinstance(node, Scalar):
+            return node.value
+        if isinstance(node, Selector):
+            sel = apply_matchers(self.df, node.matchers)
+            iv = promql.instant_vector(
+                sel, at, staleness_ms=self.staleness_ms
+            ).drop("sample_time")
+            return iv
+        if isinstance(node, RangeFn):
+            sel = apply_matchers(self.df, node.arg.matchers)
+            w = sel.filter(
+                (F.col(TIME_COL) <= at) & (F.col(TIME_COL) > at - node.window_ms)
+            )
+            labels = label_columns(w)
+            return self._range_fn_agg(node, w, labels, [])
+        if isinstance(node, Agg):
+            arg = self._inst(node.arg, at)
+            by = [self._label_col(arg, l) for l in node.by]
+            from .promql import aggregate_by  # noqa: F401  (shape reference)
+            v = F.col(VALUE_COL)
+            exprs = {
+                "sum": F.sum(v.cast("decimal(28,6)")).cast("double"),
+                "avg": (F.sum(v.cast("decimal(28,6)")).cast("double") / F.count(v)),
+                "min": F.min(v),
+                "max": F.max(v),
+                "count": F.count(F.lit(1)).cast("double"),
+            }
+            return arg.groupBy(*by).agg(exprs[node.op].alias(VALUE_COL))
+        if isinstance(node, TopK):
+            arg = self._inst(node.arg, at)
+            labels = [c for c in arg.columns if c != VALUE_COL]
+            order = [F.desc(VALUE_COL)] + [F.asc_nulls_first(c) for c in labels]
+            return arg.orderBy(*order).limit(node.k)
+        if isinstance(node, BinOp):
+            return self._binop(node, self._inst(node.left, at), self._inst(node.right, at), [])
+        raise TypeError(f"unknown node {node!r}")
+
+    # -- range ------------------------------------------------------------
+
+    def eval_range(self, expr: str | Node, start_ms: int, end_ms: int,
+                   step_ms: int) -> DataFrame:
+        node = parse_expr(expr, self.metric_label) if isinstance(expr, str) else expr
+        out = self._rng(node, start_ms, end_ms, step_ms)
+        if not isinstance(out, DataFrame):
+            raise ValueError("expression is a scalar; range vectors only")
+        return out
+
+    def _rng(self, node: Node, start: int, end: int, step: int):
+        from . import promql
+
+        if isinstance(node, Scalar):
+            return node.value
+        if isinstance(node, Selector):
+            sel = apply_matchers(self.df, node.matchers)
+            return promql.range_query(
+                sel, start, end, step, staleness_ms=self.staleness_ms
+            ).drop("sample_time")
+        if isinstance(node, RangeFn):
+            sel = apply_matchers(self.df, node.arg.matchers)
+            labels = label_columns(sel)
+            if node.fn in ("rate", "increase"):
+                rr = promql.range_rate(sel, start, end, step, node.window_ms, labels)
+                keep = "rate" if node.fn == "rate" else "increase"
+                return rr.select(*labels, "step_ts", F.col(keep).alias(VALUE_COL))
+            return self._over_time_grid(node, sel, labels, start, end, step)
+        if isinstance(node, Agg):
+            arg = self._rng(node.arg, start, end, step)
+            by = [self._label_col(arg, l) for l in node.by]
+            v = F.col(VALUE_COL)
+            exprs = {
+                "sum": F.sum(v.cast("decimal(28,6)")).cast("double"),
+                "avg": (F.sum(v.cast("decimal(28,6)")).cast("double") / F.count(v)),
+                "min": F.min(v),
+                "max": F.max(v),
+                "count": F.count(F.lit(1)).cast("double"),
+            }
+            return arg.groupBy("step_ts", *by).agg(exprs[node.op].alias(VALUE_COL))
+        if isinstance(node, TopK):
+            from pyspark.sql import Window
+
+            arg = self._rng(node.arg, start, end, step)
+            labels = [c for c in arg.columns if c not in (VALUE_COL, "step_ts")]
+            w = Window.partitionBy("step_ts").orderBy(
+                F.desc(VALUE_COL), *[F.asc_nulls_first(c) for c in labels]
+            )
+            return (
+                arg.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= node.k)
+                .drop("_rk")
+            )
+        if isinstance(node, BinOp):
+            return self._binop(
+                node,
+                self._rng(node.left, start, end, step),
+                self._rng(node.right, start, end, step),
+                ["step_ts"],
+            )
+        raise TypeError(f"unknown node {node!r}")
+
+    # -- shared helpers ---------------------------------------------------
+
+    def _label_col(self, df: DataFrame, label: str) -> str:
+        wide = f"label_{label}"
+        if wide in df.columns:
+            return wide
+        if label in df.columns:
+            return label
+        raise ValueError(f"unknown grouping label {label!r} in {df.columns}")
+
+    def _range_fn_agg(self, node: RangeFn, w: DataFrame, labels: list[str],
+                      extra_keys: list[str]) -> DataFrame:
+        """Whole-window (instant) evaluation of a range function."""
+        v = F.col(VALUE_COL)
+        if node.fn in ("rate", "increase"):
+            from .timeseries import counter_rate
+
+            cr = counter_rate(w, labels)
+            keep = "rate" if node.fn == "rate" else "increase"
+            return cr.select(*labels, F.col(keep).alias(VALUE_COL))
+        fn = node.fn.removesuffix("_over_time") if node.fn.endswith("_over_time") else node.fn
+        exprs = {
+            "avg": (F.sum(v.cast("decimal(28,6)")).cast("double") / F.count(v)),
+            "min": F.min(v),
+            "max": F.max(v),
+            "sum": F.sum(v.cast("decimal(28,6)")).cast("double"),
+            "count": F.count(F.lit(1)).cast("double"),
+            "last": F.max_by(v, F.col(TIME_COL)),
+            "delta": F.max_by(v, F.col(TIME_COL)) - F.min_by(v, F.col(TIME_COL)),
+        }
+        return w.groupBy(*labels, *extra_keys).agg(exprs[fn].alias(VALUE_COL))
+
+    def _over_time_grid(self, node: RangeFn, sel: DataFrame, labels: list[str],
+                        start: int, end: int, step: int) -> DataFrame:
+        """<fn>_over_time / delta over a grid: same bounded explode as
+        promql.range_query, with the window = the function's range."""
+        n_steps = (end - start) // step
+        t = F.col(TIME_COL)
+        k_min = F.greatest(F.lit(0), F.ceil((t - F.lit(start)) / F.lit(step)).cast("bigint"))
+        k_max = F.least(
+            F.lit(n_steps),
+            F.floor((t + F.lit(node.window_ms - 1) - F.lit(start)) / F.lit(step)).cast("bigint"),
+        )
+        exploded = (
+            sel.filter((t <= end) & (t > start - node.window_ms))
+            .filter(k_min <= k_max)
+            .withColumn("_k", F.explode(F.sequence(k_min, k_max)))
+            .withColumn("step_ts", F.lit(start) + F.col("_k") * F.lit(step))
+        )
+        return self._range_fn_agg(node, exploded, labels, ["step_ts"]).select(
+            *labels, "step_ts", VALUE_COL
+        )
+
+    def _binop(self, node: BinOp, left, right, extra_keys: list[str]):
+        ops = {
+            "+": lambda a, b: a + b,
+            "-": lambda a, b: a - b,
+            "*": lambda a, b: a * b,
+            "/": lambda a, b: F.when(b != 0, a / b),
+        }
+        op = ops[node.op]
+        if not isinstance(left, DataFrame) and not isinstance(right, DataFrame):
+            raise ValueError("scalar-scalar expressions are not vectors")
+        if not isinstance(left, DataFrame):
+            return right.withColumn(VALUE_COL, op(F.lit(left), F.col(VALUE_COL)))
+        if not isinstance(right, DataFrame):
+            return left.withColumn(VALUE_COL, op(F.col(VALUE_COL), F.lit(right)))
+        # vector-vector: match on the intersection of label columns and
+        # keep the LEFT side's full label set — the many-to-one
+        # (`group_left`-like) semantics `v / sum by (x)(v)` needs
+        keys = [c for c in left.columns
+                if c in right.columns and c != VALUE_COL]
+        if not keys:
+            raise ValueError("no shared labels to match on")
+        keep = [c for c in left.columns if c != VALUE_COL]
+        l = left.withColumnRenamed(VALUE_COL, "_lv")
+        r = right.select(*keys, F.col(VALUE_COL).alias("_rv"))
+        return l.join(r, keys).select(
+            *keep, op(F.col("_lv"), F.col("_rv")).alias(VALUE_COL)
+        )
+
+
+def query_instant(spark_df: DataFrame, expr: str, at_ms: int,
+                  metric_label: str = "name") -> DataFrame:
+    """One-shot instant query: ``query_instant(tsdb, 'sum by (handler) (...)', T)``."""
+    return PromQLEngine(spark_df, metric_label).eval_instant(expr, at_ms)
+
+
+def query_range(spark_df: DataFrame, expr: str, start_ms: int, end_ms: int,
+                step_ms: int, metric_label: str = "name") -> DataFrame:
+    """One-shot range query — the Prometheus ``query_range`` API shape."""
+    return PromQLEngine(spark_df, metric_label).eval_range(
+        expr, start_ms, end_ms, step_ms
+    )
+
+
+_ = SparkSession  # typing reference only

@@ -62,6 +62,10 @@ def get_spark(
         # tests/test_merge_layout.py via metadata.inspect_parquet.
         .config("spark.hadoop.parquet.writer.version", "v2")
         .config("spark.driver.memory", os.environ.get("TSDB_SPARK_DRIVER_MEM", "16g"))
+        # local mode collects full query results into this same process
+        # (bench consumes via toPandas); 1g default caps out near 10M-row
+        # results.  On a cluster you'd page results or write a sink instead.
+        .config("spark.driver.maxResultSize", os.environ.get("TSDB_SPARK_MAX_RESULT", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
