@@ -93,6 +93,15 @@ def main() -> None:
             per_query[name] = round(best, 3)
             total += best
             rows_total += len(pdf)
+            del pdf
+            if os.environ.get("SPARK_GRAFT_BENCH_GC", "0") == "1":
+                # at large sf the multi-GB toPandas results leave heap/Arrow
+                # pressure that inflates LATER queries ~2x (measured at
+                # sf10); collecting between queries isolates each timing
+                import gc
+
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
         except Exception as e:  # noqa: BLE001
             per_query[name] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
