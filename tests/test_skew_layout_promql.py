@@ -233,3 +233,62 @@ def test_salted_running_agg_matches_plain_window(spark):
         df, ["key"], "ts", "value", chunk_span=200_000
     )._jdf.queryExecution().executedPlan().toString()
     assert "_chunk" in plan
+
+
+def test_gap_fill_methods(spark):
+    from tsdb_parquet_spark.timeseries import gap_fill
+
+    # series m: buckets 0,1,4 observed (gap at 2,3); series n: bucket 2 only
+    rows = [(0, 10.0, "m"), (1500, 12.0, "m"), (4200, 20.0, "m"), (2500, 7.0, "n")]
+    df = spark.createDataFrame(rows, "time long, value double, label_name string")
+
+    locf = {(r["label_name"], r["time"]): (r["value"], r["observed"])
+            for r in gap_fill(df, 1000, method="locf").collect()}
+    assert locf[("m", 0)] == (10.0, True)
+    assert locf[("m", 1000)] == (12.0, True)
+    assert locf[("m", 2000)] == (12.0, False)
+    assert locf[("m", 3000)] == (12.0, False)
+    assert locf[("m", 4000)] == (20.0, True)
+    assert locf[("n", 2000)] == (7.0, True)
+    assert len(locf) == 6  # grids are per-series, not global
+
+    lin = {r["time"]: round(r["value"], 4)
+           for r in gap_fill(df.filter("label_name='m'"), 1000,
+                             method="linear").collect()}
+    # between bucket 1 (12.0) and bucket 4 (20.0): +8/3 per step
+    assert lin[2000] == round(12 + 8 / 3, 4)
+    assert lin[3000] == round(12 + 16 / 3, 4)
+
+    zero = {r["time"]: r["value"]
+            for r in gap_fill(df.filter("label_name='m'"), 1000,
+                              method="zero").collect()}
+    assert zero[2000] == 0.0 and zero[1000] == 12.0
+
+    nul = {r["time"]: r["value"]
+           for r in gap_fill(df.filter("label_name='m'"), 1000,
+                             method="null").collect()}
+    assert nul[3000] is None
+
+    # bounded grid: end_ms extends the trailing fill
+    ext = {r["time"]: r["value"]
+           for r in gap_fill(df.filter("label_name='m'"), 1000,
+                             end_ms=6000, method="locf").collect()}
+    assert ext[5000] == 20.0 and ext[6000] == 20.0
+
+
+def test_predict_linear(spark):
+    from tsdb_parquet_spark.promql import predict_linear
+
+    # perfect line: v = 100 + 2 * t_seconds, sampled every 15 s
+    rows = [(t * 15_000, 100.0 + 2 * (t * 15 - 600), "m") for t in range(41)]
+    df = spark.createDataFrame(rows, "time long, value double, label_name string")
+    # at t=600s (the last sample), window 10min, predict 300 s ahead
+    r = predict_linear(df, 600_000, 600_000, 300.0).collect()[0]
+    assert abs(r["slope"] - 2.0) < 1e-9
+    assert abs(r["predicted"] - (100.0 + 2 * 300)) < 1e-6
+
+    single = spark.createDataFrame(
+        [(600_000, 5.0, "s")], "time long, value double, label_name string"
+    )
+    r1 = predict_linear(single, 600_000, 600_000, 60.0).collect()[0]
+    assert r1["predicted"] is None and r1["n_samples"] == 1

@@ -123,3 +123,22 @@ def test_pandas_udaf_geometric_mean(spark):
            df.groupBy("k").agg(geometric_mean_udaf("v").alias("gm")).collect()}
     assert out["a"] == pytest.approx(4.0)       # sqrt(2*8)
     assert out["b"] == pytest.approx(3.0)       # zero filtered out
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    from tsdb_parquet_spark.sources import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(i, float(i), f"k{i%5}") for i in range(1000)],
+        "time long, value double, label_name string",
+    )
+    p = str(tmp_path / "orc_tbl")
+    write_orc(df, p)
+    back = read_orc(spark, p)
+    assert back.count() == 1000
+    assert dict(back.dtypes) == dict(df.dtypes)
+    # predicate pushdown reaches the ORC scan
+    plan = back.filter(back.time > 500)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(time,500)" in plan
+    assert read_orc(spark, p).filter("label_name = 'k1'").count() == 200

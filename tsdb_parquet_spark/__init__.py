@@ -8,7 +8,10 @@ back — see SURVEY.md), re-expressed Spark-first:
 - time-series-over-Parquet data model with dynamic label columns
   (wide view + canonical map form), sorted physical layout;
 - a Prometheus-matcher query frontend compiled to Catalyst ``Column``
-  predicates (reference: ``hello.go:302-318``);
+  predicates (reference: ``hello.go:302-318``), plus a PromQL expression
+  parser/engine (``promql_expr.py``) and a pure-Python Prometheus TSDB
+  block reader (``tsdb_block.py``) that ingests the reference's own
+  committed block bytes;
 - the full relational operator surface (joins, aggregations, windows,
   set ops, scalar functions) via the DataFrame/SQL API;
 - LLM-data-pipeline operators (dedup exact/MinHash/SimHash/Jaccard,

@@ -283,6 +283,40 @@ def range_rate(
     )
 
 
+def predict_linear(
+    df: DataFrame,
+    at_ms: int,
+    window_ms: int,
+    horizon_s: float,
+    labels: list[str] | None = None,
+) -> DataFrame:
+    """PromQL ``predict_linear(v[window], horizon)``: per series, simple
+    least-squares over the samples in ``(at - window, at]``, extrapolated
+    ``horizon_s`` seconds past ``at`` — the capacity-planning function
+    (gauges only, like Prometheus).
+
+    One hash aggregate computes the regression moments (Σt, Σv, Σtv, Σt²)
+    per series — ``regr_slope``/``regr_intercept`` built-ins, pure codegen,
+    single shuffle.  Time is centered on ``at`` in SECONDS before the
+    moments (exactly Prometheus's formulation) so the slope/intercept stay
+    in well-conditioned float range.  Series with one sample (undefined
+    slope) return NULL.
+    """
+    labels = labels if labels is not None else label_columns(df)
+    t = F.col(TIME_COL)
+    windowed = df.filter((t <= at_ms) & (t > at_ms - window_ms))
+    # centered seconds: x = (t - at)/1000
+    x = (t - F.lit(at_ms)).cast("double") / 1000.0
+    v = F.col(VALUE_COL)
+    slope = F.regr_slope(v, x)
+    intercept = F.regr_intercept(v, x)
+    return windowed.groupBy(*labels).agg(
+        (intercept + slope * F.lit(horizon_s)).alias("predicted"),
+        slope.alias("slope"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
 def rate(
     df: DataFrame,
     window_ms: int,

@@ -74,3 +74,22 @@ def write_bucketed(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """ORC source — Spark's other native columnar format (vectorized
+    reader, predicate pushdown, column pruning all built in, same as
+    parquet).  Schema comes from the ORC footer; no inference pass."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              codec: str = "zstd") -> None:
+    """ORC sink with zstd (ORC's best at-rest codec).  Interop escape
+    hatch: the engine's canonical layout stays sorted parquet
+    (writer.write_sorted) — this exists so ORC-resident corpora can enter
+    and leave without a format detour through another engine."""
+    df.write.mode(mode).option("compression", codec).orc(path)

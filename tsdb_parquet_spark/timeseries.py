@@ -331,3 +331,100 @@ def load_tsdb(spark: SparkSession, path: str | None = None) -> DataFrame:
     from .tables import TSDB_PATH
 
     return spark.read.parquet(path or TSDB_PATH)
+
+
+def gap_fill(
+    df: DataFrame,
+    step_ms: int,
+    labels: list[str] | None = None,
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+    method: str = "locf",
+) -> DataFrame:
+    """Regularize each series onto a fixed ``step_ms`` grid, filling gaps —
+    the time-series `gap-fill / interpolate` operator every TSDB surface
+    carries (the reference's staleness-windowed instant vector is its
+    PromQL cousin; this is the batch form).
+
+    Grid: per series, steps from floor(min_t) (or ``start_ms``) to
+    ``end_ms``/max(t).  Observed steps take the bucket's LAST sample value
+    (downsample semantics); missing steps fill by ``method``:
+
+    - ``"locf"``  — last observation carried forward;
+    - ``"null"``  — leave NULL (caller decides);
+    - ``"zero"``  — fill 0.0 (rate-style counters);
+    - ``"linear"`` — linear interpolation between the neighboring observed
+      samples (trailing gaps fall back to locf).
+
+    Plan: ONE series-partitioned region: bucket-aggregate (map-side
+    partial), per-series grid bounds via a window over the same
+    partitioning, `sequence()`-explode of each series' bounded gap run,
+    then window carries (last/next observed) reusing the (labels)
+    partitioning — Spark plans a single exchange on labels for the whole
+    chain; the explode multiplies rows by at most (span/step)/series,
+    exactly the output size.  No join against a global calendar table —
+    that shape shuffles the calendar everywhere and breaks per-series
+    bounds.
+    """
+    from pyspark.sql import Window
+
+    labels = labels if labels is not None else label_columns(df)
+    if method not in ("locf", "null", "zero", "linear"):
+        raise ValueError(f"unknown gap_fill method {method!r}")
+
+    bucket = (F.col(TIME_COL) / F.lit(step_ms)).cast("bigint")
+    observed = df.groupBy(*labels, bucket.alias("_b")).agg(
+        F.max_by(VALUE_COL, F.col(TIME_COL)).alias("_v")
+    )
+
+    w = Window.partitionBy(*labels).orderBy("_b")
+    lo = F.lit(start_ms // step_ms) if start_ms is not None else None
+    hi = F.lit(end_ms // step_ms) if end_ms is not None else None
+    # explicit bounds REPLACE the per-series ones: start_ms truncates (or
+    # extends nothing — grids never precede the first observation's fill
+    # source), end_ms truncates or extends the trailing fill
+    first_b = F.min("_b").over(Window.partitionBy(*labels))
+    last_b = F.max("_b").over(Window.partitionBy(*labels))
+    gmin = lo if lo is not None else first_b
+    gmax = hi if hi is not None else last_b
+
+    # each observed bucket expands to itself + the gap run up to (not
+    # including) the next observed bucket — lead() runs BEFORE the explode,
+    # on the one-row-per-observed-bucket frame
+    with_next = (
+        observed.withColumn("_nb", F.lead("_b").over(w))
+        .withColumn("_nv", F.lead("_v").over(w))
+        .withColumn("_gmin", gmin)
+        .withColumn("_gmax", gmax)
+    )
+    run_end = F.coalesce(F.col("_nb") - 1, F.col("_gmax"))
+    seq_lo = F.greatest(F.col("_b"), F.col("_gmin"))
+    seq_hi = F.greatest(run_end, F.col("_b"))
+    expanded = (
+        with_next.filter(F.col("_b") <= F.col("_gmax"))
+        .filter(seq_lo <= seq_hi)  # guard: sequence(hi, lo) would descend
+        .withColumn("_gb", F.explode(F.sequence(seq_lo, seq_hi)))
+    )
+    is_obs = F.col("_gb") == F.col("_b")
+    if method == "locf":
+        filled = F.col("_v")  # the carrier row IS the last observation
+    elif method == "zero":
+        filled = F.when(is_obs, F.col("_v")).otherwise(F.lit(0.0))
+    elif method == "null":
+        filled = F.when(is_obs, F.col("_v"))
+    else:  # linear: interpolate toward the next observed bucket's value
+        filled = F.when(is_obs, F.col("_v")).otherwise(
+            F.when(
+                F.col("_nv").isNotNull(),
+                F.col("_v")
+                + (F.col("_nv") - F.col("_v"))
+                * (F.col("_gb") - F.col("_b"))
+                / (F.col("_nb") - F.col("_b")),
+            ).otherwise(F.col("_v"))
+        )
+    return expanded.select(
+        *labels,
+        (F.col("_gb") * F.lit(step_ms)).alias(TIME_COL),
+        filled.alias(VALUE_COL),
+        is_obs.alias("observed"),
+    )
