@@ -105,3 +105,17 @@ def test_filter_pushdown_through_long_form(spark):
     df = select_series(tsdb, [Matcher("=", "job", "prometheus")], t0=0)
     plan = plan_of(df)
     assert "EqualTo(label_job,prometheus)" in plan
+
+
+def test_gap_fill_single_exchange_no_join(entry, spark):
+    # gap-fill chain (agg + bounds window + lead window + explode) reuses
+    # ONE labels partitioning end to end; no calendar join
+    from tsdb_parquet_spark.timeseries import gap_fill
+
+    df = spark.createDataFrame(
+        [(0, 1.0, "a"), (5000, 2.0, "a")],
+        "time long, value double, label_name string",
+    )
+    plan = plan_of(gap_fill(df, 1000))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan

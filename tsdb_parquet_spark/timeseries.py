@@ -373,7 +373,13 @@ def gap_fill(
         raise ValueError(f"unknown gap_fill method {method!r}")
 
     bucket = (F.col(TIME_COL) / F.lit(step_ms)).cast("bigint")
-    observed = df.groupBy(*labels, bucket.alias("_b")).agg(
+    # Partition by labels FIRST: HashPartitioning(labels) satisfies the
+    # (labels, bucket) aggregate's clustering requirement (subset key) AND
+    # the later per-series windows, so the whole chain plans exactly ONE
+    # exchange (plan-asserted in tests) instead of agg-shuffle + window-
+    # shuffle.
+    src = df.repartition(*labels) if labels else df
+    observed = src.groupBy(*labels, bucket.alias("_b")).agg(
         F.max_by(VALUE_COL, F.col(TIME_COL)).alias("_v")
     )
 
