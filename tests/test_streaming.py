@@ -129,3 +129,61 @@ def test_stateful_running_totals_matches_batch(spark, events_path):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_interval_join_equals_batch(spark, events_path, tmp_path):
+    from tsdb_parquet_spark.streaming import (
+        stream_interval_join,
+        stream_interval_join_batch,
+    )
+
+    # Stream-stream joins run in APPEND mode, where the watermark REALLY
+    # drops late rows (unlike the complete-mode agg tests above): replaying
+    # time-shuffled files would legitimately lose pairs.  Replay in time
+    # order — range-partition by ts so part-00000..03 are consecutive time
+    # slices, matching the file source's path-ordered micro-batches (an
+    # in-order source is also the realistic ingest shape).
+    ordered = str(tmp_path / "ordered_events")
+    src = spark.read.parquet(events_path)
+    # the file source orders micro-batches by file MTIME, so each time
+    # slice must be its own commit with a distinct timestamp
+    import time as _time
+
+    with_sec = src.withColumn("_sec", F.unix_timestamp("ts"))
+    qs = with_sec.approxQuantile("_sec", [0.25, 0.5, 0.75], 0.0)
+    lo = None
+    for hi in [*qs, None]:
+        sl = with_sec
+        if lo is not None:
+            sl = sl.filter(F.col("_sec") > lo)
+        if hi is not None:
+            sl = sl.filter(F.col("_sec") <= hi)
+        sl = sl.drop("_sec")
+        sl.coalesce(1).sortWithinPartitions("ts").write.mode("append").parquet(ordered)
+        _time.sleep(1.1)
+        lo = hi
+
+    batch = spark.read.parquet(ordered)
+    want = _canon(
+        stream_interval_join_batch(
+            batch.filter("event_type = 'view'"),
+            batch.filter("event_type = 'click'"),
+        ),
+        ["user_id", "l_ts", "r_ts", "l_event", "r_event"],
+    )
+    assert len(want) > 0
+
+    s_left = read_events_stream(spark, ordered).filter("event_type = 'view'")
+    s_right = read_events_stream(spark, ordered).filter("event_type = 'click'")
+    joined = stream_interval_join(s_left, s_right)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = _canon(spark.table("ivjoin"),
+                 ["user_id", "l_ts", "r_ts", "l_event", "r_event"])
+    assert got == want

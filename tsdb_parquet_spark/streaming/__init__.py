@@ -9,6 +9,8 @@ from .windows import (
     session_counts,
     session_counts_batch,
     stream_dedup,
+    stream_interval_join,
+    stream_interval_join_batch,
     tumbling_counts,
     tumbling_counts_batch,
     write_sorted_stream,
@@ -21,5 +23,7 @@ __all__ = [
     "session_counts",
     "session_counts_batch",
     "stream_dedup",
+    "stream_interval_join",
+    "stream_interval_join_batch",
     "write_sorted_stream",
 ]

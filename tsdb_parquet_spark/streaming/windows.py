@@ -165,3 +165,64 @@ def write_sorted_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    interval: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream INTERVAL join: pair each left event with the right
+    events for the same key within ``(left_ts, left_ts + interval]`` — the
+    streaming twin of ``operators.joins.interval_self_join``.
+
+    Both sides carry watermarks and the join condition carries the time
+    bound — TOGETHER these let Structured Streaming evict buffered state:
+    a buffered left row can match only right rows up to ``interval``
+    ahead, so once the right watermark passes that bound the row
+    finalizes.  An equi key plus a range condition keeps this a streaming
+    symmetric hash join keyed on ``key_col`` — never a cartesian — exactly
+    the batch operator's scale posture, plus bounded state.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {interval}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key_col}").alias(key_col),
+        F.col(f"l.{left_ts}").alias("l_ts"),
+        F.col(f"r.{right_ts}").alias("r_ts"),
+        F.col("l.event_id").alias("l_event"),
+        F.col("r.event_id").alias("r_event"),
+    )
+
+
+def stream_interval_join_batch(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    interval: str = "10 minutes",
+) -> DataFrame:
+    """Batch twin of ``stream_interval_join`` (equivalence-tested)."""
+    l, r = left.alias("l"), right.alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {interval}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key_col}").alias(key_col),
+        F.col(f"l.{left_ts}").alias("l_ts"),
+        F.col(f"r.{right_ts}").alias("r_ts"),
+        F.col("l.event_id").alias("l_event"),
+        F.col("r.event_id").alias("r_event"),
+    )
