@@ -119,3 +119,25 @@ def test_engine_rejects_scalar_only(spark, mini):
     eng = PromQLEngine(mini)
     with pytest.raises(ValueError):
         eng.eval_instant("2", 0)
+
+
+def test_scalar_functions(spark, mini):
+    out = query_instant(mini, 'clamp(req{handler="/a"}, 5, 25)', at_ms=3000)
+    got = {(r["label_handler"], r["label_code"]): r["value"] for r in out.collect()}
+    assert got == {("/a", "200"): 25.0, ("/a", "500"): 5.0}
+
+    out2 = query_instant(mini, "abs(req - 100)", at_ms=3000)
+    got2 = {(r["label_handler"], r["label_code"]): r["value"] for r in out2.collect()}
+    assert got2[("/b", "200")] == 200.0 and got2[("/a", "200")] == 70.0
+
+    # scalar fn over a RANGE evaluation keeps the grid column
+    rng = query_range(mini, 'floor(req{handler="/b"} / 60)', 0, 3000, 1000)
+    vals = {r["step_ts"]: r["value"] for r in rng.collect()}
+    assert vals == {0: 0.0, 1000: 1.0, 2000: 3.0, 3000: 5.0}
+
+
+def test_scalar_fn_parse_errors():
+    with pytest.raises(ValueError):
+        parse_expr("clamp(m, 5)")  # needs 2 args
+    with pytest.raises(ValueError):
+        parse_expr("abs(m, 5)")  # takes none

@@ -54,6 +54,18 @@ _RANGE_FNS = {
     "sum_over_time", "count_over_time", "last_over_time",
 }
 _AGG_OPS = {"sum", "avg", "min", "max", "count"}
+# instant-vector scalar functions: value-wise, labels unchanged
+_SCALAR_FNS = {
+    "abs": lambda v, args: F.abs(v),
+    "ceil": lambda v, args: F.ceil(v).cast("double"),
+    "floor": lambda v, args: F.floor(v).cast("double"),
+    "sqrt": lambda v, args: F.sqrt(v),
+    "exp": lambda v, args: F.exp(v),
+    "ln": lambda v, args: F.log(v),
+    "clamp_min": lambda v, args: F.greatest(v, F.lit(args[0])),
+    "clamp_max": lambda v, args: F.least(v, F.lit(args[0])),
+    "clamp": lambda v, args: F.least(F.greatest(v, F.lit(args[0])), F.lit(args[1])),
+}
 
 _DURATION_RE = re.compile(r"^(\d+)(ms|s|m|h|d|w)$")
 _DURATION_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
@@ -110,6 +122,13 @@ class BinOp(Node):
     op: str
     left: Node
     right: Node
+
+
+@dataclass
+class ScalarFn(Node):
+    fn: str
+    arg: Node
+    args: list[float] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -199,6 +218,8 @@ class _Parser:
                 return self.range_fn()
             if val == "topk":
                 return self.topk()
+            if val in _SCALAR_FNS and self.peek(1) and self.peek(1)[1] == "(":
+                return self.scalar_fn()
             if val in _AGG_OPS and self.peek(1) and self.peek(1)[1] in ("by", "("):
                 return self.aggregate()
             return self.selector()
@@ -242,6 +263,20 @@ class _Parser:
         arg = self.expr()
         self.eat(")")
         return Agg(op, by, arg)
+
+    def scalar_fn(self) -> ScalarFn:
+        fn = self.eat()[1]
+        self.eat("(")
+        arg = self.expr()
+        args: list[float] = []
+        while self.peek() and self.peek()[1] == ",":
+            self.eat(",")
+            args.append(float(self.eat("number")[1]))
+        self.eat(")")
+        want = {"clamp_min": 1, "clamp_max": 1, "clamp": 2}.get(fn, 0)
+        if len(args) != want:
+            raise ValueError(f"{fn} takes {want} numeric arg(s), got {len(args)}")
+        return ScalarFn(fn, arg, args)
 
     def topk(self) -> TopK:
         self.eat("topk")
@@ -320,6 +355,11 @@ class PromQLEngine:
             labels = [c for c in arg.columns if c != VALUE_COL]
             order = [F.desc(VALUE_COL)] + [F.asc_nulls_first(c) for c in labels]
             return arg.orderBy(*order).limit(node.k)
+        if isinstance(node, ScalarFn):
+            arg = self._inst(node.arg, at)
+            return arg.withColumn(
+                VALUE_COL, _SCALAR_FNS[node.fn](F.col(VALUE_COL), node.args)
+            )
         if isinstance(node, BinOp):
             return self._binop(node, self._inst(node.left, at), self._inst(node.right, at), [])
         raise TypeError(f"unknown node {node!r}")
@@ -376,6 +416,11 @@ class PromQLEngine:
                 arg.withColumn("_rk", F.row_number().over(w))
                 .filter(F.col("_rk") <= node.k)
                 .drop("_rk")
+            )
+        if isinstance(node, ScalarFn):
+            arg = self._rng(node.arg, start, end, step)
+            return arg.withColumn(
+                VALUE_COL, _SCALAR_FNS[node.fn](F.col(VALUE_COL), node.args)
             )
         if isinstance(node, BinOp):
             return self._binop(
