@@ -292,3 +292,47 @@ def test_predict_linear(spark):
     )
     r1 = predict_linear(single, 600_000, 600_000, 60.0).collect()[0]
     assert r1["predicted"] is None and r1["n_samples"] == 1
+
+
+def test_label_replace_and_join(spark):
+    from tsdb_parquet_spark.promql import label_join, label_replace
+
+    df = spark.createDataFrame(
+        [(0, 1.0, "up", "host-1:9090", None)],
+        "time long, value double, label_name string, label_instance string, "
+        "label_job string",
+    )
+    # extract the host part into a new label
+    out = label_replace(df, "host", "$1", "instance", "([^:]+):.*").collect()[0]
+    assert out["label_host"] == "host-1"
+    # non-matching regex leaves dst unchanged (absent -> stays NULL)
+    out2 = label_replace(df, "host", "$1", "job", "(prod-.*)").collect()[0]
+    assert out2["label_host"] is None
+
+    j = label_join(df, "key", "/", "name", "instance", "job").collect()[0]
+    assert j["label_key"] == "up/host-1:9090/"  # absent job joins as ""
+
+
+def test_holt_winters_matches_reference_recurrence(spark):
+    from tsdb_parquet_spark.promql import holt_winters
+
+    vals = [10.0, 12.0, 11.0, 15.0, 18.0, 17.0]
+    rows = [(i * 1000, v, "m") for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "time long, value double, label_name string")
+
+    sf, tf = 0.5, 0.3
+    s, b = vals[0], vals[1] - vals[0]
+    for x in vals[1:]:
+        sp = s
+        s = sf * x + (1 - sf) * (s + b)
+        b = tf * (s - sp) + (1 - tf) * b
+
+    got = holt_winters(df, 5000, 10_000, sf, tf).collect()
+    assert len(got) == 1
+    assert abs(got[0]["value"] - s) < 1e-9
+    assert got[0]["n_samples"] == 6
+
+    # <2 samples in window -> dropped
+    assert holt_winters(df, 0, 500, sf, tf).count() == 0
+    with __import__("pytest").raises(ValueError):
+        holt_winters(df, 5000, 10_000, 1.5, 0.3)

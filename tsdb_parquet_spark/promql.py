@@ -283,6 +283,43 @@ def range_rate(
     )
 
 
+def label_replace(
+    df: DataFrame,
+    dst_label: str,
+    replacement: str,
+    src_label: str,
+    regex: str,
+) -> DataFrame:
+    """PromQL ``label_replace(v, dst, replacement, src, regex)``: if the
+    anchored ``regex`` matches ``src``'s value, set ``dst`` to
+    ``replacement`` with ``$1``-style group references expanded; otherwise
+    leave ``dst`` unchanged.  Pure projection (regexp_extract-style JVM
+    expression), no shuffle."""
+    src = F.coalesce(F.col(f"label_{src_label}"), F.lit(""))
+    anchored = f"^(?:{regex})$"
+    dst_col = f"label_{dst_label}"
+    existing = F.col(dst_col) if dst_col in df.columns else F.lit(None).cast("string")
+    # regexp_replace takes Java-style $1 group refs; PromQL's replacement
+    # syntax is also $1 — passes through verbatim
+    replaced = F.regexp_replace(src, anchored, replacement)
+    return df.withColumn(
+        dst_col, F.when(src.rlike(anchored), replaced).otherwise(existing)
+    )
+
+
+def label_join(
+    df: DataFrame,
+    dst_label: str,
+    separator: str,
+    *src_labels: str,
+) -> DataFrame:
+    """PromQL ``label_join(v, dst, sep, src...)``: concatenate the source
+    label values with ``sep`` into ``dst``.  Absent labels join as empty
+    strings (Prometheus semantics).  Pure projection."""
+    parts = [F.coalesce(F.col(f"label_{s}"), F.lit("")) for s in src_labels]
+    return df.withColumn(f"label_{dst_label}", F.concat_ws(separator, *parts))
+
+
 def predict_linear(
     df: DataFrame,
     at_ms: int,
@@ -315,6 +352,58 @@ def predict_linear(
         slope.alias("slope"),
         F.count(F.lit(1)).alias("n_samples"),
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    at_ms: int,
+    window_ms: int,
+    sf: float,
+    tf: float,
+    labels: list[str] | None = None,
+) -> DataFrame:
+    """PromQL ``holt_winters(v[range], sf, tf)`` (double exponential
+    smoothing) at an instant: per series, run the level/trend recurrence
+    over the samples in ``(at - window, at]`` and return the final
+    smoothed value.
+
+    The recurrence (``s_i = sf·v_i + (1-sf)(s_{i-1} + b_{i-1})``) is
+    inherently sequential per series — the one operator family the
+    DataFrame algebra can't express — so this is the designated
+    ``applyInPandas`` path (SURVEY.md §7.2): Arrow-batched, one pandas
+    group per series, vectorized inside the group, series-parallel across
+    executors.  Series with fewer than 2 samples are dropped (undefined
+    trend), matching Prometheus.
+    """
+    import pandas as pd
+
+    labels = labels if labels is not None else label_columns(df)
+    if not 0 < sf < 1 or not 0 < tf < 1:
+        raise ValueError("sf and tf must be in (0, 1)")
+    t = F.col(TIME_COL)
+    windowed = df.filter((t <= at_ms) & (t > at_ms - window_ms)).select(
+        *labels, TIME_COL, VALUE_COL
+    )
+    out_schema = ", ".join(
+        [f"`{c}` string" for c in labels] + ["value double", "n_samples bigint"]
+    )
+
+    def _smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(TIME_COL)
+        v = pdf[VALUE_COL].to_numpy()
+        if len(v) < 2:
+            return pd.DataFrame(columns=list(pdf.columns[: len(labels)]) + ["value", "n_samples"])
+        s, b = v[0], v[1] - v[0]
+        for x in v[1:]:
+            s_prev = s
+            s = sf * x + (1 - sf) * (s + b)
+            b = tf * (s - s_prev) + (1 - tf) * b
+        row = {c: [pdf[c].iloc[0]] for c in labels}
+        row["value"] = [float(s)]
+        row["n_samples"] = [len(v)]
+        return pd.DataFrame(row)
+
+    return windowed.groupBy(*labels).applyInPandas(_smooth, schema=out_schema)
 
 
 def rate(
