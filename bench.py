@@ -136,6 +136,21 @@ def main() -> None:
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
     }
 
+    # surface the measured scale-ratio curve (BENCH_SCALING.json, round 4)
+    # in every bench artifact: the sf0.1 serial ratio alone is the per-job
+    # floor, not the engine (SCALE.md §5)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SCALING.json")) as fh:
+            pts = json.load(fh)["points"]
+        out["scaling_curve"] = {
+            f"sf{p['sf']:g}": {"serial_ratio": p["serial_ratio"],
+                               "concurrent_ratio": p["concurrent_ratio"]}
+            for p in pts
+        }
+    except Exception:  # noqa: BLE001 — curve file is optional
+        pass
+
     if run_duckdb:
         try:
             import duckdb

@@ -141,3 +141,19 @@ def test_scalar_fn_parse_errors():
         parse_expr("clamp(m, 5)")  # needs 2 args
     with pytest.raises(ValueError):
         parse_expr("abs(m, 5)")  # takes none
+
+
+def test_aggregate_without(spark, mini):
+    out = query_instant(mini, "sum without (code) (req)", at_ms=3000)
+    got = {(r["label_name"], r["label_handler"]): r["value"] for r in out.collect()}
+    assert got == {("req", "/a"): 33.0, ("req", "/b"): 300.0}
+
+    # without over a range keeps step_ts as a grouping key
+    rng = query_range(mini, "sum without (code, name) (req)", 2000, 3000, 1000)
+    got2 = {(r["label_handler"], r["step_ts"]): r["value"] for r in rng.collect()}
+    assert got2[("/a", 3000)] == 33.0
+    assert got2[("/b", 2000)] == 200.0
+
+    # without on an absent label is a no-op
+    out3 = query_instant(mini, "sum without (nope) (req)", at_ms=3000)
+    assert out3.count() == 3

@@ -16,7 +16,7 @@ Grammar (the working subset)::
     unary     := number | call | aggregate | selector_expr | '(' expr ')'
     call      := FUNC '(' expr '[' duration ']' ')'        # range function
                | 'topk' '(' number ',' expr ')'
-    aggregate := OP ('by' '(' labels ')')? '(' expr ')'
+    aggregate := OP (('by'|'without') '(' labels ')')? '(' expr ')'
     selector  := metric? '{' matchers '}' | metric
 
 Range functions: rate, increase, avg/min/max/sum/count/last_over_time,
@@ -109,6 +109,7 @@ class Agg(Node):
     op: str
     by: list[str]
     arg: Node
+    without: bool = False
 
 
 @dataclass
@@ -220,7 +221,7 @@ class _Parser:
                 return self.topk()
             if val in _SCALAR_FNS and self.peek(1) and self.peek(1)[1] == "(":
                 return self.scalar_fn()
-            if val in _AGG_OPS and self.peek(1) and self.peek(1)[1] in ("by", "("):
+            if val in _AGG_OPS and self.peek(1) and self.peek(1)[1] in ("by", "without", "("):
                 return self.aggregate()
             return self.selector()
         if kind == "brace":
@@ -251,8 +252,9 @@ class _Parser:
     def aggregate(self) -> Agg:
         op = self.eat()[1]
         by: list[str] = []
-        if self.peek() and self.peek()[1] == "by":
-            self.eat("by")
+        without = False
+        if self.peek() and self.peek()[1] in ("by", "without"):
+            without = self.eat()[1] == "without"
             self.eat("(")
             while self.peek() and self.peek()[1] != ")":
                 by.append(self.eat("ident")[1])
@@ -262,7 +264,7 @@ class _Parser:
         self.eat("(")
         arg = self.expr()
         self.eat(")")
-        return Agg(op, by, arg)
+        return Agg(op, by, arg, without)
 
     def scalar_fn(self) -> ScalarFn:
         fn = self.eat()[1]
@@ -339,8 +341,7 @@ class PromQLEngine:
             return self._range_fn_agg(node, w, labels, [])
         if isinstance(node, Agg):
             arg = self._inst(node.arg, at)
-            by = [self._label_col(arg, l) for l in node.by]
-            from .promql import aggregate_by  # noqa: F401  (shape reference)
+            by = self._agg_keys(arg, node)
             v = F.col(VALUE_COL)
             exprs = {
                 "sum": F.sum(v.cast("decimal(28,6)")).cast("double"),
@@ -394,7 +395,7 @@ class PromQLEngine:
             return self._over_time_grid(node, sel, labels, start, end, step)
         if isinstance(node, Agg):
             arg = self._rng(node.arg, start, end, step)
-            by = [self._label_col(arg, l) for l in node.by]
+            by = self._agg_keys(arg, node, keep=("step_ts",))
             v = F.col(VALUE_COL)
             exprs = {
                 "sum": F.sum(v.cast("decimal(28,6)")).cast("double"),
@@ -432,6 +433,23 @@ class PromQLEngine:
         raise TypeError(f"unknown node {node!r}")
 
     # -- shared helpers ---------------------------------------------------
+
+    def _agg_keys(self, arg: DataFrame, node: Agg, keep: tuple[str, ...] = ()) -> list[str]:
+        """Grouping keys for by(...) / without(...) aggregation over the
+        evaluated vector.  ``keep`` = non-label framework columns
+        (step_ts) that stay grouping keys regardless."""
+        if not node.without:
+            return [self._label_col(arg, l) for l in node.by]
+        dropped = set()
+        for l in node.by:
+            try:
+                dropped.add(self._label_col(arg, l))
+            except ValueError:
+                pass  # `without` on an absent label is a no-op
+        return [
+            c for c in arg.columns
+            if c not in (VALUE_COL, *keep) and c not in dropped
+        ]
 
     def _label_col(self, df: DataFrame, label: str) -> str:
         wide = f"label_{label}"
