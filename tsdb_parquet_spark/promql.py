@@ -54,6 +54,37 @@ def over_time(
     return _bucketed(df, window_ms, labels).agg(exprs[fn].alias(f"{fn}_over_time"))
 
 
+def quantile_over_time(
+    df: DataFrame,
+    q: float,
+    window_ms: int,
+    labels: list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """PromQL ``quantile_over_time(q, range)``: the φ-quantile
+    (linear-interpolated, Prometheus/SQL ``quantile_cont`` semantics) of
+    each series' samples per aligned window.
+
+    ``exact=True`` uses ``percentile`` (buffers the window's values per
+    group — fine: a window holds minutes of one series, not the table);
+    ``exact=False`` switches to ``approx_percentile`` (t-digest,
+    mergeable, bounded memory) — the 100 TB path when windows get huge.
+    Same single-shuffle profile as the rest of the over_time family.
+    """
+    if not 0 <= q <= 1:
+        raise ValueError(f"quantile must be in [0, 1], got {q}")
+    labels = labels if labels is not None else label_columns(df)
+    v = F.col(VALUE_COL)
+    agg = (
+        F.expr(f"percentile(value, {q})") if exact
+        else F.expr(f"approx_percentile(value, {q})")
+    )
+    return _bucketed(df, window_ms, labels).agg(
+        agg.cast("double").alias("quantile_over_time"),
+        F.count(v).alias("n_samples"),
+    )
+
+
 def delta(
     df: DataFrame,
     window_ms: int,
