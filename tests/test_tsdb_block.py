@@ -119,3 +119,66 @@ def test_committed_fixture_matches_block():
         f"SELECT count(*) FROM read_parquet('{path}/part-*.parquet')"
     ).fetchone()[0]
     assert n == 154529
+
+
+def test_block_writer_reader_roundtrip(tmp_path):
+    # random-walk series with counter resets, negative dods, repeated
+    # values: exercises every XOR/dod encoding branch
+    import random
+
+    rnd = random.Random(13)
+    series = []
+    for s in range(20):
+        t = 1_600_000_000_000 + rnd.randint(0, 5000)
+        v = float(rnd.randint(0, 100))
+        samples = []
+        for _ in range(rnd.randint(1, 300)):
+            samples.append((t, v))
+            t += rnd.choice([15_000, 15_007, 14_993, 60_000, 1])
+            r = rnd.random()
+            if r < 0.3:
+                pass  # repeated value
+            elif r < 0.9:
+                v += rnd.choice([1.0, -1.0, 0.5, 1e-9, 1e9])
+            else:
+                v = 0.0  # counter reset
+        series.append(({"__name__": f"m{s}", "instance": f"i{s % 3}"}, samples))
+
+    blk = str(tmp_path / "synth_block")
+    tb.write_block(blk, series)
+    got = {tuple(sorted(l.items())): s for l, s in tb.read_block(blk)}
+    for labels, samples in series:
+        key = tuple(sorted(labels.items()))
+        assert got[key] == sorted(samples), f"mismatch for {labels}"
+    meta = tb.block_meta(blk)
+    assert meta["stats"]["numSeries"] == 20
+
+
+def test_xor_chunk_encoder_edge_values():
+    cases = [
+        [],
+        [(0, 1.5)],
+        [(0, 0.0), (1, 0.0)],
+        [(0, float("inf")), (15_000, float("-inf")), (30_000, 1e-300)],
+        [(0, 1.0), (1 << 40, 2.0)],  # 64-bit dod path
+        [(0, -0.0), (10, 0.0), (20, -0.0)],
+    ]
+    for samples in cases:
+        assert tb.decode_xor_chunk(tb.encode_xor_chunk(samples)) == samples
+
+
+def test_multi_block_ingest_distinct_blocks(spark, tmp_path):
+    # the reference block + a synthetic block with DIFFERENT label names:
+    # union schema, both decode in executor tasks
+    synth = str(tmp_path / "b2")
+    tb.write_block(
+        synth,
+        [({"__name__": "synthetic_metric", "zone": "z1"},
+          [(1679382479083 + i * 15_000, float(i)) for i in range(100)])],
+    )
+    out = str(tmp_path / "multi_pq")
+    n = tb.ingest_blocks(spark, [BLOCK, synth], out, num_files=2)
+    assert n == 154529 + 100
+    df = spark.read.parquet(out)
+    assert "label_zone" in df.columns and "label_handler" in df.columns
+    assert df.filter(df.label_name == "synthetic_metric").count() == 100

@@ -400,3 +400,198 @@ def ingest_blocks(spark, block_dirs: list[str], out_path: str,
 
     write_sorted(decoded, out_path, num_files=num_files)
     return spark.read.parquet(out_path).count()
+
+
+# ---------------------------------------------------------------------------
+# Block WRITER — the encoder inverse of the reader above.  Exists for two
+# reasons: (1) round-trip tests prove the reader against an independent
+# encoder rather than only against meta.json counts; (2) multi-block ingest
+# can be exercised with genuinely distinct blocks.  Same public formats;
+# the index writes only the sections this engine reads (symbols + series),
+# with the TOC's remaining offsets pointing at the end of the series
+# section (valid per format: sections may be empty).
+
+class _BitWriter:
+    """MSB-first bit writer (inverse of _BitReader)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.bit = 0  # bits used in the last byte
+
+    def write_bit(self, b: int) -> None:
+        if self.bit == 0:
+            self.buf.append(0)
+        if b:
+            self.buf[-1] |= 1 << (7 - self.bit)
+        self.bit = (self.bit + 1) % 8
+
+    def write_bits(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.write_bit((value >> i) & 1)
+
+    def write_byte(self, b: int) -> None:
+        self.write_bits(b, 8)
+
+    def write_uvarint(self, v: int) -> None:
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            self.write_byte(b | (0x80 if v else 0))
+            if not v:
+                return
+
+
+def _uvarint_bytes(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return bytes(out)
+
+
+def _varint_bytes(v: int) -> bytes:
+    return _uvarint_bytes((v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1)
+
+
+def encode_xor_chunk(samples: list[tuple[int, float]]) -> bytes:
+    """Encode (t, v) samples as an XOR/Gorilla chunk payload (inverse of
+    ``decode_xor_chunk``)."""
+    num = len(samples)
+    out = bytearray(struct.pack(">H", num))
+    if num == 0:
+        return bytes(out)
+    t0, v0 = samples[0]
+    out += _varint_bytes(t0)
+    out += struct.pack(">d", v0)
+    if num == 1:
+        return bytes(out)
+
+    w = _BitWriter()
+    prev_t, prev_v = t0, v0
+    t_delta = 0
+    leading, trailing = 0xFF, 0
+    for i, (t, v) in enumerate(samples[1:], start=1):
+        if i == 1:
+            t_delta = t - prev_t
+            if t_delta < 0:
+                raise ValueError("samples must be time-sorted")
+            w.write_uvarint(t_delta)
+        else:
+            dod = (t - prev_t) - t_delta
+            t_delta = t - prev_t
+            if dod == 0:
+                w.write_bit(0)
+            else:
+                for prefix, sz in ((0b10, 14), (0b110, 17), (0b1110, 20)):
+                    if -(1 << (sz - 1)) < dod <= (1 << (sz - 1)):
+                        w.write_bits(prefix, prefix.bit_length())
+                        w.write_bits(dod & ((1 << sz) - 1), sz)
+                        break
+                else:
+                    w.write_bits(0b1111, 4)
+                    w.write_bits(dod & ((1 << 64) - 1), 64)
+        prev_t = t
+
+        vbits = struct.unpack(">Q", struct.pack(">d", v))[0]
+        pbits = struct.unpack(">Q", struct.pack(">d", prev_v))[0]
+        xor = vbits ^ pbits
+        if xor == 0:
+            w.write_bit(0)
+        else:
+            w.write_bit(1)
+            lead = min(31, 64 - xor.bit_length())
+            trail = (xor & -xor).bit_length() - 1
+            if leading != 0xFF and lead >= leading and trail >= trailing:
+                w.write_bit(0)
+                w.write_bits(xor >> trailing, 64 - leading - trailing)
+            else:
+                leading, trailing = lead, trail
+                sigbits = 64 - leading - trailing
+                w.write_bit(1)
+                w.write_bits(leading, 5)
+                w.write_bits(sigbits & 0x3F, 6)  # 64 encodes as 0
+                w.write_bits(xor >> trailing, sigbits)
+        prev_v = v
+    return bytes(out) + bytes(w.buf)
+
+
+def write_block(
+    block_dir: str,
+    series: list[tuple[dict[str, str], list[tuple[int, float]]]],
+    ulid: str = "00000000000000000000000000",
+) -> None:
+    """Write a minimal valid TSDB block: chunks/000001 (XOR chunks, one per
+    series), index v2 (symbols + series + TOC), meta.json, tombstones."""
+    os.makedirs(os.path.join(block_dir, "chunks"), exist_ok=True)
+    # sort series by label set (the index requires sorted series)
+    series = sorted(series, key=lambda s: sorted(s[0].items()))
+
+    # --- chunks segment
+    chunk_refs: list[tuple[int, int, int]] = []
+    seg = bytearray(b"\x85\xbd\x40\xdd\x01\x00\x00\x00")
+    for labels, samples in series:
+        samples = sorted(samples)
+        payload = encode_xor_chunk(samples)
+        offset = len(seg)
+        enc_payload = b"\x01" + payload
+        seg += _uvarint_bytes(len(payload)) + enc_payload
+        seg += struct.pack(">I", crc32c(enc_payload))
+        mint = samples[0][0] if samples else 0
+        maxt = samples[-1][0] if samples else 0
+        chunk_refs.append((mint, maxt, offset))  # segment 0 -> ref == offset
+    with open(os.path.join(block_dir, "chunks", "000001"), "wb") as f:
+        f.write(seg)
+
+    # --- index
+    symbols = sorted({s for labels, _ in series for kv in labels.items() for s in kv})
+    sym_idx = {s: i for i, s in enumerate(symbols)}
+    idx = bytearray(b"\xba\xaa\xd7\x00\x02")
+    sym_payload = bytearray(struct.pack(">I", len(symbols)))
+    for s in symbols:
+        b = s.encode("utf-8")
+        sym_payload += _uvarint_bytes(len(b)) + b
+    toc_symbols = len(idx)
+    idx += struct.pack(">I", len(sym_payload)) + sym_payload
+    idx += struct.pack(">I", crc32c(bytes(sym_payload)))
+
+    toc_series = len(idx)
+    for (labels, _samples), (mint, maxt, ref) in zip(series, chunk_refs):
+        while len(idx) % 16:
+            idx.append(0)
+        body = bytearray(_uvarint_bytes(len(labels)))
+        for k in sorted(labels):
+            body += _uvarint_bytes(sym_idx[k]) + _uvarint_bytes(sym_idx[labels[k]])
+        body += _uvarint_bytes(1)  # one chunk per series
+        body += _varint_bytes(mint)
+        body += _uvarint_bytes(maxt - mint)
+        body += _uvarint_bytes(ref)
+        idx += _uvarint_bytes(len(body)) + body + struct.pack(">I", crc32c(bytes(body)))
+    while len(idx) % 16:
+        idx.append(0)
+    toc_rest = len(idx)
+
+    toc = struct.pack(
+        ">6Q", toc_symbols, toc_series, toc_rest, toc_rest, toc_rest, toc_rest
+    )
+    idx += toc + struct.pack(">I", crc32c(toc))
+    with open(os.path.join(block_dir, "index"), "wb") as f:
+        f.write(idx)
+
+    # --- meta.json + tombstones
+    n_samples = sum(len(s) for _, s in series)
+    all_t = [t for _, ss in series for t, _ in ss]
+    meta = {
+        "ulid": ulid,
+        "minTime": min(all_t) if all_t else 0,
+        "maxTime": (max(all_t) + 1) if all_t else 0,
+        "stats": {"numSamples": n_samples, "numSeries": len(series),
+                  "numChunks": len(series)},
+        "compaction": {"level": 1, "sources": [ulid]},
+        "version": 1,
+    }
+    with open(os.path.join(block_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent="\t")
+    with open(os.path.join(block_dir, "tombstones"), "wb") as f:
+        f.write(b"\x00\x00\x00\x00\x00\x00\x00\x00\x00")
