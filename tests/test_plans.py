@@ -119,3 +119,28 @@ def test_gap_fill_single_exchange_no_join(entry, spark):
     plan = plan_of(gap_fill(df, 1000))
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan
+
+
+def test_plan_audit_helpers(entry, spark):
+    from tsdb_parquet_spark.plans import summarize
+
+    s9 = summarize(entry.q09_join_agg(spark, SF))
+    assert "BroadcastHashJoin" in s9.joins and "ShuffledHashJoin" in s9.joins
+    assert not s9.cartesian
+    assert "l_extendedprice" in s9.read_columns
+    assert "l_shipdate" not in s9.read_columns
+
+    s2 = summarize(entry.q02_eq_matchers_time_range(spark, SF))
+    assert s2.exchanges == 0 and not s2.joins
+    assert any("EqualTo(label_name,up" in p for p in s2.pushed)
+    assert s2.codegen_spans >= 1
+
+
+def test_cli_explain_smoke(spark, capsys):
+    from tsdb_parquet_spark.cli import main
+    from tsdb_parquet_spark.tables import TSDB_PATH
+
+    main(["explain", TSDB_PATH, "-s", 'up{instance="localhost:9090"}'])
+    out = capsys.readouterr().out
+    assert "pushed filters:" in out and "EqualTo(label_name,up)" in out
+    assert "exchanges:      0" in out

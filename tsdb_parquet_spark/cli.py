@@ -72,6 +72,14 @@ def main(argv: list[str] | None = None) -> None:
     p_r.add_argument("-m", "--matcher", action="append", default=[])
     p_r.add_argument("--labels", default=None, help="comma-separated label columns")
 
+    p_e = sub.add_parser("explain", help="plan audit for a matcher query (plans/audit.py)")
+    p_e.add_argument("table")
+    p_e.add_argument("-m", "--matcher", action="append", default=[])
+    p_e.add_argument("-s", "--selector", default=None)
+    p_e.add_argument("--t0", type=int, default=None)
+    p_e.add_argument("--t1", type=int, default=None)
+    p_e.add_argument("--full", action="store_true", help="print the whole physical plan")
+
     args = p.parse_args(argv)
 
     if args.cmd == "inspect":  # no Spark needed — pure pyarrow footer read
@@ -129,6 +137,24 @@ def main(argv: list[str] | None = None) -> None:
             df = regroup_series(df)
         df.show(args.limit, truncate=False)
         print(f"({df.count()} rows)")
+        return
+
+    if args.cmd == "explain":
+        from .plans import summarize
+        from .plans.audit import format_summary, plan_string
+        from .timeseries import select_series
+
+        spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+        df = select_series(
+            spark.read.parquet(args.table),
+            matchers=matchers,
+            t0=args.t0,
+            t1=args.t1,
+        )
+        print(format_summary(summarize(df)))
+        if args.full:
+            print()
+            print(plan_string(df))
         return
 
     if args.cmd == "rate":
