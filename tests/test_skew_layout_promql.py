@@ -336,3 +336,34 @@ def test_holt_winters_matches_reference_recurrence(spark):
     assert holt_winters(df, 0, 500, sf, tf).count() == 0
     with __import__("pytest").raises(ValueError):
         holt_winters(df, 5000, 10_000, 1.5, 0.3)
+
+
+def test_histogram_quantile_known_values(spark):
+    from tsdb_parquet_spark.promql import histogram_quantile
+
+    # cumulative buckets at one instant: le=1 -> 10, le=2 -> 30, +Inf -> 40
+    rows = [
+        (0, 10.0, "h", "1"), (0, 30.0, "h", "2"), (0, 40.0, "h", "+Inf"),
+    ]
+    df = spark.createDataFrame(
+        rows, "time long, value double, label_handler string, label_le string"
+    )
+    got = {r["label_handler"]: r["quantile"]
+           for r in histogram_quantile(df, 0.5, ["label_handler"]).collect()}
+    # rank = 20 -> bucket (1,2]: 1 + (2-1)*(20-10)/(30-10) = 1.5
+    assert got["h"] == 1.5
+
+    # q=0.95 -> rank 38 lands in +Inf bucket -> highest finite le
+    got95 = histogram_quantile(df, 0.95, ["label_handler"]).collect()[0]
+    assert got95["quantile"] == 2.0
+
+    # q=0 -> rank 0 -> first bucket, interpolates to its lower bound 0
+    got0 = histogram_quantile(df, 0.0, ["label_handler"]).collect()[0]
+    assert got0["quantile"] == 0.0
+
+    # empty group (total 0) dropped
+    zero = spark.createDataFrame(
+        [(0, 0.0, "z", "1"), (0, 0.0, "z", "+Inf")],
+        "time long, value double, label_handler string, label_le string",
+    )
+    assert histogram_quantile(zero, 0.9, ["label_handler"]).count() == 0

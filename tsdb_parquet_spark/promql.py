@@ -314,6 +314,68 @@ def range_rate(
     )
 
 
+def histogram_quantile(
+    df: DataFrame,
+    q: float,
+    labels: list[str],
+    le_col: str = "label_le",
+    time_col: str = TIME_COL,
+) -> DataFrame:
+    """PromQL ``histogram_quantile(q, v)`` over classic ``_bucket`` series:
+    per (group labels, instant), linear-interpolate the φ-quantile from
+    the cumulative bucket counts keyed by the ``le`` label.
+
+    Prometheus's algorithm exactly: rank = q·total (total = the ``+Inf``
+    bucket's cumulative count); the target bucket is the lowest ``le``
+    whose count ≥ rank; interpolate between the bucket's bounds — the
+    first bucket's lower bound is 0, and a rank landing in the ``+Inf``
+    bucket returns the highest finite ``le`` (no upper bound to
+    interpolate toward).  Groups with no samples (total = 0) are dropped
+    (Prometheus yields NaN; inner-vector semantics here, like
+    ``instant_vector``).
+
+    Plan: one window partitioning on (labels, time) ordered by numeric
+    ``le`` — lag gives each bucket its lower bound/previous count, max
+    gives the total — then a filter keeps the first qualifying bucket.
+    Single exchange; buckets-per-series is a small constant (10-100), so
+    partitions are tiny and uniform (no skew surface).
+    """
+    from pyspark.sql import Window
+
+    if not 0 <= q <= 1:
+        raise ValueError(f"quantile must be in [0, 1], got {q}")
+    le_num = F.when(F.col(le_col) == "+Inf", F.lit(float("inf"))).otherwise(
+        F.col(le_col).cast("double")
+    )
+    keys = [*labels, time_col]
+    w = Window.partitionBy(*keys).orderBy(le_num.asc())
+    wp = Window.partitionBy(*keys)
+    v = F.col(VALUE_COL)
+    enriched = (
+        df.withColumn("_le", le_num)
+        .withColumn("_prev_le", F.lag("_le", 1, 0.0).over(w))
+        .withColumn("_prev_ct", F.lag(VALUE_COL, 1, 0.0).over(w))
+        .withColumn("_total", F.max(VALUE_COL).over(wp))
+        .withColumn("_rank", F.lit(q) * F.col("_total"))
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy(*keys).orderBy(
+                (v < F.col("_rank")).cast("int"), F.col("_le")
+            )
+        ))
+    )
+    # the first bucket (by le) with count >= rank sorts to _rn == 1
+    hit = enriched.filter((F.col("_rn") == 1) & (F.col("_total") > 0))
+    interp = F.col("_prev_le") + (F.col("_le") - F.col("_prev_le")) * (
+        (F.col("_rank") - F.col("_prev_ct")) / (v - F.col("_prev_ct"))
+    )
+    value = (
+        F.when(F.col("_le") == float("inf"), F.col("_prev_le"))
+        .when(v == F.col("_prev_ct"), F.col("_le"))
+        .otherwise(interp)
+    )
+    return hit.select(*keys, value.alias("quantile"))
+
+
 def label_replace(
     df: DataFrame,
     dst_label: str,
