@@ -157,3 +157,43 @@ def test_aggregate_without(spark, mini):
     # without on an absent label is a no-op
     out3 = query_instant(mini, "sum without (nope) (req)", at_ms=3000)
     assert out3.count() == 3
+
+
+def test_parse_on_and_histogram_quantile():
+    from tsdb_parquet_spark.promql_expr import HistogramQuantile
+
+    n = parse_expr("m / on (handler, job) sum by (handler) (m)")
+    assert isinstance(n, BinOp) and n.on == ["handler", "job"]
+
+    h = parse_expr("histogram_quantile(0.9, http_duration_bucket)")
+    assert isinstance(h, HistogramQuantile) and h.q == 0.9
+    assert isinstance(h.arg, Selector)
+
+
+def test_binop_on_matches_implicit(spark, mini):
+    implicit = query_instant(mini, "req / sum by (handler) (req)", at_ms=3000)
+    explicit = query_instant(mini, "req / on (handler) sum by (handler) (req)",
+                             at_ms=3000)
+    assert implicit.exceptAll(explicit).count() == 0
+    assert explicit.exceptAll(implicit).count() == 0
+
+
+def test_histogram_quantile_expression(spark):
+    rows = [
+        (0, 10.0, "hist", "/x", "1"), (0, 30.0, "hist", "/x", "2"),
+        (0, 40.0, "hist", "/x", "+Inf"),
+        (0, 5.0, "hist", "/y", "1"), (0, 5.0, "hist", "/y", "2"),
+        (0, 10.0, "hist", "/y", "+Inf"),
+    ]
+    df = spark.createDataFrame(
+        rows, "time long, value double, label_name string, "
+        "label_handler string, label_le string",
+    )
+    out = query_instant(df, "histogram_quantile(0.5, hist)", at_ms=0)
+    got = {r["label_handler"]: r["value"] for r in out.collect()}
+    assert got["/x"] == 1.5  # interpolated inside (1,2]
+    assert got["/y"] == 1.0  # rank 5 == first bucket count -> its le
+
+    # range evaluation keeps the grid
+    rng = query_range(df, "histogram_quantile(0.5, hist)", 0, 60_000, 60_000)
+    assert {r["step_ts"] for r in rng.collect()} == {0, 60_000}

@@ -319,7 +319,7 @@ def histogram_quantile(
     q: float,
     labels: list[str],
     le_col: str = "label_le",
-    time_col: str = TIME_COL,
+    time_col: str | None = TIME_COL,
 ) -> DataFrame:
     """PromQL ``histogram_quantile(q, v)`` over classic ``_bucket`` series:
     per (group labels, instant), linear-interpolate the φ-quantile from
@@ -347,7 +347,9 @@ def histogram_quantile(
     le_num = F.when(F.col(le_col) == "+Inf", F.lit(float("inf"))).otherwise(
         F.col(le_col).cast("double")
     )
-    keys = [*labels, time_col]
+    # time_col=None evaluates one already-instant vector (each group is a
+    # single evaluation, e.g. the expression engine's instant path)
+    keys = [*labels, *([time_col] if time_col else [])]
     w = Window.partitionBy(*keys).orderBy(le_num.asc())
     wp = Window.partitionBy(*keys)
     v = F.col(VALUE_COL)

@@ -123,6 +123,7 @@ class BinOp(Node):
     op: str
     left: Node
     right: Node
+    on: list[str] = field(default_factory=list)  # `on (labels)` matching
 
 
 @dataclass
@@ -130,6 +131,12 @@ class ScalarFn(Node):
     fn: str
     arg: Node
     args: list[float] = field(default_factory=list)
+
+
+@dataclass
+class HistogramQuantile(Node):
+    q: float
+    arg: Node
 
 
 # ---------------------------------------------------------------------------
@@ -187,18 +194,33 @@ class _Parser:
             raise ValueError(f"trailing tokens: {self.toks[self.i:]}")
         return node
 
+    def _on_clause(self) -> list[str]:
+        if not (self.peek() and self.peek()[1] == "on"):
+            return []
+        self.eat("on")
+        self.eat("(")
+        out: list[str] = []
+        while self.peek() and self.peek()[1] != ")":
+            out.append(self.eat("ident")[1])
+            if self.peek() and self.peek()[1] == ",":
+                self.eat(",")
+        self.eat(")")
+        return out
+
     def expr(self) -> Node:
         node = self.term()
         while self.peek() and self.peek()[1] in ("+", "-"):
             op = self.eat()[1]
-            node = BinOp(op, node, self.term())
+            on = self._on_clause()
+            node = BinOp(op, node, self.term(), on)
         return node
 
     def term(self) -> Node:
         node = self.unary()
         while self.peek() and self.peek()[1] in ("*", "/"):
             op = self.eat()[1]
-            node = BinOp(op, node, self.unary())
+            on = self._on_clause()
+            node = BinOp(op, node, self.unary(), on)
         return node
 
     def unary(self) -> Node:
@@ -219,6 +241,8 @@ class _Parser:
                 return self.range_fn()
             if val == "topk":
                 return self.topk()
+            if val == "histogram_quantile":
+                return self.histogram_quantile()
             if val in _SCALAR_FNS and self.peek(1) and self.peek(1)[1] == "(":
                 return self.scalar_fn()
             if val in _AGG_OPS and self.peek(1) and self.peek(1)[1] in ("by", "without", "("):
@@ -288,6 +312,15 @@ class _Parser:
         arg = self.expr()
         self.eat(")")
         return TopK(k, arg)
+
+    def histogram_quantile(self) -> HistogramQuantile:
+        self.eat("histogram_quantile")
+        self.eat("(")
+        q = float(self.eat("number")[1])
+        self.eat(",")
+        arg = self.expr()
+        self.eat(")")
+        return HistogramQuantile(q, arg)
 
 
 def parse_expr(expr: str, metric_label: str = "name") -> Node:
@@ -361,6 +394,16 @@ class PromQLEngine:
             return arg.withColumn(
                 VALUE_COL, _SCALAR_FNS[node.fn](F.col(VALUE_COL), node.args)
             )
+        if isinstance(node, HistogramQuantile):
+            from .promql import histogram_quantile
+
+            arg = self._inst(node.arg, at)
+            if "label_le" not in arg.columns:
+                raise ValueError("histogram_quantile needs a label_le column")
+            labels = [c for c in arg.columns if c not in (VALUE_COL, "label_le")]
+            return histogram_quantile(arg, node.q, labels, time_col=None).withColumnRenamed(
+                "quantile", VALUE_COL
+            )
         if isinstance(node, BinOp):
             return self._binop(node, self._inst(node.left, at), self._inst(node.right, at), [])
         raise TypeError(f"unknown node {node!r}")
@@ -423,6 +466,17 @@ class PromQLEngine:
             return arg.withColumn(
                 VALUE_COL, _SCALAR_FNS[node.fn](F.col(VALUE_COL), node.args)
             )
+        if isinstance(node, HistogramQuantile):
+            from .promql import histogram_quantile
+
+            arg = self._rng(node.arg, start, end, step)
+            if "label_le" not in arg.columns:
+                raise ValueError("histogram_quantile needs a label_le column")
+            labels = [c for c in arg.columns
+                      if c not in (VALUE_COL, "label_le", "step_ts")]
+            return histogram_quantile(
+                arg, node.q, labels, time_col="step_ts"
+            ).withColumnRenamed("quantile", VALUE_COL)
         if isinstance(node, BinOp):
             return self._binop(
                 node,
@@ -516,11 +570,15 @@ class PromQLEngine:
             return right.withColumn(VALUE_COL, op(F.lit(left), F.col(VALUE_COL)))
         if not isinstance(right, DataFrame):
             return left.withColumn(VALUE_COL, op(F.col(VALUE_COL), F.lit(right)))
-        # vector-vector: match on the intersection of label columns and
-        # keep the LEFT side's full label set — the many-to-one
-        # (`group_left`-like) semantics `v / sum by (x)(v)` needs
-        keys = [c for c in left.columns
-                if c in right.columns and c != VALUE_COL]
+        # vector-vector: match on `on (labels)` when given, else the
+        # intersection of label columns; keep the LEFT side's full label
+        # set — the many-to-one (`group_left`-like) semantics
+        # `v / sum by (x)(v)` needs.  Framework keys (step_ts) always join.
+        if node.on:
+            keys = [self._label_col(left, l) for l in node.on] + list(extra_keys)
+        else:
+            keys = [c for c in left.columns
+                    if c in right.columns and c != VALUE_COL]
         if not keys:
             raise ValueError("no shared labels to match on")
         keep = [c for c in left.columns if c != VALUE_COL]
