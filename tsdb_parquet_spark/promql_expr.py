@@ -11,11 +11,14 @@ evaluator that composes the primitives into ONE Spark plan per expression
 
 Grammar (the working subset)::
 
-    expr      := term (('+'|'-') term)*            # vector/scalar arith
-    term      := unary (('*'|'/') unary)*
+    expr      := term (('+'|'-') on? term)*        # vector/scalar arith
+    term      := unary (('*'|'/') on? unary)*
+    on        := 'on' '(' labels ')'               # explicit vector matching
     unary     := number | call | aggregate | selector_expr | '(' expr ')'
     call      := FUNC '(' expr '[' duration ']' ')'        # range function
                | 'topk' '(' number ',' expr ')'
+               | 'histogram_quantile' '(' number ',' expr ')'
+               | SCALAR_FN '(' expr (',' number)* ')'      # abs/clamp/...
     aggregate := OP (('by'|'without') '(' labels ')')? '(' expr ')'
     selector  := metric? '{' matchers '}' | metric
 
