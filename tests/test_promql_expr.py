@@ -197,3 +197,28 @@ def test_histogram_quantile_expression(spark):
     # range evaluation keeps the grid
     rng = query_range(df, "histogram_quantile(0.5, hist)", 0, 60_000, 60_000)
     assert {r["step_ts"] for r in rng.collect()} == {0, 60_000}
+
+
+def test_offset_modifier(spark, mini):
+    from tsdb_parquet_spark.promql_expr import RangeFn as RF
+
+    n = parse_expr("req offset 1s")
+    assert isinstance(n, Selector) and n.offset_ms == 1000
+    r = parse_expr("rate(req[1m] offset 2s)")
+    assert isinstance(r, RF) and r.arg.offset_ms == 2000
+
+    # instant: `req offset 1s` at t=3000 == plain req at t=2000
+    shifted = query_instant(mini, 'req{handler="/b"} offset 1s', at_ms=3000)
+    plain = query_instant(mini, 'req{handler="/b"}', at_ms=2000)
+    assert shifted.collect() == plain.collect()
+
+    # ratio-to-past: current / offset — classic growth expression
+    growth = query_instant(mini, 'req{handler="/b"} / req{handler="/b"} offset 1s',
+                           at_ms=3000)
+    assert growth.collect()[0]["value"] == 1.5  # 300/200
+
+    # range: the offset series reports under the CALLER's step axis
+    rng = {r["step_ts"]: r["value"]
+           for r in query_range(mini, 'req{handler="/b"} offset 1s',
+                                1000, 3000, 1000).collect()}
+    assert rng == {1000: 0.0, 2000: 100.0, 3000: 200.0}

@@ -367,3 +367,17 @@ def test_histogram_quantile_known_values(spark):
         "time long, value double, label_handler string, label_le string",
     )
     assert histogram_quantile(zero, 0.9, ["label_handler"]).count() == 0
+
+
+def test_resets_and_changes_over_time(spark):
+    from tsdb_parquet_spark.promql import resets_changes_over_time
+
+    # window 0: 5 -> 3 (reset+change), 3 -> 3 (neither), 3 -> 7 (change)
+    # window 1: 7 -> 2 (reset+change) but pair crosses the boundary: excluded
+    rows = [(t * 1000, v, "c") for t, v in
+            [(0, 5.0), (10, 3.0), (20, 3.0), (30, 7.0), (70, 2.0), (80, 2.0)]]
+    df = spark.createDataFrame(rows, "time long, value double, label_name string")
+    out = {r["bucket"]: (r["resets"], r["changes"])
+           for r in resets_changes_over_time(df, 60_000).collect()}
+    assert out[0] == (1, 2)
+    assert out[1] == (0, 0)  # cross-boundary pair excluded; 2->2 no change

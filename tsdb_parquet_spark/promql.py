@@ -54,6 +54,37 @@ def over_time(
     return _bucketed(df, window_ms, labels).agg(exprs[fn].alias(f"{fn}_over_time"))
 
 
+def resets_changes_over_time(
+    df: DataFrame,
+    window_ms: int,
+    labels: list[str] | None = None,
+) -> DataFrame:
+    """PromQL ``resets(range)`` and ``changes(range)`` per aligned window:
+    the number of counter resets (value decreases) and of value changes
+    between consecutive samples, counting only pairs whose BOTH samples
+    fall in the window (the same in-window-pair rule as ``rate``).
+
+    One lag pass over the (labels) partitioning plus the bucket
+    aggregate — Spark plans a single exchange for the chain, identical
+    profile to ``rate``.
+    """
+    labels = labels if labels is not None else label_columns(df)
+    w = Window.partitionBy(*labels).orderBy(TIME_COL)
+    prev_v = F.lag(VALUE_COL).over(w)
+    prev_t = F.lag(TIME_COL).over(w)
+    bucket_of = lambda c: (c / F.lit(window_ms)).cast("bigint")  # noqa: E731
+    same_bucket = bucket_of(F.col(TIME_COL)) == bucket_of(prev_t)
+    in_pair = prev_v.isNotNull() & same_bucket
+    reset = F.when(in_pair & (F.col(VALUE_COL) < prev_v), 1).otherwise(0)
+    change = F.when(in_pair & (F.col(VALUE_COL) != prev_v), 1).otherwise(0)
+    with_flags = df.withColumn("_r", reset).withColumn("_c", change)
+    return _bucketed(with_flags, window_ms, labels).agg(
+        F.sum("_r").alias("resets"),
+        F.sum("_c").alias("changes"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
 def quantile_over_time(
     df: DataFrame,
     q: float,

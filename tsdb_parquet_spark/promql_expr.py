@@ -98,6 +98,7 @@ class Scalar(Node):
 @dataclass
 class Selector(Node):
     matchers: list[Matcher] = field(default_factory=list)
+    offset_ms: int = 0  # `offset 5m` time-shift modifier
 
 
 @dataclass
@@ -264,7 +265,11 @@ class _Parser:
             parts.append(self.eat()[1])
         if not parts:
             raise ValueError("empty selector")
-        return Selector(parse_selector("".join(parts), self.metric_label))
+        offset_ms = 0
+        if self.peek() and self.peek()[1] == "offset":
+            self.eat("offset")
+            offset_ms = parse_duration_ms(self.eat("duration")[1])
+        return Selector(parse_selector("".join(parts), self.metric_label), offset_ms)
 
     def range_fn(self) -> RangeFn:
         fn = self.eat()[1]
@@ -273,6 +278,10 @@ class _Parser:
         self.eat("[")
         dur = self.eat("duration")[1]
         self.eat("]")
+        # PromQL places `offset` after the range: rate(m[5m] offset 1h)
+        if self.peek() and self.peek()[1] == "offset":
+            self.eat("offset")
+            sel.offset_ms = parse_duration_ms(self.eat("duration")[1])
         self.eat(")")
         return RangeFn(fn, sel, parse_duration_ms(dur))
 
@@ -365,13 +374,15 @@ class PromQLEngine:
         if isinstance(node, Selector):
             sel = apply_matchers(self.df, node.matchers)
             iv = promql.instant_vector(
-                sel, at, staleness_ms=self.staleness_ms
+                sel, at - node.offset_ms, staleness_ms=self.staleness_ms
             ).drop("sample_time")
             return iv
         if isinstance(node, RangeFn):
             sel = apply_matchers(self.df, node.arg.matchers)
+            at_eff = at - node.arg.offset_ms
             w = sel.filter(
-                (F.col(TIME_COL) <= at) & (F.col(TIME_COL) > at - node.window_ms)
+                (F.col(TIME_COL) <= at_eff)
+                & (F.col(TIME_COL) > at_eff - node.window_ms)
             )
             labels = label_columns(w)
             return self._range_fn_agg(node, w, labels, [])
@@ -428,17 +439,26 @@ class PromQLEngine:
             return node.value
         if isinstance(node, Selector):
             sel = apply_matchers(self.df, node.matchers)
-            return promql.range_query(
-                sel, start, end, step, staleness_ms=self.staleness_ms
+            off = node.offset_ms
+            out = promql.range_query(
+                sel, start - off, end - off, step, staleness_ms=self.staleness_ms
             ).drop("sample_time")
+            return self._shift_steps(out, off)
         if isinstance(node, RangeFn):
             sel = apply_matchers(self.df, node.arg.matchers)
             labels = label_columns(sel)
+            off = node.arg.offset_ms
             if node.fn in ("rate", "increase"):
-                rr = promql.range_rate(sel, start, end, step, node.window_ms, labels)
+                rr = promql.range_rate(
+                    sel, start - off, end - off, step, node.window_ms, labels
+                )
                 keep = "rate" if node.fn == "rate" else "increase"
-                return rr.select(*labels, "step_ts", F.col(keep).alias(VALUE_COL))
-            return self._over_time_grid(node, sel, labels, start, end, step)
+                out = rr.select(*labels, "step_ts", F.col(keep).alias(VALUE_COL))
+            else:
+                out = self._over_time_grid(
+                    node, sel, labels, start - off, end - off, step
+                )
+            return self._shift_steps(out, off)
         if isinstance(node, Agg):
             arg = self._rng(node.arg, start, end, step)
             by = self._agg_keys(arg, node, keep=("step_ts",))
@@ -490,6 +510,14 @@ class PromQLEngine:
         raise TypeError(f"unknown node {node!r}")
 
     # -- shared helpers ---------------------------------------------------
+
+    @staticmethod
+    def _shift_steps(df: DataFrame, offset_ms: int) -> DataFrame:
+        """Map an offset-evaluated grid back onto the caller's step axis
+        (`m offset 1h` at step T reports under T, evaluated at T - 1h)."""
+        if not offset_ms:
+            return df
+        return df.withColumn("step_ts", F.col("step_ts") + F.lit(offset_ms))
 
     def _agg_keys(self, arg: DataFrame, node: Agg, keep: tuple[str, ...] = ()) -> list[str]:
         """Grouping keys for by(...) / without(...) aggregation over the
