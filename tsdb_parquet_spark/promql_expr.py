@@ -20,7 +20,7 @@ Grammar (the working subset)::
                | 'histogram_quantile' '(' number ',' expr ')'
                | SCALAR_FN '(' expr (',' number)* ')'      # abs/clamp/...
     aggregate := OP (('by'|'without') '(' labels ')')? '(' expr ')'
-    selector  := metric? '{' matchers '}' | metric
+    selector  := (metric? '{' matchers '}' | metric) ('offset' duration)?
 
 Range functions: rate, increase, avg/min/max/sum/count/last_over_time,
 delta.  Aggregations: sum, avg, min, max, count.  Binary ops between two
