@@ -182,3 +182,20 @@ def test_multi_block_ingest_distinct_blocks(spark, tmp_path):
     df = spark.read.parquet(out)
     assert "label_zone" in df.columns and "label_handler" in df.columns
     assert df.filter(df.label_name == "synthetic_metric").count() == 100
+
+
+def test_cli_ingest_tsdb_multi_block(spark, tmp_path, capsys):
+    # argparse: blocks(nargs='+') followed by dest must split correctly
+    from tsdb_parquet_spark.cli import main
+
+    synth = str(tmp_path / "blk2")
+    tb.write_block(
+        synth,
+        [({"__name__": "cli_metric", "dc": "d1"},
+          [(1679382479083 + i * 1000, float(i)) for i in range(50)])],
+    )
+    dest = str(tmp_path / "cli_multi")
+    main(["ingest-tsdb", BLOCK, synth, dest, "--files", "2"])
+    out = capsys.readouterr().out
+    assert f"{154529 + 50} rows" in out
+    assert spark.read.parquet(dest).count() == 154529 + 50
