@@ -222,3 +222,243 @@ def test_offset_modifier(spark, mini):
            for r in query_range(mini, 'req{handler="/b"} offset 1s',
                                 1000, 3000, 1000).collect()}
     assert rng == {1000: 0.0, 2000: 100.0, 3000: 200.0}
+
+
+# ---------------------------------------------------------------------------
+# round-4 language extensions: parser
+
+
+def test_parse_subquery_and_param_aggs():
+    from tsdb_parquet_spark.promql_expr import Subquery
+
+    n = parse_expr("max_over_time(rate(m[1m])[10m:1m])")
+    assert isinstance(n, Subquery) and n.range_ms == 600_000 and n.step_ms == 60_000
+    assert isinstance(n.arg, RangeFn) and n.arg.fn == "rate"
+
+    # omitted step falls back to the documented 60s engine default
+    d = parse_expr("avg_over_time(m[1h:])")
+    assert isinstance(d, Subquery) and d.step_ms == 60_000
+
+    b = parse_expr("bottomk(2, m)")
+    assert isinstance(b, TopK) and b.bottom and b.k == 2
+    t = parse_expr("topk by (h) (1, m)")
+    assert t.by == ["h"] and not t.bottom
+
+    q = parse_expr("quantile(0.5, m)")
+    assert isinstance(q, Agg) and q.op == "quantile" and q.param == 0.5
+    c = parse_expr('count_values("ver", m)')
+    assert isinstance(c, Agg) and c.op == "count_values" and c.param == "ver"
+
+    # trailing by-clause form
+    s = parse_expr("sum(m) by (h)")
+    assert isinstance(s, Agg) and s.by == ["h"]
+
+
+def test_parse_cmp_set_ops_and_modifiers():
+    from tsdb_parquet_spark.promql_expr import ScalarFn as SF
+
+    n = parse_expr("m > bool 50")
+    assert isinstance(n, BinOp) and n.op == ">" and n.bool_mod
+    # precedence: or binds loosest
+    n2 = parse_expr("m + m or m")
+    assert n2.op == "or" and n2.left.op == "+"
+    # comparison binds looser than arithmetic
+    n3 = parse_expr("m + 1 > m * 2")
+    assert n3.op == ">" and n3.left.op == "+" and n3.right.op == "*"
+
+    neg = parse_expr("-m")
+    assert isinstance(neg, SF) and neg.fn == "neg"
+    assert parse_expr("-5").value == -5.0
+
+    at = parse_expr("m @ 2.5")
+    assert isinstance(at, Selector) and at.at_ms == 2500
+
+    ign = parse_expr("m / ignoring (code) m")
+    assert ign.ignoring == ["code"]
+
+    with pytest.raises(ValueError):
+        parse_expr("m / on (h) group_right m")
+
+
+# ---------------------------------------------------------------------------
+# round-4 language extensions: evaluation
+
+
+def test_agg_stddev_stdvar_group_quantile(spark, mini):
+    # /a values at t=3s: {30, 3} -> mean 16.5, pop-std 13.5, var 182.25
+    std = query_instant(mini, "stddev by (handler) (req)", 3000)
+    assert {r["label_handler"]: r["value"] for r in std.collect()} == {
+        "/a": 13.5, "/b": 0.0}
+    var = query_instant(mini, "stdvar by (handler) (req)", 3000)
+    assert {r["label_handler"]: r["value"] for r in var.collect()} == {
+        "/a": 182.25, "/b": 0.0}
+    grp = query_instant(mini, "group by (handler) (req)", 3000)
+    assert {r["label_handler"]: r["value"] for r in grp.collect()} == {
+        "/a": 1.0, "/b": 1.0}
+    med = query_instant(mini, "quantile by (handler) (0.5, req)", 3000)
+    assert {r["label_handler"]: r["value"] for r in med.collect()} == {
+        "/a": 16.5, "/b": 300.0}
+
+
+def test_count_values(spark, mini):
+    # clamp to collapse 30 and 300 into one value bucket
+    out = query_instant(mini, 'count_values("v", clamp_max(req, 30))', 3000)
+    # aggregation drops all input labels: only the new label remains
+    assert set(out.columns) == {"label_v", "value"}
+    got = {r["label_v"]: r["value"] for r in out.collect()}
+    assert got == {"30.0": 2.0, "3.0": 1.0}
+
+    by = query_instant(mini, 'count_values by (handler) ("v", clamp_max(req, 30))', 3000)
+    got2 = {(r["label_handler"], r["label_v"]): r["value"] for r in by.collect()}
+    assert got2 == {("/a", "30.0"): 1.0, ("/a", "3.0"): 1.0, ("/b", "30.0"): 1.0}
+
+
+def test_bottomk_and_topk_by(spark, mini):
+    out = query_instant(mini, "bottomk(2, req)", 3000)
+    assert {r["value"] for r in out.collect()} == {3.0, 30.0}
+    per = query_instant(mini, "topk by (handler) (1, req)", 3000)
+    got = {(r["label_handler"], r["value"]) for r in per.collect()}
+    assert got == {("/a", 30.0), ("/b", 300.0)}
+
+
+def test_comparison_filter_and_bool(spark, mini):
+    out = query_instant(mini, "req > 50", 3000)
+    assert [(r["label_handler"], r["value"]) for r in out.collect()] == [("/b", 300.0)]
+
+    b = query_instant(mini, "req > bool 50", 3000)
+    got = {(r["label_handler"], r["label_code"]): r["value"] for r in b.collect()}
+    assert got == {("/a", "200"): 0.0, ("/a", "500"): 0.0, ("/b", "200"): 1.0}
+
+    # scalar CMP vector keeps the vector side's value
+    sv = query_instant(mini, "200 <= req", 3000)
+    assert [r["value"] for r in sv.collect()] == [300.0]
+
+    # vector CMP vector joins on shared labels, keeps left's value
+    vv = query_instant(mini, "req >= sum by (handler) (req)", 3000)
+    assert [(r["label_handler"], r["value"]) for r in vv.collect()] == [("/b", 300.0)]
+
+
+def test_set_ops(spark, mini):
+    a = query_instant(mini, 'req and req{handler="/a"}', 3000)
+    assert {r["label_code"] for r in a.collect()} == {"200", "500"}
+    assert a.count() == 2
+
+    u = query_instant(mini, 'req unless req{handler="/a"}', 3000)
+    assert [(r["label_handler"], r["value"]) for r in u.collect()] == [("/b", 300.0)]
+
+    o = query_instant(mini, 'req{code="500"} or req{code="200"}', 3000)
+    assert o.count() == 3
+
+    # `or` fallback idiom with a label-less vector() — the keyless path
+    fb = query_instant(mini, 'req{handler="/zzz"} or vector(0)', 3000)
+    assert [r["value"] for r in fb.collect()] == [0.0]
+
+    # keyless `and`: left survives iff right non-empty
+    k = query_instant(mini, "vector(1) and req", 3000)
+    assert [r["value"] for r in k.collect()] == [1.0]
+
+
+def test_irate_idelta_deriv(spark, mini):
+    # last two samples of every series are 1s apart with slope v/s = 10/1/100
+    for fn, scale in (("irate", 1.0), ("idelta", 1.0), ("deriv", 1.0)):
+        out = query_instant(mini, f"{fn}(req[1m])", 3000)
+        got = {(r["label_handler"], r["label_code"]): r["value"] for r in out.collect()}
+        assert got == {("/a", "200"): 10.0, ("/a", "500"): 1.0, ("/b", "200"): 100.0}, fn
+
+
+def test_irate_counter_reset(spark):
+    rows = [(t * 1000, v, "c") for t, v in enumerate([10.0, 20.0, 4.0])]
+    df = spark.createDataFrame(rows, "time long, value double, label_name string")
+    out = query_instant(df, "irate(c[1m])", 2000)
+    # reset: last value 4 < prev 20 -> increase is the post-reset value 4
+    assert [r["value"] for r in out.collect()] == [4.0]
+    ide = query_instant(df, "idelta(c[1m])", 2000)
+    assert [r["value"] for r in ide.collect()] == [-16.0]
+
+
+def test_resets_and_changes(spark):
+    rows = [(t * 1000, v, "m") for t, v in enumerate([5.0, 3.0, 3.0, 7.0])]
+    df = spark.createDataFrame(rows, "time long, value double, label_name string")
+    assert [r["value"] for r in query_instant(df, "resets(m[1m])", 3000).collect()] == [1.0]
+    assert [r["value"] for r in query_instant(df, "changes(m[1m])", 3000).collect()] == [2.0]
+
+
+def test_quantile_over_time(spark, mini):
+    out = query_instant(mini, 'quantile_over_time(0.5, req{handler="/a"}[1m])', 3000)
+    got = {r["label_code"]: r["value"] for r in out.collect()}
+    assert got == {"200": 15.0, "500": 1.5}
+
+
+def test_subquery_instant(spark, mini):
+    # inner grid (0,3000] at 1s: /b values 100,200,300 -> min 100
+    out = query_instant(mini, 'min_over_time(req{handler="/b"}[3s:1s])', 3000)
+    assert [r["value"] for r in out.collect()] == [100.0]
+
+    # subquery over a non-selector expression (per-step sum by handler)
+    agg = query_instant(mini, "max_over_time(sum by (handler) (req)[3s:1s])", 3000)
+    got = {r["label_handler"]: r["value"] for r in agg.collect()}
+    assert got == {"/a": 33.0, "/b": 300.0}
+
+
+def test_subquery_range(spark, mini):
+    out = query_range(mini, 'min_over_time(req{handler="/b"}[2s:1s])', 1000, 3000, 1000)
+    got = {r["step_ts"]: r["value"] for r in out.collect()}
+    assert got == {1000: 0.0, 2000: 100.0, 3000: 200.0}
+
+
+def test_at_modifier(spark, mini):
+    out = query_instant(mini, 'req{handler="/b"} @ 2', at_ms=99_999_000)
+    assert [r["value"] for r in out.collect()] == [200.0]
+    rng = query_range(mini, 'req{handler="/b"} @ 2', 0, 2000, 1000)
+    assert [r["value"] for r in rng.collect()] == [200.0] * 3
+
+
+def test_absent(spark, mini):
+    hit = query_instant(mini, 'absent(req{handler="/zzz"})', 3000)
+    assert [tuple(r) for r in hit.collect()] == [(1.0,)]
+    miss = query_instant(mini, "absent(req)", 3000)
+    assert miss.count() == 0
+    # range: series go stale 5 min after the last sample at t=3s
+    rng = query_range(mini, "absent(req)", 400_000, 600_000, 100_000)
+    assert sorted(r["step_ts"] for r in rng.collect()) == [400_000, 500_000, 600_000]
+
+
+def test_time_fn(spark, mini):
+    out = query_instant(mini, 'req{code="200"} - time()', 3000)
+    got = {r["label_handler"]: r["value"] for r in out.collect()}
+    assert got == {"/a": 27.0, "/b": 297.0}
+    rng = query_range(mini, 'req{handler="/b"} - time()', 1000, 3000, 1000)
+    assert {r["step_ts"]: r["value"] for r in rng.collect()} == {
+        1000: 99.0, 2000: 198.0, 3000: 297.0}
+
+
+def test_round_sgn_mod_and_calendar(spark, mini):
+    r = query_instant(mini, 'round(req{handler="/a"} / 7)', 3000)
+    assert {x["label_code"]: x["value"] for x in r.collect()} == {"200": 4.0, "500": 0.0}
+    r20 = query_instant(mini, 'round(req{handler="/a"}, 20)', 3000)
+    assert {x["label_code"]: x["value"] for x in r20.collect()} == {"200": 40.0, "500": 0.0}
+    sg = query_instant(mini, "sgn(req - 10)", 3000)
+    assert {(x["label_handler"], x["label_code"]): x["value"] for x in sg.collect()} == {
+        ("/a", "200"): 1.0, ("/a", "500"): -1.0, ("/b", "200"): 1.0}
+    md = query_instant(mini, "req % 7", 3000)
+    assert {(x["label_handler"], x["label_code"]): x["value"] for x in md.collect()} == {
+        ("/a", "200"): 2.0, ("/a", "500"): 3.0, ("/b", "200"): 6.0}
+    # 345600s = 1970-01-05, a Monday -> Prometheus day_of_week 1
+    cal = query_instant(mini, "day_of_week(vector(345600))", 0)
+    assert [r["value"] for r in cal.collect()] == [1.0]
+
+
+def test_scalarize(spark, mini):
+    out = query_instant(mini, "req / scalar(sum(req))", 3000)
+    got = {(r["label_handler"], r["label_code"]): round(r["value"], 6)
+           for r in out.collect()}
+    assert got[("/b", "200")] == round(300 / 333, 6)
+    # scalar() of a multi-element vector is NaN
+    import math
+    nan = query_instant(mini, "req * scalar(req)", 3000)
+    assert all(math.isnan(r["value"]) for r in nan.collect())
+
+
+def test_unary_minus(spark, mini):
+    out = query_instant(mini, '-req{handler="/b"}', 3000)
+    assert [r["value"] for r in out.collect()] == [-300.0]

@@ -9,24 +9,45 @@ a tokenizer + recursive-descent parser producing a tiny AST, and an
 evaluator that composes the primitives into ONE Spark plan per expression
 (instant) or one plan per range query — never a per-step or per-node job.
 
-Grammar (the working subset)::
+Grammar (the working subset, PromQL precedence order)::
 
-    expr      := term (('+'|'-') on? term)*        # vector/scalar arith
-    term      := unary (('*'|'/') on? unary)*
-    on        := 'on' '(' labels ')'               # explicit vector matching
-    unary     := number | call | aggregate | selector_expr | '(' expr ')'
-    call      := FUNC '(' expr '[' duration ']' ')'        # range function
-               | 'topk' '(' number ',' expr ')'
+    expr      := and_expr ('or' vmatch? and_expr)*
+    and_expr  := cmp_expr (('and'|'unless') vmatch? cmp_expr)*
+    cmp_expr  := sum_expr (CMP 'bool'? vmatch? sum_expr)*
+    sum_expr  := term (('+'|'-') vmatch? term)*
+    term      := unary (('*'|'/'|'%') vmatch? unary)*
+    unary     := '-' unary | primary
+    vmatch    := ('on'|'ignoring') '(' labels ')' 'group_left'?
+    primary   := number | call | aggregate | selector_expr | '(' expr ')'
+    call      := FUNC '(' expr '[' duration (':' duration?)? ']' mods ')'
+               | ('topk'|'bottomk') byc? '(' number ',' expr ')' byc?
+               | 'quantile' byc? '(' number ',' expr ')' byc?
+               | 'count_values' byc? '(' string ',' expr ')' byc?
+               | 'quantile_over_time' '(' number ',' sel '[' dur ']' ')'
                | 'histogram_quantile' '(' number ',' expr ')'
-               | SCALAR_FN '(' expr (',' number)* ')'      # abs/clamp/...
-    aggregate := OP (('by'|'without') '(' labels ')')? '(' expr ')'
-    selector  := (metric? '{' matchers '}' | metric) ('offset' duration)?
+               | ('absent'|'sort'|'sort_desc'|'scalar') '(' expr ')'
+               | 'vector' '(' expr ')' | 'time' '(' ')'
+               | SCALAR_FN '(' expr (',' number)* ')'    # abs/round/...
+    aggregate := OP byc? '(' expr ')' byc?
+    byc       := ('by'|'without') '(' labels ')'
+    selector  := (metric? '{' matchers '}' | metric) mods
+    mods      := ('offset' duration | '@' number)*
 
-Range functions: rate, increase, avg/min/max/sum/count/last_over_time,
-delta.  Aggregations: sum, avg, min, max, count.  Binary ops between two
+Range functions: rate, increase, irate, delta, idelta, deriv, resets,
+changes, avg/min/max/sum/count/last/stddev/stdvar/present_over_time,
+quantile_over_time(q, …).  A subquery ``fn(expr[range:step])`` evaluates
+the inner expression on a fine grid and applies the range function over
+the grid points (step defaults to 60s when omitted, documented
+engine-default in place of Prometheus's global evaluation interval).
+
+Aggregations: sum, avg, min, max, count, stddev (population), stdvar,
+group, quantile(q, …) (exact interpolated), count_values("label", …),
+topk/bottomk (optionally ``by``-partitioned).  Binary ops between two
 vectors match on the intersection of their label columns (PromQL's
-default one-to-one matching on all shared labels); scalar-vector ops
-broadcast the scalar.
+default one-to-one matching on all shared labels) or the explicit
+``on()``/``ignoring()`` set; comparisons filter (or score 0/1 with
+``bool``); ``and``/``or``/``unless`` are the PromQL vector set ops
+(semi / union-complement / anti join by label set).
 
 Evaluation semantics: every vector node evaluates to a DataFrame of
 (labels…, value) at one instant ``at_ms`` (with the 5-min
@@ -36,7 +57,10 @@ both, exactly like a PromQL engine's instant vs range entry points.
 
 Scale: parsing is driver-side string work on a sub-KB expression; the
 produced plan is whatever the composed primitives plan (selector pushdown
-into the scan, one agg per rollup, bounded explodes for grids).
+into the scan, one agg per rollup, bounded explodes for grids).  The only
+per-group array materialization (irate/idelta/resets/changes) collects a
+single range-window of samples per series — bounded by window/scrape
+interval, the same bound Prometheus itself holds in memory per series.
 """
 
 from __future__ import annotations
@@ -52,22 +76,59 @@ from .matchers import Matcher, apply_matchers, parse_selector
 from .timeseries import TIME_COL, VALUE_COL, label_columns
 
 _RANGE_FNS = {
-    "rate", "increase", "delta",
+    "rate", "increase", "irate", "delta", "idelta", "deriv",
+    "resets", "changes",
     "avg_over_time", "min_over_time", "max_over_time",
     "sum_over_time", "count_over_time", "last_over_time",
+    "stddev_over_time", "stdvar_over_time", "present_over_time",
 }
-_AGG_OPS = {"sum", "avg", "min", "max", "count"}
-# instant-vector scalar functions: value-wise, labels unchanged
+_AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar", "group"}
+_PARAM_AGGS = {"topk", "bottomk", "quantile", "count_values"}
+_CMP_OPS = {"==", "!=", ">", "<", ">=", "<="}
+_SET_OPS = {"and", "or", "unless"}
+
+_DEFAULT_SUBQUERY_STEP_MS = 60_000
+
+
+def _prom_round(v, args):
+    # Prometheus round(): nearest multiple of to_nearest, ties away from
+    # floor — floor(v/n + 0.5) * n
+    n = args[0] if args else 1.0
+    return (F.floor(v / F.lit(n) + F.lit(0.5)) * F.lit(n)).cast("double")
+
+
+def _ts(v):
+    return F.timestamp_seconds(v)
+
+
+# instant-vector scalar functions: value-wise, labels unchanged.
+# fn -> (builder(value_col, numeric_args), min_args, max_args)
 _SCALAR_FNS = {
-    "abs": lambda v, args: F.abs(v),
-    "ceil": lambda v, args: F.ceil(v).cast("double"),
-    "floor": lambda v, args: F.floor(v).cast("double"),
-    "sqrt": lambda v, args: F.sqrt(v),
-    "exp": lambda v, args: F.exp(v),
-    "ln": lambda v, args: F.log(v),
-    "clamp_min": lambda v, args: F.greatest(v, F.lit(args[0])),
-    "clamp_max": lambda v, args: F.least(v, F.lit(args[0])),
-    "clamp": lambda v, args: F.least(F.greatest(v, F.lit(args[0])), F.lit(args[1])),
+    "abs": (lambda v, a: F.abs(v), 0, 0),
+    "ceil": (lambda v, a: F.ceil(v).cast("double"), 0, 0),
+    "floor": (lambda v, a: F.floor(v).cast("double"), 0, 0),
+    "sqrt": (lambda v, a: F.sqrt(v), 0, 0),
+    "exp": (lambda v, a: F.exp(v), 0, 0),
+    "ln": (lambda v, a: F.log(v), 0, 0),
+    "log2": (lambda v, a: F.log2(v), 0, 0),
+    "log10": (lambda v, a: F.log10(v), 0, 0),
+    "sgn": (lambda v, a: F.signum(v), 0, 0),
+    "round": (_prom_round, 0, 1),
+    "clamp_min": (lambda v, a: F.greatest(v, F.lit(a[0])), 1, 1),
+    "clamp_max": (lambda v, a: F.least(v, F.lit(a[0])), 1, 1),
+    "clamp": (lambda v, a: F.least(F.greatest(v, F.lit(a[0])), F.lit(a[1])), 2, 2),
+    # calendar functions: the value is interpreted as epoch seconds (UTC),
+    # exactly Prometheus's convention for minute()/hour()/... over vectors
+    "minute": (lambda v, a: F.minute(_ts(v)).cast("double"), 0, 0),
+    "hour": (lambda v, a: F.hour(_ts(v)).cast("double"), 0, 0),
+    # Prometheus: 0=Sunday..6=Saturday; Spark dayofweek: 1=Sunday..7
+    "day_of_week": (lambda v, a: (F.dayofweek(_ts(v)) - 1).cast("double"), 0, 0),
+    "day_of_month": (lambda v, a: F.dayofmonth(_ts(v)).cast("double"), 0, 0),
+    "days_in_month": (lambda v, a: F.dayofmonth(F.last_day(_ts(v))).cast("double"), 0, 0),
+    "month": (lambda v, a: F.month(_ts(v)).cast("double"), 0, 0),
+    "year": (lambda v, a: F.year(_ts(v)).cast("double"), 0, 0),
+    # internal: unary minus
+    "neg": (lambda v, a: -v, 0, 0),
 }
 
 _DURATION_RE = re.compile(r"^(\d+)(ms|s|m|h|d|w)$")
@@ -99,6 +160,7 @@ class Scalar(Node):
 class Selector(Node):
     matchers: list[Matcher] = field(default_factory=list)
     offset_ms: int = 0  # `offset 5m` time-shift modifier
+    at_ms: Optional[int] = None  # `@ <ts>` fixed-evaluation-time modifier
 
 
 @dataclass
@@ -106,6 +168,19 @@ class RangeFn(Node):
     fn: str
     arg: Selector
     window_ms: int
+    param: Optional[float] = None  # quantile_over_time's q
+
+
+@dataclass
+class Subquery(Node):
+    """``fn(expr[range:step])`` — range function over an inner-expression
+    grid instead of raw samples."""
+    fn: str
+    arg: Node
+    range_ms: int
+    step_ms: int
+    offset_ms: int = 0
+    param: Optional[float] = None
 
 
 @dataclass
@@ -114,12 +189,15 @@ class Agg(Node):
     by: list[str]
     arg: Node
     without: bool = False
+    param: Optional[object] = None  # quantile's q / count_values' label
 
 
 @dataclass
 class TopK(Node):
     k: int
     arg: Node
+    bottom: bool = False
+    by: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -128,6 +206,8 @@ class BinOp(Node):
     left: Node
     right: Node
     on: list[str] = field(default_factory=list)  # `on (labels)` matching
+    ignoring: list[str] = field(default_factory=list)
+    bool_mod: bool = False  # `>` vs `> bool`
 
 
 @dataclass
@@ -143,6 +223,36 @@ class HistogramQuantile(Node):
     arg: Node
 
 
+@dataclass
+class Absent(Node):
+    arg: Node
+
+
+@dataclass
+class Sort(Node):
+    arg: Node
+    desc: bool = False
+
+
+@dataclass
+class TimeFn(Node):
+    """``time()`` — the evaluation timestamp in seconds."""
+
+
+@dataclass
+class VectorFn(Node):
+    """``vector(s)`` — scalar to single-element label-less vector."""
+    arg: Node
+
+
+@dataclass
+class Scalarize(Node):
+    """``scalar(v)`` — single-element vector to scalar (NaN otherwise),
+    kept as a label-less one-row DataFrame so plan composition stays
+    driver-collect-free."""
+    arg: Node
+
+
 # ---------------------------------------------------------------------------
 # tokenizer + recursive descent
 
@@ -152,7 +262,9 @@ _TOKEN_RE = re.compile(
         (?P<duration>\d+(?:ms|s|m|h|d|w))       |
         (?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)     |
         (?P<brace>\{(?:[^"}]|"(?:[^"\\]|\\.)*")*\}) |
-        (?P<op>[-+*/(),\[\]])
+        (?P<string>"(?:[^"\\]|\\.)*")           |
+        (?P<cmp>==|!=|>=|<=|>|<)                |
+        (?P<op>[-+*/%(),\[\]:@])
     )""",
     re.VERBOSE,
 )
@@ -166,7 +278,7 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
             if s[pos:].strip() == "":
                 break
             raise ValueError(f"bad token at {s[pos:]!r}")
-        for kind in ("duration", "number", "ident", "brace", "op"):
+        for kind in ("duration", "number", "ident", "brace", "string", "cmp", "op"):
             if m.group(kind):
                 out.append((kind, m.group(kind)))
                 break
@@ -198,10 +310,7 @@ class _Parser:
             raise ValueError(f"trailing tokens: {self.toks[self.i:]}")
         return node
 
-    def _on_clause(self) -> list[str]:
-        if not (self.peek() and self.peek()[1] == "on"):
-            return []
-        self.eat("on")
+    def _label_list(self) -> list[str]:
         self.eat("(")
         out: list[str] = []
         while self.peek() and self.peek()[1] != ")":
@@ -211,23 +320,84 @@ class _Parser:
         self.eat(")")
         return out
 
+    def _vmatch(self) -> tuple[list[str], list[str]]:
+        """Optional ``on(...)`` / ``ignoring(...)`` (+ bare ``group_left``)."""
+        on: list[str] = []
+        ignoring: list[str] = []
+        if self.peek() and self.peek()[1] in ("on", "ignoring"):
+            mode = self.eat()[1]
+            labels = self._label_list()
+            if mode == "on":
+                on = labels
+            else:
+                ignoring = labels
+            if self.peek() and self.peek()[1] in ("group_left", "group_right"):
+                side = self.eat()[1]
+                if side == "group_right":
+                    raise ValueError(
+                        "group_right is not supported; swap the operands "
+                        "and use group_left (the engine keeps the LEFT "
+                        "side's label set)")
+                if self.peek() and self.peek()[1] == "(":
+                    raise ValueError("group_left(label list) is not supported")
+        return on, ignoring
+
+    # precedence chain (loosest first) --------------------------------------
+
     def expr(self) -> Node:
+        node = self.and_expr()
+        while self.peek() and self.peek()[1] == "or":
+            self.eat("or")
+            on, ign = self._vmatch()
+            node = BinOp("or", node, self.and_expr(), on, ign)
+        return node
+
+    def and_expr(self) -> Node:
+        node = self.cmp_expr()
+        while self.peek() and self.peek()[1] in ("and", "unless"):
+            op = self.eat()[1]
+            on, ign = self._vmatch()
+            node = BinOp(op, node, self.cmp_expr(), on, ign)
+        return node
+
+    def cmp_expr(self) -> Node:
+        node = self.sum_expr()
+        while self.peek() and self.peek()[0] == "cmp":
+            op = self.eat()[1]
+            bool_mod = False
+            if self.peek() and self.peek()[1] == "bool":
+                self.eat("bool")
+                bool_mod = True
+            on, ign = self._vmatch()
+            node = BinOp(op, node, self.sum_expr(), on, ign, bool_mod)
+        return node
+
+    def sum_expr(self) -> Node:
         node = self.term()
         while self.peek() and self.peek()[1] in ("+", "-"):
             op = self.eat()[1]
-            on = self._on_clause()
-            node = BinOp(op, node, self.term(), on)
+            on, ign = self._vmatch()
+            node = BinOp(op, node, self.term(), on, ign)
         return node
 
     def term(self) -> Node:
         node = self.unary()
-        while self.peek() and self.peek()[1] in ("*", "/"):
+        while self.peek() and self.peek()[1] in ("*", "/", "%"):
             op = self.eat()[1]
-            on = self._on_clause()
-            node = BinOp(op, node, self.unary(), on)
+            on, ign = self._vmatch()
+            node = BinOp(op, node, self.unary(), on, ign)
         return node
 
     def unary(self) -> Node:
+        if self.peek() and self.peek()[1] == "-":
+            self.eat("-")
+            node = self.unary()
+            if isinstance(node, Scalar):
+                return Scalar(-node.value)
+            return ScalarFn("neg", node, [])
+        return self.primary()
+
+    def primary(self) -> Node:
         tok = self.peek()
         if tok is None:
             raise ValueError("unexpected end of expression")
@@ -241,20 +411,49 @@ class _Parser:
             self.eat()
             return Scalar(float(val))
         if kind == "ident":
-            if val in _RANGE_FNS:
+            nxt = self.peek(1)
+            called = nxt is not None and nxt[1] == "("
+            if val in _RANGE_FNS and called:
                 return self.range_fn()
-            if val == "topk":
+            if val == "quantile_over_time" and called:
+                return self.quantile_over_time()
+            if val in ("topk", "bottomk") and (
+                called or (nxt and nxt[1] in ("by", "without"))
+            ):
                 return self.topk()
-            if val == "histogram_quantile":
+            if val in ("quantile", "count_values") and (
+                called or (nxt and nxt[1] in ("by", "without"))
+            ):
+                return self.param_agg()
+            if val == "histogram_quantile" and called:
                 return self.histogram_quantile()
-            if val in _SCALAR_FNS and self.peek(1) and self.peek(1)[1] == "(":
+            if val in ("absent", "sort", "sort_desc", "scalar", "vector") and called:
+                return self.simple_call(val)
+            if val == "time" and called:
+                self.eat("time")
+                self.eat("(")
+                self.eat(")")
+                return TimeFn()
+            if val in _SCALAR_FNS and called:
                 return self.scalar_fn()
-            if val in _AGG_OPS and self.peek(1) and self.peek(1)[1] in ("by", "without", "("):
+            if val in _AGG_OPS and nxt and nxt[1] in ("by", "without", "("):
                 return self.aggregate()
             return self.selector()
         if kind == "brace":
             return self.selector()
         raise ValueError(f"unexpected token {val!r}")
+
+    # primaries -------------------------------------------------------------
+
+    def _selector_mods(self, sel: Selector) -> None:
+        """``offset <dur>`` / ``@ <ts>`` in either order."""
+        while self.peek() and self.peek()[1] in ("offset", "@"):
+            if self.peek()[1] == "offset":
+                self.eat("offset")
+                sel.offset_ms = parse_duration_ms(self.eat("duration")[1])
+            else:
+                self.eat("@")
+                sel.at_ms = int(float(self.eat("number")[1]) * 1000)
 
     def selector(self) -> Selector:
         parts = []
@@ -265,42 +464,120 @@ class _Parser:
             parts.append(self.eat()[1])
         if not parts:
             raise ValueError("empty selector")
-        offset_ms = 0
-        if self.peek() and self.peek()[1] == "offset":
-            self.eat("offset")
-            offset_ms = parse_duration_ms(self.eat("duration")[1])
-        return Selector(parse_selector("".join(parts), self.metric_label), offset_ms)
+        sel = Selector(parse_selector("".join(parts), self.metric_label))
+        self._selector_mods(sel)
+        return sel
 
-    def range_fn(self) -> RangeFn:
-        fn = self.eat()[1]
-        self.eat("(")
-        sel = self.selector()
+    def _range_suffix(self) -> tuple[int, Optional[int], bool]:
+        """``[dur]`` or ``[dur:step?]`` — returns (range_ms, step_ms, is_subquery)."""
         self.eat("[")
-        dur = self.eat("duration")[1]
+        rng = parse_duration_ms(self.eat("duration")[1])
+        step, is_subq = None, False
+        nxt = self.peek()
+        # `:` starts an ident in the lexer (metric names may contain it, e.g.
+        # recording rules `job:rate5m`), so `[1h:1m]` lexes the step as the
+        # single token `:1m` — accept both shapes here
+        if nxt and nxt[1].startswith(":"):
+            kind, val = self.eat()
+            is_subq = True
+            if len(val) > 1:
+                step = parse_duration_ms(val[1:])
+            elif self.peek() and self.peek()[0] == "duration":
+                step = parse_duration_ms(self.eat()[1])
         self.eat("]")
+        return rng, step, is_subq
+
+    def _range_call(self, fn: str, param: Optional[float]) -> Node:
+        """Shared tail of ``fn(... '[' ... )`` for plain + parameterized
+        range functions: a selector range or a subquery."""
+        arg = self.expr()
+        rng, step, is_subq = self._range_suffix()
+        offset_ms = 0
         # PromQL places `offset` after the range: rate(m[5m] offset 1h)
         if self.peek() and self.peek()[1] == "offset":
             self.eat("offset")
-            sel.offset_ms = parse_duration_ms(self.eat("duration")[1])
+            offset_ms = parse_duration_ms(self.eat("duration")[1])
         self.eat(")")
-        return RangeFn(fn, sel, parse_duration_ms(dur))
+        if is_subq:
+            return Subquery(fn, arg, rng, step or _DEFAULT_SUBQUERY_STEP_MS,
+                            offset_ms, param)
+        if not isinstance(arg, Selector):
+            raise ValueError(
+                f"{fn} over a non-selector expression needs a subquery "
+                f"range [{'{range}'}:{'{step}'}]")
+        arg.offset_ms = arg.offset_ms or offset_ms
+        return RangeFn(fn, arg, rng, param)
+
+    def range_fn(self) -> Node:
+        fn = self.eat()[1]
+        self.eat("(")
+        return self._range_call(fn, None)
+
+    def quantile_over_time(self) -> Node:
+        self.eat("quantile_over_time")
+        self.eat("(")
+        q = float(self.eat("number")[1])
+        self.eat(",")
+        return self._range_call("quantile", q)
+
+    def _opt_by(self) -> tuple[list[str], bool, bool]:
+        if self.peek() and self.peek()[1] in ("by", "without"):
+            without = self.eat()[1] == "without"
+            return self._label_list(), without, True
+        return [], False, False
 
     def aggregate(self) -> Agg:
         op = self.eat()[1]
-        by: list[str] = []
-        without = False
-        if self.peek() and self.peek()[1] in ("by", "without"):
-            without = self.eat()[1] == "without"
-            self.eat("(")
-            while self.peek() and self.peek()[1] != ")":
-                by.append(self.eat("ident")[1])
-                if self.peek() and self.peek()[1] == ",":
-                    self.eat(",")
-            self.eat(")")
+        by, without, had = self._opt_by()
         self.eat("(")
         arg = self.expr()
         self.eat(")")
+        if not had:  # PromQL also allows the trailing form: sum(v) by (l)
+            by, without, _ = self._opt_by()
         return Agg(op, by, arg, without)
+
+    def param_agg(self) -> Agg:
+        op = self.eat()[1]
+        by, without, had = self._opt_by()
+        self.eat("(")
+        if op == "count_values":
+            raw = self.eat("string")[1]
+            param: object = raw[1:-1]
+        else:
+            param = float(self.eat("number")[1])
+        self.eat(",")
+        arg = self.expr()
+        self.eat(")")
+        if not had:
+            by, without, _ = self._opt_by()
+        return Agg(op, by, arg, without, param)
+
+    def topk(self) -> TopK:
+        op = self.eat()[1]
+        by, without, had = self._opt_by()
+        self.eat("(")
+        k = int(float(self.eat("number")[1]))
+        self.eat(",")
+        arg = self.expr()
+        self.eat(")")
+        if not had:
+            by, without, _ = self._opt_by()
+        if without:
+            raise ValueError(f"{op} supports `by`, not `without`")
+        return TopK(k, arg, bottom=(op == "bottomk"), by=by)
+
+    def simple_call(self, fn: str) -> Node:
+        self.eat(fn)
+        self.eat("(")
+        arg = self.expr()
+        self.eat(")")
+        if fn == "absent":
+            return Absent(arg)
+        if fn in ("sort", "sort_desc"):
+            return Sort(arg, desc=(fn == "sort_desc"))
+        if fn == "scalar":
+            return Scalarize(arg)
+        return VectorFn(arg)
 
     def scalar_fn(self) -> ScalarFn:
         fn = self.eat()[1]
@@ -311,19 +588,10 @@ class _Parser:
             self.eat(",")
             args.append(float(self.eat("number")[1]))
         self.eat(")")
-        want = {"clamp_min": 1, "clamp_max": 1, "clamp": 2}.get(fn, 0)
-        if len(args) != want:
-            raise ValueError(f"{fn} takes {want} numeric arg(s), got {len(args)}")
+        lo, hi = _SCALAR_FNS[fn][1], _SCALAR_FNS[fn][2]
+        if not (lo <= len(args) <= hi):
+            raise ValueError(f"{fn} takes {lo}..{hi} numeric arg(s), got {len(args)}")
         return ScalarFn(fn, arg, args)
-
-    def topk(self) -> TopK:
-        self.eat("topk")
-        self.eat("(")
-        k = int(float(self.eat("number")[1]))
-        self.eat(",")
-        arg = self.expr()
-        self.eat(")")
-        return TopK(k, arg)
 
     def histogram_quantile(self) -> HistogramQuantile:
         self.eat("histogram_quantile")
@@ -371,42 +639,70 @@ class PromQLEngine:
 
         if isinstance(node, Scalar):
             return node.value
+        if isinstance(node, TimeFn):
+            return at / 1000.0
         if isinstance(node, Selector):
+            at_eff = (node.at_ms if node.at_ms is not None else at) - node.offset_ms
             sel = apply_matchers(self.df, node.matchers)
             iv = promql.instant_vector(
-                sel, at - node.offset_ms, staleness_ms=self.staleness_ms
+                sel, at_eff, staleness_ms=self.staleness_ms
             ).drop("sample_time")
             return iv
         if isinstance(node, RangeFn):
             sel = apply_matchers(self.df, node.arg.matchers)
-            at_eff = at - node.arg.offset_ms
+            base = node.arg.at_ms if node.arg.at_ms is not None else at
+            at_eff = base - node.arg.offset_ms
             w = sel.filter(
                 (F.col(TIME_COL) <= at_eff)
                 & (F.col(TIME_COL) > at_eff - node.window_ms)
             )
             labels = label_columns(w)
-            return self._range_fn_agg(node, w, labels, [])
+            return self._range_fn_agg(node.fn, node.param, w, labels, [])
+        if isinstance(node, Subquery):
+            at_eff = at - node.offset_ms
+            inner = self._rng(node.arg, at_eff - node.range_ms, at_eff, node.step_ms)
+            data = inner.withColumnRenamed("step_ts", TIME_COL)
+            w = data.filter(
+                (F.col(TIME_COL) <= at_eff)
+                & (F.col(TIME_COL) > at_eff - node.range_ms)
+            )
+            labels = [c for c in w.columns if c not in (TIME_COL, VALUE_COL)]
+            return self._range_fn_agg(node.fn, node.param, w, labels, [])
         if isinstance(node, Agg):
-            arg = self._inst(node.arg, at)
-            by = self._agg_keys(arg, node)
-            v = F.col(VALUE_COL)
-            exprs = {
-                "sum": F.sum(v.cast("decimal(28,6)")).cast("double"),
-                "avg": (F.sum(v.cast("decimal(28,6)")).cast("double") / F.count(v)),
-                "min": F.min(v),
-                "max": F.max(v),
-                "count": F.count(F.lit(1)).cast("double"),
-            }
-            return arg.groupBy(*by).agg(exprs[node.op].alias(VALUE_COL))
+            return self._agg_node(self._inst(node.arg, at), node, [])
         if isinstance(node, TopK):
-            arg = self._inst(node.arg, at)
-            labels = [c for c in arg.columns if c != VALUE_COL]
-            order = [F.desc(VALUE_COL)] + [F.asc_nulls_first(c) for c in labels]
-            return arg.orderBy(*order).limit(node.k)
+            return self._topk(self._inst(node.arg, at), node, [])
         if isinstance(node, ScalarFn):
             arg = self._inst(node.arg, at)
-            return arg.withColumn(
-                VALUE_COL, _SCALAR_FNS[node.fn](F.col(VALUE_COL), node.args)
+            fn = _SCALAR_FNS[node.fn][0]
+            if not isinstance(arg, DataFrame):
+                raise ValueError(f"{node.fn} over a scalar is not a vector")
+            return arg.withColumn(VALUE_COL, fn(F.col(VALUE_COL), node.args))
+        if isinstance(node, Absent):
+            arg = self._inst(node.arg, at)
+            return (
+                arg.agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") == 0)
+                .select(F.lit(1.0).alias(VALUE_COL))
+            )
+        if isinstance(node, Sort):
+            arg = self._inst(node.arg, at)
+            labels = [c for c in arg.columns if c != VALUE_COL]
+            v = F.desc(VALUE_COL) if node.desc else F.asc(VALUE_COL)
+            return arg.orderBy(v, *[F.asc_nulls_first(c) for c in labels])
+        if isinstance(node, VectorFn):
+            arg = self._inst(node.arg, at)
+            if isinstance(arg, DataFrame):
+                raise ValueError("vector() takes a scalar expression")
+            return self.df.sparkSession.range(1).select(
+                F.lit(float(arg)).alias(VALUE_COL)
+            )
+        if isinstance(node, Scalarize):
+            arg = self._inst(node.arg, at)
+            return arg.agg(
+                F.when(F.count(F.lit(1)) == 1, F.max(VALUE_COL))
+                .otherwise(F.lit(float("nan")))
+                .alias(VALUE_COL)
             )
         if isinstance(node, HistogramQuantile):
             from .promql import histogram_quantile
@@ -432,13 +728,32 @@ class PromQLEngine:
             raise ValueError("expression is a scalar; range vectors only")
         return out
 
+    def _steps_df(self, start: int, end: int, step: int) -> DataFrame:
+        return self.df.sparkSession.range(1).select(
+            F.explode(F.sequence(F.lit(start), F.lit(end), F.lit(step))).alias("step_ts")
+        )
+
     def _rng(self, node: Node, start: int, end: int, step: int):
         from . import promql
 
         if isinstance(node, Scalar):
             return node.value
+        if isinstance(node, TimeFn):
+            # per-step scalar: a label-less vector keyed by step_ts
+            return self._steps_df(start, end, step).withColumn(
+                VALUE_COL, F.col("step_ts") / 1000.0
+            )
         if isinstance(node, Selector):
             sel = apply_matchers(self.df, node.matchers)
+            if node.at_ms is not None:
+                # fixed evaluation time: same instant replicated per step
+                iv = promql.instant_vector(
+                    sel, node.at_ms - node.offset_ms, staleness_ms=self.staleness_ms
+                ).drop("sample_time")
+                return iv.withColumn(
+                    "step_ts",
+                    F.explode(F.sequence(F.lit(start), F.lit(end), F.lit(step))),
+                )
             off = node.offset_ms
             out = promql.range_query(
                 sel, start - off, end - off, step, staleness_ms=self.staleness_ms
@@ -455,39 +770,59 @@ class PromQLEngine:
                 keep = "rate" if node.fn == "rate" else "increase"
                 out = rr.select(*labels, "step_ts", F.col(keep).alias(VALUE_COL))
             else:
-                out = self._over_time_grid(
-                    node, sel, labels, start - off, end - off, step
+                out = self._grid_apply(
+                    node.fn, node.param, node.window_ms, sel, labels,
+                    start - off, end - off, step,
                 )
+            return self._shift_steps(out, off)
+        if isinstance(node, Subquery):
+            off = node.offset_ms
+            inner = self._rng(
+                node.arg, start - off - node.range_ms, end - off, node.step_ms
+            )
+            data = inner.withColumnRenamed("step_ts", TIME_COL)
+            labels = [c for c in data.columns if c not in (TIME_COL, VALUE_COL)]
+            out = self._grid_apply(
+                node.fn, node.param, node.range_ms, data, labels,
+                start - off, end - off, step,
+            )
             return self._shift_steps(out, off)
         if isinstance(node, Agg):
             arg = self._rng(node.arg, start, end, step)
-            by = self._agg_keys(arg, node, keep=("step_ts",))
-            v = F.col(VALUE_COL)
-            exprs = {
-                "sum": F.sum(v.cast("decimal(28,6)")).cast("double"),
-                "avg": (F.sum(v.cast("decimal(28,6)")).cast("double") / F.count(v)),
-                "min": F.min(v),
-                "max": F.max(v),
-                "count": F.count(F.lit(1)).cast("double"),
-            }
-            return arg.groupBy("step_ts", *by).agg(exprs[node.op].alias(VALUE_COL))
+            return self._agg_node(arg, node, ["step_ts"])
         if isinstance(node, TopK):
-            from pyspark.sql import Window
-
             arg = self._rng(node.arg, start, end, step)
-            labels = [c for c in arg.columns if c not in (VALUE_COL, "step_ts")]
-            w = Window.partitionBy("step_ts").orderBy(
-                F.desc(VALUE_COL), *[F.asc_nulls_first(c) for c in labels]
-            )
-            return (
-                arg.withColumn("_rk", F.row_number().over(w))
-                .filter(F.col("_rk") <= node.k)
-                .drop("_rk")
-            )
+            return self._topk(arg, node, ["step_ts"])
         if isinstance(node, ScalarFn):
             arg = self._rng(node.arg, start, end, step)
-            return arg.withColumn(
-                VALUE_COL, _SCALAR_FNS[node.fn](F.col(VALUE_COL), node.args)
+            fn = _SCALAR_FNS[node.fn][0]
+            if not isinstance(arg, DataFrame):
+                raise ValueError(f"{node.fn} over a scalar is not a vector")
+            return arg.withColumn(VALUE_COL, fn(F.col(VALUE_COL), node.args))
+        if isinstance(node, Absent):
+            arg = self._rng(node.arg, start, end, step)
+            live = arg.select("step_ts").distinct()
+            return (
+                self._steps_df(start, end, step)
+                .join(live, "step_ts", "left_anti")
+                .withColumn(VALUE_COL, F.lit(1.0))
+            )
+        if isinstance(node, Sort):
+            # Prometheus ignores sort()/sort_desc() in range queries
+            return self._rng(node.arg, start, end, step)
+        if isinstance(node, VectorFn):
+            arg = self._rng(node.arg, start, end, step)
+            if isinstance(arg, DataFrame):
+                raise ValueError("vector() takes a scalar expression")
+            return self._steps_df(start, end, step).withColumn(
+                VALUE_COL, F.lit(float(arg))
+            )
+        if isinstance(node, Scalarize):
+            arg = self._rng(node.arg, start, end, step)
+            return arg.groupBy("step_ts").agg(
+                F.when(F.count(F.lit(1)) == 1, F.max(VALUE_COL))
+                .otherwise(F.lit(float("nan")))
+                .alias(VALUE_COL)
             )
         if isinstance(node, HistogramQuantile):
             from .promql import histogram_quantile
@@ -544,55 +879,181 @@ class PromQLEngine:
             return label
         raise ValueError(f"unknown grouping label {label!r} in {df.columns}")
 
-    def _range_fn_agg(self, node: RangeFn, w: DataFrame, labels: list[str],
-                      extra_keys: list[str]) -> DataFrame:
-        """Whole-window (instant) evaluation of a range function."""
+    def _agg_expr(self, op: str, param):
         v = F.col(VALUE_COL)
-        if node.fn in ("rate", "increase"):
+        if op == "sum":
+            return F.sum(v.cast("decimal(28,6)")).cast("double")
+        if op == "avg":
+            return F.sum(v.cast("decimal(28,6)")).cast("double") / F.count(v)
+        if op == "min":
+            return F.min(v)
+        if op == "max":
+            return F.max(v)
+        if op == "count":
+            return F.count(F.lit(1)).cast("double")
+        if op == "stddev":  # Prometheus stddev is population stddev
+            return F.stddev_pop(v)
+        if op == "stdvar":
+            return F.var_pop(v)
+        if op == "group":
+            return F.max(F.lit(1.0))
+        if op == "quantile":  # exact φ-quantile, linear interpolation
+            return F.percentile(v, F.lit(float(param)))
+        raise ValueError(f"unknown aggregation {op!r}")
+
+    def _agg_node(self, arg: DataFrame, node: Agg, extra: list[str]) -> DataFrame:
+        if node.op == "count_values":
+            # adds a label carrying the stringified sample value; grouping
+            # is the by-set (or every label) plus that new label
+            vl = f"label_{node.param}"
+            keyed = arg.withColumn(vl, F.col(VALUE_COL).cast("string"))
+            # like every PromQL aggregation: no `by` ⇒ all input labels
+            # aggregated away, leaving only the new value-carrying label
+            keys = self._agg_keys(keyed, node, keep=tuple(extra) + (vl,))
+            return keyed.groupBy(*extra, *keys, vl).agg(
+                F.count(F.lit(1)).cast("double").alias(VALUE_COL)
+            )
+        keys = self._agg_keys(arg, node, keep=tuple(extra))
+        return arg.groupBy(*extra, *keys).agg(
+            self._agg_expr(node.op, node.param).alias(VALUE_COL)
+        )
+
+    def _topk(self, arg: DataFrame, node: TopK, extra: list[str]) -> DataFrame:
+        from pyspark.sql import Window
+
+        labels = [c for c in arg.columns if c != VALUE_COL and c not in extra]
+        vord = F.asc(VALUE_COL) if node.bottom else F.desc(VALUE_COL)
+        tiebreak = [F.asc_nulls_first(c) for c in labels]
+        part = [*extra, *[self._label_col(arg, l) for l in node.by]]
+        if not part:
+            return arg.orderBy(vord, *tiebreak).limit(node.k)
+        w = Window.partitionBy(*part).orderBy(vord, *tiebreak)
+        return (
+            arg.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= node.k)
+            .drop("_rk")
+        )
+
+    def _range_fn_agg(self, fn: str, param, w: DataFrame, labels: list[str],
+                      extra_keys: list[str]) -> DataFrame:
+        """Whole-window evaluation of a range function, grouped by
+        (labels, extra_keys) — extra_keys carries step_ts for grids."""
+        v = F.col(VALUE_COL)
+        t = F.col(TIME_COL)
+        if fn in ("rate", "increase"):
             from .timeseries import counter_rate
 
-            cr = counter_rate(w, labels)
-            keep = "rate" if node.fn == "rate" else "increase"
-            return cr.select(*labels, F.col(keep).alias(VALUE_COL))
-        fn = node.fn.removesuffix("_over_time") if node.fn.endswith("_over_time") else node.fn
+            cr = counter_rate(w, labels + extra_keys)
+            keep = "rate" if fn == "rate" else "increase"
+            return cr.select(*labels, *extra_keys, F.col(keep).alias(VALUE_COL))
+        if fn in ("irate", "idelta", "resets", "changes"):
+            # one bounded array per (series, window): the window's samples,
+            # time-sorted — the same per-series state a PromQL engine holds
+            arr = F.sort_array(
+                F.collect_list(F.struct(t.alias("t"), v.alias("v")))
+            )
+            g = w.groupBy(*labels, *extra_keys).agg(arr.alias("_a"))
+            n = F.size("_a")
+            if fn in ("irate", "idelta"):
+                last = F.get("_a", n - 1)
+                prev = F.get("_a", n - 2)  # F.get: NULL when out of range
+                dv = last["v"] - prev["v"]
+                if fn == "idelta":
+                    val = dv
+                else:
+                    inc = F.when(dv < 0, last["v"]).otherwise(dv)
+                    dt = (last["t"] - prev["t"]) / F.lit(1000.0)
+                    val = F.when(dt > 0, inc / dt)
+                out = g.filter(n >= 2).withColumn(VALUE_COL, val)
+            else:
+                prevs = F.slice("_a", F.lit(1), F.greatest(n - 1, F.lit(0)))
+                nexts = F.slice("_a", F.lit(2), F.greatest(n - 1, F.lit(0)))
+                if fn == "resets":
+                    flag = lambda a, b: (b["v"] < a["v"]).cast("int")  # noqa: E731
+                else:
+                    flag = lambda a, b: (b["v"] != a["v"]).cast("int")  # noqa: E731
+                cnt = F.aggregate(
+                    F.zip_with(prevs, nexts, flag),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                )
+                out = g.withColumn(VALUE_COL, cnt.cast("double"))
+            return out.drop("_a")
+        if fn == "deriv":  # simple least-squares slope per second
+            return w.groupBy(*labels, *extra_keys).agg(
+                F.regr_slope(v, t / F.lit(1000.0)).alias(VALUE_COL)
+            )
+        if fn == "quantile":  # quantile_over_time(q, …)
+            return w.groupBy(*labels, *extra_keys).agg(
+                F.percentile(v, F.lit(float(param))).alias(VALUE_COL)
+            )
+        base = fn.removesuffix("_over_time") if fn.endswith("_over_time") else fn
         exprs = {
             "avg": (F.sum(v.cast("decimal(28,6)")).cast("double") / F.count(v)),
             "min": F.min(v),
             "max": F.max(v),
             "sum": F.sum(v.cast("decimal(28,6)")).cast("double"),
             "count": F.count(F.lit(1)).cast("double"),
-            "last": F.max_by(v, F.col(TIME_COL)),
-            "delta": F.max_by(v, F.col(TIME_COL)) - F.min_by(v, F.col(TIME_COL)),
+            "last": F.max_by(v, t),
+            "delta": F.max_by(v, t) - F.min_by(v, t),
+            "stddev": F.stddev_pop(v),
+            "stdvar": F.var_pop(v),
+            "present": F.max(F.lit(1.0)),
         }
-        return w.groupBy(*labels, *extra_keys).agg(exprs[fn].alias(VALUE_COL))
+        return w.groupBy(*labels, *extra_keys).agg(exprs[base].alias(VALUE_COL))
 
-    def _over_time_grid(self, node: RangeFn, sel: DataFrame, labels: list[str],
-                        start: int, end: int, step: int) -> DataFrame:
-        """<fn>_over_time / delta over a grid: same bounded explode as
-        promql.range_query, with the window = the function's range."""
+    def _grid_apply(self, fn: str, param, window_ms: int, data: DataFrame,
+                    labels: list[str], start: int, end: int, step: int) -> DataFrame:
+        """Range function over a grid: each input row (a raw sample or an
+        inner-subquery grid point, time in TIME_COL) serves the bounded set
+        of steps whose window (T-window, T] contains it — one
+        ``sequence()``+``explode`` map-side, one aggregate. No per-step
+        job, no steps⨯samples join (same shape as promql.range_query)."""
         n_steps = (end - start) // step
         t = F.col(TIME_COL)
         k_min = F.greatest(F.lit(0), F.ceil((t - F.lit(start)) / F.lit(step)).cast("bigint"))
         k_max = F.least(
             F.lit(n_steps),
-            F.floor((t + F.lit(node.window_ms - 1) - F.lit(start)) / F.lit(step)).cast("bigint"),
+            F.floor((t + F.lit(window_ms - 1) - F.lit(start)) / F.lit(step)).cast("bigint"),
         )
         exploded = (
-            sel.filter((t <= end) & (t > start - node.window_ms))
+            data.filter((t <= end) & (t > start - window_ms))
             .filter(k_min <= k_max)
             .withColumn("_k", F.explode(F.sequence(k_min, k_max)))
             .withColumn("step_ts", F.lit(start) + F.col("_k") * F.lit(step))
         )
-        return self._range_fn_agg(node, exploded, labels, ["step_ts"]).select(
+        return self._range_fn_agg(fn, param, exploded, labels, ["step_ts"]).select(
             *labels, "step_ts", VALUE_COL
         )
 
+    def _match_keys(self, node: BinOp, left: DataFrame, right: DataFrame,
+                    extra: list[str]) -> list[str]:
+        if node.on:
+            return [self._label_col(left, l) for l in node.on] + [
+                e for e in extra if e in right.columns
+            ]
+        shared = [c for c in left.columns if c in right.columns and c != VALUE_COL]
+        if node.ignoring:
+            drop = set()
+            for l in node.ignoring:
+                try:
+                    drop.add(self._label_col(left, l))
+                except ValueError:
+                    pass
+            shared = [c for c in shared if c not in drop or c in extra]
+        return shared
+
     def _binop(self, node: BinOp, left, right, extra_keys: list[str]):
+        if node.op in _SET_OPS:
+            return self._setop(node, left, right, extra_keys)
+        if node.op in _CMP_OPS:
+            return self._cmp(node, left, right, extra_keys)
         ops = {
             "+": lambda a, b: a + b,
             "-": lambda a, b: a - b,
             "*": lambda a, b: a * b,
             "/": lambda a, b: F.when(b != 0, a / b),
+            "%": lambda a, b: F.when(b != 0, a % b),
         }
         op = ops[node.op]
         if not isinstance(left, DataFrame) and not isinstance(right, DataFrame):
@@ -605,19 +1066,80 @@ class PromQLEngine:
         # intersection of label columns; keep the LEFT side's full label
         # set — the many-to-one (`group_left`-like) semantics
         # `v / sum by (x)(v)` needs.  Framework keys (step_ts) always join.
-        if node.on:
-            keys = [self._label_col(left, l) for l in node.on] + list(extra_keys)
-        else:
-            keys = [c for c in left.columns
-                    if c in right.columns and c != VALUE_COL]
-        if not keys:
-            raise ValueError("no shared labels to match on")
+        keys = self._match_keys(node, left, right, extra_keys)
         keep = [c for c in left.columns if c != VALUE_COL]
         l = left.withColumnRenamed(VALUE_COL, "_lv")
-        r = right.select(*keys, F.col(VALUE_COL).alias("_rv"))
-        return l.join(r, keys).select(
+        if not keys:
+            # a label-less side (scalar()/vector()/global agg): broadcast
+            # the one-row side across the other — no shuffle
+            r = right.select(F.col(VALUE_COL).alias("_rv"))
+            joined = l.crossJoin(F.broadcast(r))
+        else:
+            r = right.select(*keys, F.col(VALUE_COL).alias("_rv"))
+            joined = l.join(r, keys)
+        return joined.select(
             *keep, op(F.col("_lv"), F.col("_rv")).alias(VALUE_COL)
         )
+
+    def _cmp(self, node: BinOp, left, right, extra_keys: list[str]):
+        conds = {
+            "==": lambda a, b: a == b,
+            "!=": lambda a, b: a != b,
+            ">": lambda a, b: a > b,
+            "<": lambda a, b: a < b,
+            ">=": lambda a, b: a >= b,
+            "<=": lambda a, b: a <= b,
+        }
+        cond = conds[node.op]
+        if not isinstance(left, DataFrame) and not isinstance(right, DataFrame):
+            raise ValueError("scalar-scalar comparisons are not vectors")
+        if not isinstance(left, DataFrame):
+            # scalar CMP vector: the result carries the VECTOR side's value
+            c = cond(F.lit(left), F.col(VALUE_COL))
+            if node.bool_mod:
+                return right.withColumn(VALUE_COL, c.cast("double"))
+            return right.filter(c)
+        if not isinstance(right, DataFrame):
+            c = cond(F.col(VALUE_COL), F.lit(right))
+            if node.bool_mod:
+                return left.withColumn(VALUE_COL, c.cast("double"))
+            return left.filter(c)
+        keys = self._match_keys(node, left, right, extra_keys)
+        keep = [c for c in left.columns if c != VALUE_COL]
+        l = left.withColumnRenamed(VALUE_COL, "_lv")
+        if not keys:
+            r = right.select(F.col(VALUE_COL).alias("_rv"))
+            joined = l.crossJoin(F.broadcast(r))
+        else:
+            r = right.select(*keys, F.col(VALUE_COL).alias("_rv"))
+            joined = l.join(r, keys)
+        c = cond(F.col("_lv"), F.col("_rv"))
+        if node.bool_mod:
+            return joined.select(*keep, c.cast("double").alias(VALUE_COL))
+        return joined.filter(c).select(*keep, F.col("_lv").alias(VALUE_COL))
+
+    def _setop(self, node: BinOp, left, right, extra_keys: list[str]):
+        if not isinstance(left, DataFrame) or not isinstance(right, DataFrame):
+            raise ValueError(f"{node.op} requires vector operands")
+        keys = self._match_keys(node, left, right, extra_keys)
+        if node.op == "and":
+            if not keys:
+                # keyless: keep left iff right is non-empty
+                n = right.agg(F.count(F.lit(1)).alias("_n"))
+                return left.crossJoin(F.broadcast(n)).filter(F.col("_n") > 0).drop("_n")
+            return left.join(right.select(*keys).distinct(), keys, "left_semi")
+        if node.op == "unless":
+            if not keys:
+                n = right.agg(F.count(F.lit(1)).alias("_n"))
+                return left.crossJoin(F.broadcast(n)).filter(F.col("_n") == 0).drop("_n")
+            return left.join(right.select(*keys).distinct(), keys, "left_anti")
+        # or: left, plus right elements whose match-key set is absent from left
+        if not keys:
+            n = left.agg(F.count(F.lit(1)).alias("_n"))
+            fallback = right.crossJoin(F.broadcast(n)).filter(F.col("_n") == 0).drop("_n")
+            return left.unionByName(fallback, allowMissingColumns=True)
+        fallback = right.join(left.select(*keys).distinct(), keys, "left_anti")
+        return left.unionByName(fallback, allowMissingColumns=True)
 
 
 def query_instant(spark_df: DataFrame, expr: str, at_ms: int,
