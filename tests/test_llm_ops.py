@@ -222,3 +222,71 @@ def test_query_selector_end_to_end(spark):
         t0=1679383000000, t1=1679385000000,
     )
     assert out.count() == 134  # same result as q02 (the hello.go query)
+
+
+# ---------------------------------------------------------------------------
+# corpus ops (llm/corpus.py): split, decontamination, repetition
+
+
+def test_split_corpus_deterministic_and_nested(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in
+         llm.split_corpus(df, val_frac=0.05).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         llm.split_corpus(df, val_frac=0.05).collect()}
+    assert a == b  # no RNG state: identical across runs
+    frac = sum(v == "val" for v in a.values()) / len(a)
+    assert 0.02 < frac < 0.09  # ~Bernoulli(0.05)
+
+    # monotone nesting: the 1% val set is inside the 5% one
+    small = {k for k, v in
+             {r["doc_id"]: r["split"] for r in
+              llm.split_corpus(df, val_frac=0.01).collect()}.items() if v == "val"}
+    big = {k for k, v in a.items() if v == "val"}
+    assert small <= big
+
+    # a different salt re-rolls the assignment
+    c = {r["doc_id"]: r["split"] for r in
+         llm.split_corpus(df, val_frac=0.05, salt="v2").collect()}
+    assert c != a
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame(
+        [(0, "one two three"), (1, "just two")], "doc_id long, text string")
+    out = {r["doc_id"]: r["ng"] for r in
+           df.select("doc_id", llm.word_ngrams("text", 3).alias("ng")).collect()}
+    assert out[0] == ["one two three"]
+    assert out[1] == []
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [
+            # contains the benchmark's first 8-gram verbatim
+            (0, "intro alpha beta gamma delta epsilon zeta eta theta outro"),
+            (1, "entirely unrelated words that never collide with anything"),
+        ],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_hits"], r["contaminated"]) for r in
+           llm.decontaminate(docs, bench, n=8).collect()}
+    assert out[0][0] >= 1 and out[0][1] is True
+    assert out[1] == (0, False)
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),   # one distinct 3-gram
+            (1, "all words here are fully unique"),
+            (2, "a b"),                              # shorter than n
+        ],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in llm.repetition_stats(df, n=3).collect()}
+    assert out[0]["n_ngrams"] == 4 and out[0]["n_distinct"] == 1
+    assert out[0]["dup_frac"] == 0.75 and out[0]["repetitive"] is True
+    assert out[1]["dup_frac"] == 0.0 and out[1]["repetitive"] is False
+    assert out[2]["dup_frac"] is None and out[2]["repetitive"] is False

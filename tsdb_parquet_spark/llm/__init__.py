@@ -33,6 +33,12 @@ from .text import (
     tokenize_counts,
     tokens_col,
 )
+from .corpus import (
+    decontaminate,
+    repetition_stats,
+    split_corpus,
+    word_ngrams,
+)
 from .multimodal import (
     decode_images,
     extract_features,
@@ -61,6 +67,10 @@ __all__ = [
     "text_quality",
     "language_id",
     "doc_fingerprint",
+    "split_corpus",
+    "decontaminate",
+    "repetition_stats",
+    "word_ngrams",
     "decode_images",
     "resize_images",
     "extract_features",

@@ -1,0 +1,139 @@
+"""Corpus-level training-data-pipeline operators: deterministic
+train/validation splitting, benchmark decontamination, and repetition
+(duplicate-n-gram) quality statistics.
+
+North-star extension (SURVEY.md §2.2); not in the reference.  These are
+the corpus-management steps an LLM data pipeline runs between dedup
+(``llm/dedup.py``) and tokenization (``llm/text.py``).
+
+100 TB posture:
+
+- ``split_corpus`` is a pure map stage (one md5 per row, no shuffle, no
+  RNG state): the split is a function of the document id alone, so it is
+  reproducible across runs, machines and engines, and any subset of the
+  corpus can be split independently — exactly why production pipelines
+  hash-split instead of ``rand()``.
+- ``decontaminate`` broadcasts the benchmark n-gram set (benchmarks are
+  KBs-to-MBs against a 100 TB corpus) so the overlap check is a map-side
+  semi join: no shuffle of the corpus, only the per-doc dedup of matched
+  n-grams aggregates (keyed by doc_id — pre-partitioned data needs no
+  extra exchange).
+- ``repetition_stats`` is per-row higher-order-function arithmetic over
+  the token array — zero Python, zero shuffle; the n-gram array is
+  bounded by document length (cap long docs upstream via ``n_chars``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+
+def word_ngrams(text_col: Column | str, n: int = 8,
+                lowercase: bool = True) -> Column:
+    """Space-joined word n-grams as an array column (empty when the
+    document has fewer than ``n`` tokens)."""
+    toks = tokens_col(text_col, lowercase=lowercase)
+    # slice() with a lambda-bound start keeps this whole-stage codegen
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def split_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_frac: float = 0.05,
+    salt: str = "v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic hash-based train/validation split.
+
+    ``md5(id || salt)`` is uniform in hex space, so comparing its first 8
+    hex chars against ``floor(val_frac · 16^8)`` in hex yields an
+    engine-portable Bernoulli(val_frac) assignment (DuckDB and Spark md5
+    agree byte-for-byte; the comparison is plain string ordering on
+    lowercase hex).  Changing ``salt`` re-rolls the split; changing
+    ``val_frac`` only moves the boundary, so val sets nest monotonically
+    — a 5% val set contains the 1% one, handy for scaling studies.
+    """
+    if not (0.0 <= val_frac <= 1.0):
+        raise ValueError(f"val_frac must be in [0,1], got {val_frac}")
+    threshold = format(int(val_frac * 16 ** 8), "08x")
+    h = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+    )
+    return df.withColumn(
+        split_col, F.when(h < threshold, "val").otherwise("train")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at least
+    one word ``n``-gram with the benchmark set (the standard GPT-3/PaLM
+    style 8-gram-collision check).
+
+    Returns ``docs`` plus ``n_hits`` (count of DISTINCT benchmark n-grams
+    present in the doc) and ``contaminated``.  The benchmark n-gram set is
+    deduped and broadcast — the corpus side never shuffles for the join;
+    the only aggregation is per-doc over matched n-grams.
+    """
+    ng = word_ngrams(text_col, n)
+    bench_ngrams = (
+        benchmark.select(F.explode(ng).alias("_ng")).distinct()
+    )
+    doc_ngrams = docs.select(
+        F.col(id_col), F.explode(ng).alias("_ng")
+    ).distinct()
+    hits = (
+        doc_ngrams.join(F.broadcast(bench_ngrams), "_ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Gopher-style repetition quality signal: the fraction of duplicate
+    word ``n``-grams per document (1 − distinct/total).  Boilerplate and
+    degenerate machine text score high; natural prose scores near 0.
+
+    Adds ``n_ngrams``, ``n_distinct``, ``dup_frac`` (NULL when the doc is
+    shorter than ``n`` tokens) and the boolean ``repetitive`` flag.
+    Pure per-row expression — map stage only.
+    """
+    ng = word_ngrams(text_col, n)
+    total = F.size(ng)
+    distinct = F.size(F.array_distinct(ng))
+    dup_frac = F.when(
+        total > 0, 1.0 - distinct.cast("double") / total.cast("double")
+    )
+    return (
+        docs.withColumn("n_ngrams", total)
+        .withColumn("n_distinct", distinct)
+        .withColumn("dup_frac", dup_frac)
+        .withColumn(
+            "repetitive", F.coalesce(F.col("dup_frac") > threshold, F.lit(False))
+        )
+    )
