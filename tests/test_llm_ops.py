@@ -290,3 +290,31 @@ def test_repetition_stats(spark):
     assert out[0]["dup_frac"] == 0.75 and out[0]["repetitive"] is True
     assert out[1]["dup_frac"] == 0.0 and out[1]["repetitive"] is False
     assert out[2]["dup_frac"] is None and out[2]["repetitive"] is False
+
+
+def test_neardup_clusters_min_label(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)], "id_a long, id_b long")
+    out = {r["node"]: r["comp"] for r in llm.neardup_clusters(pairs).collect()}
+    # chain 1-2-3-9 collapses to min id 1; isolated pair 5-6 to 5
+    assert out == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_keep_one_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in
+                  llm.keep_one_per_cluster(docs, pairs).collect())
+    # cluster {1,2,3} keeps 1; {5,6} keeps 5; 0,4,7 untouched
+    assert kept == [0, 1, 4, 5, 7]
+
+
+def test_dedup_pipeline_simhash_to_clusters(docs):
+    pairs = llm.simhash_neardup_pairs(llm.simhash_signatures(docs), max_hamming=6)
+    kept = llm.keep_one_per_cluster(docs, pairs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    # docs 0/1 identical, 2 near-dup: one survivor (the min id, 0)
+    assert 0 in ids and 1 not in ids
+    assert 3 in ids and 4 in ids

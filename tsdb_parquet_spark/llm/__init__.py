@@ -17,6 +17,8 @@ from .dedup import (
     simhash_signatures,
     simhash_neardup_pairs,
     embedding_neardup_pairs,
+    neardup_clusters,
+    keep_one_per_cluster,
 )
 from .similarity import (
     cosine_cols,
@@ -56,6 +58,8 @@ __all__ = [
     "simhash_signatures",
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",
+    "neardup_clusters",
+    "keep_one_per_cluster",
     "cosine_cols",
     "cosine_topk_exact",
     "ivf_topk",

@@ -328,3 +328,89 @@ def embedding_neardup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into connected components — the step
+    every production dedup pipeline needs between candidate generation
+    (MinHash/SimHash/embedding pairs) and "keep one per cluster".
+
+    Iterative min-label propagation: every node starts as its own
+    component, then repeatedly adopts the minimum component id among
+    itself and its neighbors until a fixpoint.  Converges in at most
+    graph-diameter rounds — near-dup graphs are unions of small dense
+    cliques (diameter 2-3), so this terminates in a handful of
+    iterations, each ONE join + ONE aggregate (two shuffles).
+
+    Scale notes: ``localCheckpoint`` truncates the growing lineage each
+    round (otherwise the plan doubles per iteration); the convergence
+    check is a metadata-cheap count on the changed rows.  For
+    billion-node graphs swap in the large-star/small-star variant — the
+    API contract (pairs → (node, comp)) stays the same.
+
+    Returns (node, comp): comp is the MINIMUM member id of the cluster,
+    so ``node != comp`` marks removable duplicates.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("comp").alias("_dc")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_dc").alias("_nc"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("_nc"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_one_per_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """End-to-end near-dedup: resolve pairs to clusters, keep the minimum
+    id of each cluster, drop every other member.  Documents in no pair
+    pass through untouched (they never join the removal set)."""
+    clusters = neardup_clusters(pairs, id_a, id_b)
+    removals = clusters.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(removals, id_col, "left_anti")
