@@ -142,3 +142,33 @@ def test_orc_roundtrip_pushdown(spark, tmp_path):
         .executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThan(time,500)" in plan
     assert read_orc(spark, p).filter("label_name = 'k1'").count() == 200
+
+
+def test_binary_dir_multimodal_ingest(spark, tmp_path):
+    from tsdb_parquet_spark.llm.multimodal import decode_images
+    from tsdb_parquet_spark.sources import binary_dir_to_multimodal, read_binary_dir
+
+    d = tmp_path / "media"
+    d.mkdir()
+    payloads = {"a.img": b"\x01\x02\x03payload-a", "b.img": b"payload-b" * 100,
+                "skip.txt": b"not media"}
+    for name, data in payloads.items():
+        (d / name).write_bytes(data)
+
+    raw = read_binary_dir(spark, str(d), glob="*.img")
+    got = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in raw.collect()}
+    assert got == {k: v for k, v in payloads.items() if k.endswith(".img")}
+
+    # metadata-level size guard filters before payload use
+    small = read_binary_dir(spark, str(d), glob="*.img", max_bytes=100)
+    assert small.count() == 1
+
+    # the bridge emits the multimodal convention and decode runs unchanged
+    mm = binary_dir_to_multimodal(spark, str(d), glob="*.img")
+    rows = mm.collect()
+    assert {r["meta"]["modality"] for r in rows} == {"image"}
+    assert all(r["source_bytes"] == len(payloads[r["source_uri"].rsplit("/", 1)[-1]])
+               for r in rows)
+    decoded = decode_images(mm)
+    assert decoded.count() == 2
+    assert {r["n_bytes"] for r in decoded.collect()} == {12, 900}

@@ -93,3 +93,61 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
     (writer.write_sorted) — this exists so ORC-resident corpora can enter
     and leave without a format detour through another engine."""
     df.write.mode(mode).option("compression", codec).orc(path)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Directory-of-files ingest via Spark's ``binaryFile`` source — the
+    front door of the multimodal pipeline (llm/multimodal.py): images,
+    audio or video land as (path, modificationTime, length, content
+    BINARY) rows, one task per file group, no Python in the scan.
+
+    100 TB posture: binaryFile is a real FileFormat — partition planning,
+    predicate pushdown on file metadata (path/length/mtime), and
+    ``spark.sql.files.maxPartitionBytes`` batching all apply; pair with
+    ``pathGlobFilter`` so pruning happens at listing time, not after the
+    read.  ``max_bytes`` guards against a single huge file skewing
+    executor memory (filter happens on the metadata column, before
+    content is materialized downstream).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(df["length"] <= max_bytes)
+    return df
+
+
+def binary_dir_to_multimodal(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    media_type: str = "image",
+) -> DataFrame:
+    """binaryFile scan → the multimodal table convention
+    (llm/multimodal.py: item_id, media_type, payload, meta struct) — the
+    end-to-end files-on-disk → decode-pipeline bridge."""
+    from pyspark.sql import functions as F
+
+    df = read_binary_dir(spark, path, glob)
+    # matches llm.multimodal.MULTIMODAL_SCHEMA (+ provenance columns) so
+    # decode_images/extract_features run on it unchanged
+    return df.select(
+        F.xxhash64("path").alias("item_id"),
+        F.col("content"),
+        F.struct(
+            F.lit(media_type).alias("modality"),
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+        F.col("path").alias("source_uri"),
+        F.col("length").alias("source_bytes"),
+    )
