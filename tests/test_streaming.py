@@ -187,3 +187,72 @@ def test_stream_interval_join_equals_batch(spark, events_path, tmp_path):
     got = _canon(spark.table("ivjoin"),
                  ["user_id", "l_ts", "r_ts", "l_event", "r_event"])
     assert got == want
+
+
+def test_streaming_counter_rate_equals_batch(spark, tmp_path):
+    """Reset-aware streaming counter rate accumulated across ordered
+    micro-batches equals the batch counter_rate on the same samples."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tsdb_parquet_spark.streaming import streaming_counter_rate
+    from tsdb_parquet_spark.timeseries import counter_rate
+
+    # two counter series: one monotone, one with a mid-stream reset that
+    # falls ON a micro-batch boundary (the cross-batch state must bridge it)
+    series = {
+        "a": [0.0, 10.0, 25.0, 30.0, 2.0, 8.0],   # reset at sample 4
+        "b": [5.0, 6.0, 9.0, 9.0, 14.0, 20.0],
+    }
+    d = tmp_path / "samples"
+    d.mkdir()
+    per_file = 2
+    for i in range(3):  # 3 time-ordered files -> 3 micro-batches
+        rows = {"series_key": [], "time": [], "value": []}
+        for k, vs in series.items():
+            for j in range(i * per_file, (i + 1) * per_file):
+                rows["series_key"].append(k)
+                rows["time"].append((j + 1) * 60_000)
+                rows["value"].append(vs[j])
+        f = str(d / f"batch_{i}.parquet")
+        pq.write_table(pa.table(rows), f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))  # mtime order
+
+    schema = "series_key string, time long, value double"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(str(d))
+    )
+    out = streaming_counter_rate(sdf)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rate_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode appends one row per key per batch: final = max last_time
+    got = (
+        spark.table("rate_stream")
+        .orderBy("last_time")
+        .groupBy("key")
+        .agg(F.max_by("increase", "last_time").alias("increase"),
+             F.max_by("rate", "last_time").alias("rate"),
+             F.max("n_samples").alias("n"))
+    )
+    stream_res = {r["key"]: r for r in got.collect()}
+
+    batch = spark.read.parquet(str(d))
+    batch_res = {r["series_key"]: r for r in
+                 counter_rate(batch, labels=["series_key"]).collect()}
+
+    for k in series:
+        assert stream_res[k]["n"] == batch_res[k]["n_samples"]
+        # batch counter_rate rounds to 6 dp; round the stream side to match
+        assert round(stream_res[k]["increase"], 6) == pytest.approx(
+            float(batch_res[k]["increase"]), abs=1e-9)
+        assert round(stream_res[k]["rate"], 6) == pytest.approx(
+            float(batch_res[k]["rate"]), abs=1e-9)

@@ -4,6 +4,7 @@ streaming-shaped — its committed ``wal/`` segments are Prometheus artifacts
 never read by ``hello.go``, and FrostDB's WAL option is commented out at
 ``hello.go:452``)."""
 
+from .stateful import running_totals, streaming_counter_rate
 from .windows import (
     read_events_stream,
     session_counts,
@@ -17,6 +18,8 @@ from .windows import (
 )
 
 __all__ = [
+    "running_totals",
+    "streaming_counter_rate",
     "read_events_stream",
     "tumbling_counts",
     "tumbling_counts_batch",
