@@ -144,3 +144,43 @@ def test_cli_explain_smoke(spark, capsys):
     out = capsys.readouterr().out
     assert "pushed filters:" in out and "EqualTo(label_name,up)" in out
     assert "exchanges:      0" in out
+
+
+def test_interval_join_bucketed_equals_fallback(spark):
+    # the bucketed candidate generation must be a pure optimization:
+    # identical pairs to the key-only equi join, including rows exactly at
+    # the window edge (b.ts == a.ts + W) and just past it
+    from tsdb_parquet_spark.operators.joins import interval_self_join
+
+    rows = []
+    base = 1_700_000_000_000_000  # epoch micros
+    w_us = 60_000_000  # 1 minute
+    # user u1: dense run straddling bucket boundaries incl. exact-edge hits
+    for i, off in enumerate([0, 1, 59_999_999, 60_000_000, 60_000_001,
+                             119_999_999, 120_000_000, 180_000_000]):
+        rows.append(("u1", i, base + off))
+    # user u2: sparse, nothing within a window
+    rows.append(("u2", 100, base))
+    rows.append(("u2", 101, base + 10 * w_us))
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts_us long"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+
+    def pairs(out):
+        return sorted(
+            (r["a"], r["b"])
+            for r in out.select(
+                F.col("e1.event_id").alias("a"), F.col("e2.event_id").alias("b")
+            ).collect()
+        )
+
+    bucketed = interval_self_join(df, "user_id", "ts", "INTERVAL 1 MINUTES")
+    # a non-literal interval expression forces the fallback plan
+    fallback = interval_self_join(
+        df, "user_id", "ts", "INTERVAL '1' MINUTE"
+    )
+    got_b, got_f = pairs(bucketed), pairs(fallback)
+    assert got_b == got_f, (got_b, got_f)
+    assert ("u1-ish" not in got_b)  # sanity: non-empty, edge row included
+    assert (0, 3) in got_b   # exact edge b.ts == a.ts + W is INCLUDED
+    assert (0, 4) not in got_b  # one microsecond past the edge excluded

@@ -143,3 +143,53 @@ def doc_fingerprint(
     and incremental-ingest change detection."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.select(F.col(id_col), F.xxhash64(norm).alias(fp_alias))
+
+
+# PII patterns — valid and identically-matching in BOTH Java regex (Spark)
+# and RE2 (DuckDB), so the oracle runs the same redaction: no lookaround,
+# no backreferences, POSIX-safe classes only.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    (r"\+?\d[\d -]{8,14}\d\b", "[PHONE]"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+) -> DataFrame:
+    """Regex PII redaction (emails, IPv4s, SSN-form ids, phone numbers) —
+    the scrubbing pass a training-data pipeline runs before anything else.
+
+    A chain of ``regexp_replace`` built-ins: pure JVM map stage, no
+    shuffle, streams through whole-stage codegen at scan speed.  Pattern
+    order matters (emails before phones, so digit runs inside an address
+    are already collapsed) and is fixed by ``PII_PATTERNS``.
+    """
+    c = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out_col, c)
+
+
+def url_domains(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document extraction of http(s) URL domains (lowercased,
+    deduplicated, sorted) — the seed for domain-level corpus filtering
+    (blocklists, per-domain caps, provenance stats).
+
+    ``regexp_extract_all`` + higher-order array ops: map-stage only.
+    Domain-level aggregation afterwards is a single groupBy on a
+    low-cardinality key.
+    """
+    urls = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"https?://([A-Za-z0-9.-]+)"), F.lit(1)
+    )
+    doms = F.array_sort(F.array_distinct(F.transform(urls, F.lower)))
+    return df.select(F.col(id_col), doms.alias("domains"))

@@ -124,6 +124,28 @@ def asof_join(
     )
 
 
+def _interval_micros(interval_expr: str) -> int | None:
+    """Width of a literal ``INTERVAL <n> <unit>`` in microseconds, or None
+    when the expression isn't a simple literal (caller falls back to the
+    unbucketed plan)."""
+    import re
+
+    m = re.fullmatch(
+        r"\s*INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?\s*",
+        interval_expr,
+        re.IGNORECASE,
+    )
+    if not m:
+        return None
+    mult = {
+        "SECOND": 1_000_000,
+        "MINUTE": 60_000_000,
+        "HOUR": 3_600_000_000,
+        "DAY": 86_400_000_000,
+    }[m.group(2).upper()]
+    return int(m.group(1)) * mult
+
+
 def interval_self_join(
     df: DataFrame,
     key: str,
@@ -138,16 +160,50 @@ def interval_self_join(
     the equi key is what keeps the plan a hash/sort-merge join (see module
     docstring).  ``interval_expr`` e.g. ``"INTERVAL 5 MINUTES"``.
     """
-    a = df.alias(left_alias)
-    b = df.alias(right_alias)
-    cond = (
-        (F.col(f"{left_alias}.{key}") == F.col(f"{right_alias}.{key}"))
-        & (F.col(f"{right_alias}.{ts_col}") > F.col(f"{left_alias}.{ts_col}"))
+    range_pred = lambda: (  # noqa: E731 — built twice against fresh aliases
+        (F.col(f"{right_alias}.{ts_col}") > F.col(f"{left_alias}.{ts_col}"))
         & (
             F.col(f"{right_alias}.{ts_col}")
             <= F.expr(f"{left_alias}.{ts_col} + {interval_expr}")
         )
     )
+    width_us = _interval_micros(interval_expr)
+    if width_us is not None and dict(df.dtypes).get(ts_col, "").startswith(
+        "timestamp"
+    ):
+        # Bucketed candidate generation — the distributed range join.
+        # With only the key as equi condition, every key's rows cross-
+        # product before the range filter: a key with n rows costs n² —
+        # quadratic in per-key density, the true 100x-scale killer here
+        # (measured 15.7 s at sf10 vs 1.3 s for DuckDB's IEJoin).  Bucket
+        # time by the interval width W: b.ts ∈ (a.ts, a.ts+W] implies
+        # bucket(b) ∈ {bucket(a), bucket(a)+1}, so exploding the left side
+        # into its two candidate buckets and equi-joining on (key, bucket)
+        # bounds each hash group to two adjacent W-windows — near-linear
+        # in output size, and the explode is a map-side 2x, not a shuffle.
+        bkt = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(width_us))
+        a = (
+            df.withColumn("_cand", F.explode(F.array(bkt, bkt + 1)))
+            .alias(left_alias)
+        )
+        # hint the UN-exploded side: shuffle-hash build on the smaller input
+        b = df.withColumn("_cand", bkt).hint("shuffle_hash").alias(right_alias)
+        cond = (
+            (F.col(f"{left_alias}.{key}") == F.col(f"{right_alias}.{key}"))
+            & (F.col(f"{left_alias}._cand") == F.col(f"{right_alias}._cand"))
+            & range_pred()
+        )
+        return (
+            a.join(b, cond, "inner")
+            .drop(F.col(f"{left_alias}._cand"))
+            .drop(F.col(f"{right_alias}._cand"))
+        )
+    # non-literal interval: fall back to the key-only equi join
+    a = df.alias(left_alias)
+    b = df.alias(right_alias)
+    cond = (
+        F.col(f"{left_alias}.{key}") == F.col(f"{right_alias}.{key}")
+    ) & range_pred()
     # both sides are the same fact-scale table: hint the shuffle join so a
     # pruned-size mis-estimate can never broadcast it (see fact_fact_join)
     return a.hint("shuffle_hash").join(b, cond, "inner")
