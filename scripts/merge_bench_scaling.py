@@ -1,0 +1,42 @@
+"""Merge N bench.py output JSONs (same sf) into one BENCH_SCALING point:
+per-query minima for BOTH engines (the VM is noisy; minima recover each
+engine's capability), serial totals = sum of minima, concurrent wall =
+min across runs.
+
+Usage: python scripts/merge_bench_scaling.py SF RUN1.json [RUN2.json ...]
+Prints the point JSON to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    sf = float(sys.argv[1])
+    runs = [json.load(open(p)) for p in sys.argv[2:]]
+    queries = runs[0]["queries"].keys()
+    sq = {q: min(r["queries"][q] for r in runs) for q in queries}
+    dq = {q: min(r["duckdb_queries"][q] for r in runs) for q in queries}
+    spark_total = round(sum(sq.values()), 3)
+    duck_total = round(sum(dq.values()), 3)
+    point = {
+        "sf": sf,
+        "n_runs": len(runs),
+        "spark_serial_sec": spark_total,
+        "duckdb_serial_sec": duck_total,
+        "serial_ratio": round(spark_total / duck_total, 3),
+        "concurrent_wall_sec": min(r["concurrent_wall_sec"] for r in runs),
+        "concurrent_ratio": round(
+            min(r["concurrent_wall_sec"] for r in runs) / duck_total, 3
+        ),
+        "rows_total": runs[0]["rows_total"],
+        "queries": sq,
+        "duckdb_queries": dq,
+    }
+    print(json.dumps(point, indent=1))
+
+
+if __name__ == "__main__":
+    main()
