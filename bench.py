@@ -48,7 +48,11 @@ def main() -> None:
         extra_conf={
             "spark.sql.adaptive.enabled": str(aqe).lower(),
             # fewer Arrow batches per big result (~8% on scan-heavy queries)
-            "spark.sql.execution.arrow.maxRecordsPerBatch": "200000",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "1000000",
+            # zero-copy-leaning toPandas: frees each Arrow batch as it is
+            # consumed — cuts driver heap pressure on the multi-GB sf10
+            # results, which otherwise inflates LATER queries via GC
+            "spark.sql.execution.arrow.pyspark.selfDestruct.enabled": "true",
         },
     )
     # warm the JVM/codegen paths so per-query numbers measure the queries

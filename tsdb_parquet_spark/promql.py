@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .operators.aggregates import exact_value_sum
 from .timeseries import TIME_COL, VALUE_COL, label_columns
 
 
@@ -42,10 +43,10 @@ def over_time(
         # denominator is count(v) — non-null count — so a NULL sample is
         # skipped by BOTH sum and count, matching standard avg semantics
         # (count(1) would count every row and deflate the average)
-        "avg": (F.sum(v.cast("decimal(28,6)")).cast("double") / F.count(v)),
+        "avg": (exact_value_sum(v) / F.count(v)),
         "min": F.min(v),
         "max": F.max(v),
-        "sum": F.sum(v.cast("decimal(28,6)")).cast("double"),
+        "sum": exact_value_sum(v),
         "count": F.count(F.lit(1)).cast("double"),
         "last": F.max_by(v, F.col(TIME_COL)),
     }
@@ -186,9 +187,9 @@ def aggregate_by(
     """
     v = F.col(value_col)
     exprs = {
-        "sum": F.sum(v.cast("decimal(28,6)")).cast("double"),
+        "sum": exact_value_sum(v),
         # count(v) not count(1): NULL samples must not deflate the mean
-        "avg": (F.sum(v.cast("decimal(28,6)")).cast("double") / F.count(v)),
+        "avg": (exact_value_sum(v) / F.count(v)),
         "min": F.min(v),
         "max": F.max(v),
         "count": F.count(F.lit(1)).cast("double"),
@@ -338,7 +339,7 @@ def range_rate(
         F.col("_pt") > F.col("step_ts") - F.lit(window_ms), F.col("_d")
     ).otherwise(F.lit(0.0))
     span_s = (F.max(TIME_COL) - F.min(TIME_COL)).cast("double") / 1000.0
-    inc = F.sum(in_window_d.cast("decimal(28,6)")).cast("double")
+    inc = exact_value_sum(in_window_d)
     return exploded.groupBy(*labels, "step_ts").agg(
         inc.alias("increase"),
         F.when(span_s > 0, inc / span_s).otherwise(F.lit(None).cast("double")).alias("rate"),
@@ -562,7 +563,7 @@ def rate(
     )
     with_d = df.withColumn("_d", d)
     span_s = (F.max(TIME_COL) - F.min(TIME_COL)).cast("double") / 1000.0
-    inc = F.sum(F.col("_d").cast("decimal(28,6)")).cast("double")
+    inc = exact_value_sum(F.col("_d"))
     return _bucketed(with_d, window_ms, labels).agg(
         inc.alias("increase"),
         F.when(span_s > 0, inc / span_s).otherwise(F.lit(None).cast("double")).alias("rate"),

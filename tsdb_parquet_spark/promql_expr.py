@@ -73,6 +73,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .matchers import Matcher, apply_matchers, parse_selector
+from .operators.aggregates import exact_value_sum
 from .timeseries import TIME_COL, VALUE_COL, label_columns
 
 _RANGE_FNS = {
@@ -882,9 +883,9 @@ class PromQLEngine:
     def _agg_expr(self, op: str, param):
         v = F.col(VALUE_COL)
         if op == "sum":
-            return F.sum(v.cast("decimal(28,6)")).cast("double")
+            return exact_value_sum(v)
         if op == "avg":
-            return F.sum(v.cast("decimal(28,6)")).cast("double") / F.count(v)
+            return exact_value_sum(v) / F.count(v)
         if op == "min":
             return F.min(v)
         if op == "max":
@@ -989,10 +990,10 @@ class PromQLEngine:
             )
         base = fn.removesuffix("_over_time") if fn.endswith("_over_time") else fn
         exprs = {
-            "avg": (F.sum(v.cast("decimal(28,6)")).cast("double") / F.count(v)),
+            "avg": (exact_value_sum(v) / F.count(v)),
             "min": F.min(v),
             "max": F.max(v),
-            "sum": F.sum(v.cast("decimal(28,6)")).cast("double"),
+            "sum": exact_value_sum(v),
             "count": F.count(F.lit(1)).cast("double"),
             "last": F.max_by(v, t),
             "delta": F.max_by(v, t) - F.min_by(v, t),

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.aggregates import decimal_sum
+
 
 def read_events_stream(
     spark: SparkSession,
@@ -56,7 +58,7 @@ def tumbling_counts(
         .groupBy(F.window(ts_col, window_len).alias("win"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sv"),
+            decimal_sum(F.col("value"), scale=4).alias("sv"),
         )
         .select(
             F.unix_timestamp("win.start").alias("bucket_start"),
@@ -79,7 +81,7 @@ def tumbling_counts_batch(
         events.groupBy(F.window(ts_col, window_len).alias("win"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sv"),
+            decimal_sum(F.col("value"), scale=4).alias("sv"),
         )
         .select(
             F.unix_timestamp("win.start").alias("bucket_start"),

@@ -46,6 +46,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .matchers import Matcher, NullSemantics, apply_matchers, wide_label_col
+from .operators.aggregates import exact_value_sum
 
 # Fixed columns of the tsdb model (hello.go:120-138): time INT64 epoch-ms,
 # value DOUBLE.  Everything else is a dynamic label column.
@@ -143,7 +144,7 @@ def regroup_series_stats(df: DataFrame, labels: list[str] | None = None) -> Data
         F.count(F.lit(1)).alias("n"),
         F.min(TIME_COL).alias("t0"),
         F.max(TIME_COL).alias("t1"),
-        F.sum(F.col(VALUE_COL).cast("decimal(28,6)")).cast("double").alias("sv"),
+        exact_value_sum(F.col(VALUE_COL)).alias("sv"),
     )
 
 
@@ -209,7 +210,7 @@ def counter_rate(
     span_s = (F.max(TIME_COL) - F.min(TIME_COL)).cast("double") / 1000.0
     # decimal-before-sum (convention D2): the per-series delta sum is exact
     # and order-independent, so distributed summation can't drift
-    inc = F.sum(F.col("_delta").cast("decimal(28,6)")).cast("double")
+    inc = exact_value_sum(F.col("_delta"))
     return (
         with_delta.groupBy(*labels)
         .agg(
@@ -248,7 +249,7 @@ def downsample(
             # no rounding needed (and cross-engine ROUND(double) is itself
             # a portability hazard at .5 boundaries)
             (
-                F.sum(F.col(VALUE_COL).cast("decimal(28,6)")).cast("double")
+                exact_value_sum(F.col(VALUE_COL))
                 / F.count(F.lit(1))
             ).alias("avg_v"),
             F.min(VALUE_COL).alias("min_v"),
