@@ -1,0 +1,103 @@
+"""Continuous aggregate (hypertable rollup) — incremental == full recompute,
+partition-pruned refresh, and streaming maintenance equivalence."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.rollup import (
+    finalize_rollup,
+    merge_rollup_state,
+    read_rollup,
+    refresh_rollup,
+    rollup_state,
+    streaming_rollup,
+)
+from tsdb_parquet_spark.timeseries import downsample
+
+STEP = 3_600_000  # 1 h buckets
+
+
+def _samples(spark, lo, hi, series=("up", "down"), jitter=0):
+    rows = []
+    for name in series:
+        for t in range(lo, hi, 180_000):  # every 3 min
+            rows.append((t + jitter, float((t // 1000) % 997) / 7.0, name))
+    return spark.createDataFrame(rows, "time long, value double, label_name string")
+
+
+def _canon(df):
+    return sorted(
+        (r["label_name"], r["bucket"], r["n"], round(r["avg_v"], 9), r["min_v"],
+         r["max_v"], r["last_v"])
+        for r in df.collect()
+    )
+
+
+def test_state_merge_associative(spark):
+    full = _samples(spark, 0, 12 * STEP)
+    a = full.filter(F.col("time") < 5 * STEP)
+    b = full.filter(F.col("time") >= 5 * STEP)
+    merged = finalize_rollup(
+        merge_rollup_state(rollup_state(a, STEP), rollup_state(b, STEP))
+    )
+    direct = finalize_rollup(rollup_state(full, STEP))
+    assert _canon(merged) == _canon(direct)
+
+
+def test_incremental_refresh_equals_full_downsample(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    full = _samples(spark, 0, 48 * STEP)
+    # three refreshes: two chronological appends + one LATE batch that
+    # lands back in the first day's buckets (the correctness case a
+    # watermark-based streaming agg would have dropped)
+    early = full.filter(F.col("time") < 24 * STEP)
+    later = full.filter(F.col("time") >= 24 * STEP)
+    late = _samples(spark, 2 * STEP, 4 * STEP, series=("up",), jitter=7)
+    for delta in (early, later, late):
+        refresh_rollup(spark, delta, path, STEP)
+
+    expect = downsample(full.unionByName(late), STEP)
+    got = read_rollup(spark, path)
+    assert _canon(got) == _canon(expect)
+
+
+def test_refresh_rewrites_only_affected_chunks(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    refresh_rollup(spark, _samples(spark, 0, 96 * STEP), path, STEP)  # 4 chunks
+    chunk_dirs = sorted(d for d in os.listdir(path) if d.startswith("chunk="))
+    assert len(chunk_dirs) == 4
+    before = {
+        d: sorted(os.listdir(os.path.join(path, d))) for d in chunk_dirs
+    }
+    # delta touching only chunk=1 (buckets 24..47)
+    refresh_rollup(spark, _samples(spark, 30 * STEP, 31 * STEP, jitter=11), path, STEP)
+    after = {d: sorted(os.listdir(os.path.join(path, d))) for d in chunk_dirs}
+    assert after["chunk=1"] != before["chunk=1"]
+    for d in ("chunk=0", "chunk=2", "chunk=3"):
+        assert after[d] == before[d], f"{d} rewritten by an unrelated refresh"
+
+
+def test_streaming_rollup_equals_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    full = _samples(spark, 0, 24 * STEP)
+    full.repartition(4).write.parquet(src)  # 4 files → multiple micro-batches
+
+    stream = (
+        spark.readStream.schema("time long, value double, label_name string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = streaming_rollup(
+        stream,
+        str(tmp_path / "rollup"),
+        str(tmp_path / "ckpt"),
+        STEP,
+        trigger_available_now=True,
+    )
+    q.awaitTermination(180)
+    got = read_rollup(spark, str(tmp_path / "rollup"))
+    assert _canon(got) == _canon(downsample(full, STEP))

@@ -1,0 +1,218 @@
+"""Continuous aggregate (hypertable rollup): incrementally-maintained
+time-bucket rollups with mergeable partial-aggregate state.
+
+``timeseries.downsample`` computes a rollup in one shot; this module makes
+the rollup a *maintained table*: new samples arrive (batch appends or a
+stream) and only the affected buckets are recomputed/merged — the
+TimescaleDB continuous-aggregate / materialized-rollup pattern the
+reference's end-goal stack (Thanos downsampling) applies at ingest time.
+Not in the reference (no persistence at all — Parquet write disabled,
+``/root/reference/hello.go:510``); this is the north-star extension's
+materialized twin of R4/R5's sorted write path.
+
+Scale design (the part that must survive 100 TB / 1000 executors):
+
+- **Mergeable state, not finalized values.**  The stored rollup keeps
+  per-(series, bucket) partial aggregates ``(n, sum_u, min_v, max_v,
+  last_t, last_v)`` where ``sum_u`` is the scale-6 long-unit accumulator of
+  ``operators.aggregates.decimal_sum`` — long + long is exact and
+  order-independent, so *merging partials is associative*: state from any
+  split of the input rows merges to bit-identical finalized output.  A
+  micro-batch therefore aggregates ONLY its own rows (no re-read of the
+  base table) and merges with stored state.
+- **Partition-pruned rewrite.**  The rollup table is directory-partitioned
+  by a coarse chunk of the bucket id (``chunk = bucket // buckets_per
+  _chunk``).  A refresh touches only the chunk partitions its delta
+  intersects — dynamic partition overwrite (``partitionOverwriteMode=
+  dynamic``) leaves every other partition's files untouched, so refresh
+  cost scales with the delta's time span, not the table's.
+- **One shuffle per refresh.**  delta-state aggregation is a single hash
+  agg (map-side partials); the merge is a second hash agg over (existing
+  affected state ∪ delta state) — both shuffles carry one state row per
+  (series, bucket), never raw samples.
+
+The late-data story is structural: a sample landing in an old bucket simply
+routes its state row to that bucket's chunk partition and merges — no
+watermark needed for correctness in the batch path (the streaming wrapper
+adds one only to bound *state held by Spark*, not the rollup's).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .timeseries import TIME_COL, VALUE_COL, label_columns
+
+_UNIT = 10**6  # scale-6 long units, matching aggregates.exact_value_sum
+
+STATE_COLS = ["n", "sum_u", "min_v", "max_v", "last_t", "last_v"]
+
+
+def rollup_state(
+    df: DataFrame,
+    step_ms: int,
+    labels: list[str] | None = None,
+    buckets_per_chunk: int = 24,
+) -> DataFrame:
+    """Per-(series, bucket) mergeable partial-aggregate state for ``df``'s
+    samples — one hash aggregate, map-side partials, shuffle carries one
+    state row per group.
+
+    ``chunk`` is the directory-partition key (``bucket // buckets_per
+    _chunk``): with 1 h buckets the default groups a UTC day per partition.
+    """
+    labels = labels if labels is not None else label_columns(df)
+    bucket = (F.col(TIME_COL) / F.lit(step_ms)).cast("bigint")
+    u = (F.col(VALUE_COL).cast("decimal(18,6)") * _UNIT).cast("long")
+    return (
+        df.groupBy(*labels, bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(u).alias("sum_u"),
+            F.min(VALUE_COL).alias("min_v"),
+            F.max(VALUE_COL).alias("max_v"),
+            F.max(TIME_COL).alias("last_t"),
+            F.max_by(VALUE_COL, F.col(TIME_COL)).alias("last_v"),
+        )
+        .withColumn(
+            "chunk", (F.col("bucket") / F.lit(buckets_per_chunk)).cast("bigint")
+        )
+    )
+
+
+def merge_rollup_state(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two state tables over the same keys.  Every combine is
+    associative and order-independent (long +, min, max, argmax-by-time),
+    so ``merge(state(x), state(y)) == state(x ∪ y)`` bit-for-bit."""
+    keys = [c for c in a.columns if c not in STATE_COLS]
+    return (
+        a.unionByName(b)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_u").alias("sum_u"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+            F.max("last_t").alias("last_t"),
+            F.max_by("last_v", F.col("last_t")).alias("last_v"),
+        )
+    )
+
+
+def finalize_rollup(state: DataFrame) -> DataFrame:
+    """State → the ``timeseries.downsample`` output shape (n, avg_v, min_v,
+    max_v, last_v per (series, bucket)).  ``avg_v`` rebuilds the exact
+    decimal sum from the long units with one decimal division, then
+    divides by n — bit-identical to downsample's
+    ``exact_value_sum(value)/count`` regardless of how the state was
+    split and merged."""
+    exact_sum = (F.col("sum_u").cast("decimal(38,6)") / F.lit(_UNIT)).cast(
+        "double"
+    )
+    keys = [c for c in state.columns if c not in STATE_COLS and c != "chunk"]
+    return state.select(
+        *keys,
+        F.col("n"),
+        (exact_sum / F.col("n")).alias("avg_v"),
+        F.col("min_v"),
+        F.col("max_v"),
+        F.col("last_v"),
+    )
+
+
+def refresh_rollup(
+    spark: SparkSession,
+    delta: DataFrame,
+    rollup_path: str,
+    step_ms: int,
+    labels: list[str] | None = None,
+    buckets_per_chunk: int = 24,
+) -> None:
+    """Incrementally fold ``delta`` (new/late samples, raw rows) into the
+    materialized state table at ``rollup_path``.
+
+    Plan shape: aggregate the delta to state (1 shuffle of state rows);
+    read ONLY the chunk partitions the delta touches (partition pruning on
+    the ``chunk`` directory key — asserted in tests via the input-file
+    list); merge (1 more state-row shuffle); dynamic-partition-overwrite
+    exactly those chunks.  Cost is O(delta + affected chunks), independent
+    of total rollup size — the property that makes the rollup maintainable
+    under continuous ingest at 100 TB.
+    """
+    delta_state = rollup_state(delta, step_ms, labels, buckets_per_chunk)
+    fresh = not os.path.exists(rollup_path)
+    if not fresh:
+        # the state table is re-used for the chunk list and the merge —
+        # cache so the delta aggregates once (state rows only, small)
+        delta_state = delta_state.persist()
+    try:
+        if fresh:
+            out = delta_state
+        else:
+            chunks = [
+                r["chunk"] for r in delta_state.select("chunk").distinct().collect()
+            ]
+            existing = spark.read.parquet(rollup_path).filter(
+                F.col("chunk").isin(chunks)
+            )
+            out = merge_rollup_state(existing, delta_state)
+        (
+            out.repartition("chunk")
+            .sortWithinPartitions("bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("chunk")
+            .parquet(rollup_path)
+        )
+    finally:
+        if not fresh:
+            delta_state.unpersist()
+
+
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """Finalized rollup view over the materialized state table."""
+    return finalize_rollup(spark.read.parquet(rollup_path))
+
+
+def streaming_rollup(
+    stream_df: DataFrame,
+    rollup_path: str,
+    checkpoint_path: str,
+    step_ms: int,
+    labels: list[str] | None = None,
+    buckets_per_chunk: int = 24,
+    trigger_available_now: bool = False,
+):
+    """Continuous-aggregate maintenance as a stream: each micro-batch runs
+    one incremental ``refresh_rollup``.  Spark holds NO aggregation state
+    across batches — the rollup table itself is the state (mergeable
+    partials), so arbitrarily late data stays correct without a watermark,
+    and a restart resumes from the checkpointed source offsets with
+    exactly-once-per-batch refresh semantics (dynamic partition overwrite
+    is idempotent per batch replay only if the batch content is stable;
+    file/kafka sources with checkpoints give exactly that).
+
+    Returns the started ``StreamingQuery``.
+    """
+
+    def _refresh(batch_df: DataFrame, batch_id: int) -> None:  # noqa: ARG001
+        if batch_df.isEmpty():
+            return
+        refresh_rollup(
+            batch_df.sparkSession,
+            batch_df,
+            rollup_path,
+            step_ms,
+            labels,
+            buckets_per_chunk,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_refresh).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
