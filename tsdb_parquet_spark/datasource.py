@@ -1,0 +1,179 @@
+"""Spark Python DataSource for Prometheus TSDB blocks: the reference's
+ingest half (R1–R3, ``/root/reference/hello.go:50-74,489-497``) exposed as a
+first-class Spark source —
+
+    spark.dataSource.register(TsdbBlockDataSource)
+    df = spark.read.format("tsdb").load("/path/to/block-or-dir")
+
+This is the idiomatic Spark-4 integration of ``tsdb_block.py``'s
+dependency-free decoder (index v2 + XOR chunks): instead of a
+driver-orchestrated conversion job, the block becomes a *table* — scans
+compose with every downstream operator, and Catalyst handles projection
+into the scan output like any other source.
+
+Scale design:
+
+- **Planning reads only index files.**  ``schema()`` and ``partitions()``
+  touch per-block ``index`` files (tens of KB — the reference block's is
+  80,678 B for 154,529 samples); sample bytes (``chunks/``) are only read
+  by executors inside ``read()``.
+- **Two-level parallelism.**  One input partition per (block, series
+  range): many blocks fan out block-per-task (the retention dimension —
+  a year of 2 h blocks is ~4,380 independent tasks), and a single large
+  block splits into ``series_per_partition`` slices so one hot block
+  cannot serialize a stage.  Each slice re-reads the small index on the
+  executor and decodes only its own series' chunks.
+- **Arrow-batched rows.**  ``read()`` yields pyarrow record batches (the
+  documented fast path for Python data sources) — columnar from decoder
+  to JVM, no per-row Python objects.
+
+The wide-layout output schema (``time``, ``value``, ``label_*`` string
+columns, two-pass label-name union across blocks) matches
+``tsdb_block.ingest_blocks`` exactly, so ``format("tsdb")`` scans are
+drop-in inputs to ``writer.write_sorted`` and every matcher/PromQL
+operator.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .tsdb_block import _col_name, decode_xor_chunk, read_index
+
+FORMAT_NAME = "tsdb"
+
+
+def _block_dirs(path: str) -> list[str]:
+    """``path`` is either one block dir (contains ``index``) or a directory
+    of block dirs (ULID-named children, the Prometheus data-dir layout)."""
+    if os.path.exists(os.path.join(path, "index")):
+        return [path]
+    out = sorted(
+        os.path.join(path, d)
+        for d in os.listdir(path)
+        if os.path.exists(os.path.join(path, d, "index"))
+    )
+    if not out:
+        raise FileNotFoundError(f"no TSDB block (dir with 'index') under {path!r}")
+    return out
+
+
+@dataclass
+class _BlockSlice(InputPartition):
+    block_dir: str
+    series_lo: int  # index into the block's label-sorted series list
+    series_hi: int  # exclusive
+
+
+class TsdbBlockReader(DataSourceReader):
+    def __init__(self, options: dict, schema_cols: list[str]):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("format('tsdb') requires .load(<block dir or parent>)")
+        self.series_per_partition = int(options.get("series_per_partition", "256"))
+        self.cols = schema_cols
+
+    def partitions(self) -> list[InputPartition]:
+        parts: list[InputPartition] = []
+        for d in _block_dirs(self.path):
+            n = len(read_index(os.path.join(d, "index")))
+            step = self.series_per_partition
+            parts.extend(
+                _BlockSlice(d, lo, min(lo + step, n)) for lo in range(0, n, step)
+            )
+        return parts
+
+    def read(self, partition: _BlockSlice):
+        import struct
+
+        import pyarrow as pa
+
+        from .tsdb_block import _uvarint, crc32c
+
+        entries = read_index(os.path.join(partition.block_dir, "index"))[
+            partition.series_lo : partition.series_hi
+        ]
+        # one sequential read per chunk segment file this slice touches
+        # (the scan-friendly access pattern; refs are (segment<<32 | offset))
+        seg_blobs: dict[int, bytes] = {}
+
+        def _segment(seg: int) -> bytes:
+            blob = seg_blobs.get(seg)
+            if blob is None:
+                p = os.path.join(partition.block_dir, "chunks", f"{seg + 1:06d}")
+                with open(p, "rb") as fh:
+                    blob = fh.read()
+                seg_blobs[seg] = blob
+            return blob
+
+        want_labels = [c for c in self.cols if c not in ("time", "value")]
+        times: list[int] = []
+        values: list[float] = []
+        label_vals: dict[str, list] = {c: [] for c in want_labels}
+        for e in entries:
+            samples: list[tuple[int, float]] = []
+            for _mint, _maxt, ref in e.chunk_refs:
+                blob = _segment(ref >> 32)
+                off = ref & 0xFFFFFFFF
+                dlen, p = _uvarint(blob, off)
+                enc_payload = blob[p : p + 1 + dlen]
+                (crc,) = struct.unpack(">I", blob[p + 1 + dlen : p + 5 + dlen])
+                if crc32c(enc_payload) != crc:
+                    raise ValueError(f"chunk CRC mismatch at ref {ref:#x}")
+                if enc_payload[0] != 1:
+                    raise ValueError(f"unsupported chunk encoding {enc_payload[0]}")
+                samples.extend(decode_xor_chunk(enc_payload[1:]))
+            cols = {_col_name(k): v for k, v in e.labels.items()}
+            for t, v in samples:
+                times.append(t)
+                values.append(v)
+            n = len(samples)
+            for c, acc in label_vals.items():
+                acc.extend([cols.get(c)] * n)
+
+        arrays = {
+            "time": lambda: pa.array(times, pa.int64()),
+            "value": lambda: pa.array(values, pa.float64()),
+        }
+        yield pa.record_batch(
+            [
+                arrays[c]() if c in arrays else pa.array(label_vals[c], pa.string())
+                for c in self.cols
+            ],
+            names=self.cols,
+        )
+
+
+class TsdbBlockDataSource(DataSource):
+    """``spark.read.format("tsdb")`` — see module docstring.
+
+    Options: ``series_per_partition`` (default 256) controls intra-block
+    split granularity.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        label_cols: set[str] = set()
+        for d in _block_dirs(self.options["path"]):
+            for e in read_index(os.path.join(d, "index")):
+                label_cols.update(_col_name(k) for k in e.labels)
+        cols = ["time", "value", *sorted(label_cols)]
+        return ", ".join(
+            f"`{c}` "
+            + ("bigint" if c == "time" else "double" if c == "value" else "string")
+            for c in cols
+        )
+
+    def reader(self, schema) -> TsdbBlockReader:
+        return TsdbBlockReader(self.options, [f.name for f in schema.fields])
+
+
+def register(spark) -> None:
+    """Register the source on a session: ``datasource.register(spark)``."""
+    spark.dataSource.register(TsdbBlockDataSource)

@@ -358,9 +358,22 @@ def ingest_block(spark, block_dir: str, out_path: str, num_files: int | None = N
     from .writer import write_sorted
 
     pdf = block_to_pandas(block_dir)
-    df = spark.createDataFrame(pdf)
+    df = _restore_nan_values(spark.createDataFrame(pdf))
     write_sorted(df, out_path, num_files=num_files)
     return len(pdf)
+
+
+def _restore_nan_values(df):
+    """pandas→Arrow conversion nulls out float NaN (``nan_as_null``), but
+    decoded sample values are never null — the reference's value column is
+    non-nullable (hello.go:122-130) and NaN samples are real data (quantile
+    series with no observations).  Any NULL after the pandas hop was a NaN;
+    put it back."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "value", F.coalesce(F.col("value"), F.lit(float("nan")))
+    )
 
 
 def ingest_blocks(spark, block_dirs: list[str], out_path: str,
@@ -394,7 +407,7 @@ def ingest_blocks(spark, block_dirs: list[str], out_path: str,
     paths = spark.createDataFrame(
         [(d,) for d in block_dirs], "block_dir string"
     ).repartition(len(block_dirs))
-    decoded = paths.mapInPandas(_decode, schema=schema)
+    decoded = _restore_nan_values(paths.mapInPandas(_decode, schema=schema))
 
     from .writer import write_sorted
 
