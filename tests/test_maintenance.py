@@ -1,0 +1,108 @@
+"""Compaction and retention: data-identical rewrites, metadata-only drops,
+untouched partitions left byte-identical."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.maintenance import (
+    compact_table,
+    partition_stats,
+    retention_drop,
+    table_health,
+)
+
+
+def _mk_table(spark, path, days=3, appends=6):
+    """Simulate micro-batch ingest: per dt partition, several tiny appends."""
+    for a in range(appends):
+        rows = [
+            (d * 86_400_000 + a * 1000 + i, float(i * a), f"2023-03-{21 + d:02d}")
+            for d in range(days)
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "time long, value double, dt string")
+        df.repartition(2).write.mode("append").partitionBy("dt").parquet(path)
+
+
+def _listing(path):
+    return {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("dt=")
+    }
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    before_stats = {s.partition: s for s in partition_stats(spark, path)}
+    assert all(s.n_files >= 6 for s in before_stats.values())
+    before_rows = sorted(spark.read.parquet(path).collect())
+
+    done = compact_table(spark, path, target_file_bytes=256 * 1024 * 1024)
+    assert sorted(done) == sorted(before_stats)  # every partition was small
+
+    after_stats = {s.partition: s for s in partition_stats(spark, path)}
+    assert all(s.n_files == 1 for s in after_stats.values())
+    after_rows = sorted(spark.read.parquet(path).collect())
+    assert after_rows == before_rows
+
+    # compacted files are time-sorted inside (row-group pruning survives)
+    import pyarrow.parquet as pq
+
+    part = sorted(after_stats)[0]
+    fdir = os.path.join(path, part)
+    f = [x for x in os.listdir(fdir) if x.endswith(".parquet")][0]
+    md = pq.ParquetFile(os.path.join(fdir, f))
+    col_idx = md.schema_arrow.get_field_index("time")
+    mins = [md.metadata.row_group(i).column(col_idx).statistics.min
+            for i in range(md.metadata.num_row_groups)]
+    assert mins == sorted(mins)
+
+
+def test_compact_skips_healthy_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, days=2)
+    compact_table(spark, path, target_file_bytes=256 * 1024 * 1024)
+    healthy = _listing(path)
+    # second pass: nothing is small+numerous anymore → no partition touched
+    assert compact_table(spark, path, target_file_bytes=256 * 1024 * 1024) == []
+    assert _listing(path) == healthy
+
+
+def test_retention_drop_is_partition_scoped(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, days=3, appends=2)
+    keep = _listing(path)["dt=2023-03-23"]
+
+    dropped = retention_drop(spark, path, keep_from="2023-03-23", partition_col="dt")
+    assert dropped == ["dt=2023-03-21", "dt=2023-03-22"]
+    assert _listing(path) == {"dt=2023-03-23": keep}  # survivors byte-listed intact
+    got = spark.read.parquet(path).select(F.col("dt").cast("string")).distinct().collect()
+    assert [r[0] for r in got] == ["2023-03-23"]
+
+
+def test_retention_numeric_chunks(spark, tmp_path):
+    path = str(tmp_path / "t")
+    rows = [(b * 10 + i, float(i), b) for b in (2, 9, 10, 11) for i in range(5)]
+    spark.createDataFrame(rows, "time long, value double, chunk long").write.partitionBy(
+        "chunk"
+    ).parquet(path)
+    # numeric compare: chunk=9 < 10 drops, chunk=10/11 stay (a lexical
+    # compare would wrongly drop chunk=10 and chunk=11)
+    dropped = retention_drop(spark, path, keep_from="10")
+    assert dropped == ["chunk=2", "chunk=9"]
+    left = sorted(r["chunk"] for r in spark.read.parquet(path).select("chunk").distinct().collect())
+    assert left == [10, 11]
+
+
+def test_table_health(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, days=2, appends=3)
+    h = table_health(spark, path)
+    assert h["partitions"] == 2
+    assert h["files"] >= 6
+    assert sorted(h["small_file_partitions"]) == ["dt=2023-03-21", "dt=2023-03-22"]

@@ -1,0 +1,181 @@
+"""Table maintenance for time-partitioned Parquet tables: small-file
+compaction, retention, and partition stats.
+
+Continuous ingest (micro-batch appends, ``rollup.refresh_rollup``,
+``writer.ingest_increment``) accretes small files; time-series tables also
+age out.  The reference has neither concern (it never persists,
+``/root/reference/hello.go:510``), but a maintained 100 TB deployment of
+its data model lives or dies by them — TSDB compaction itself is the
+same idea one level down (Prometheus compacts blocks; we compact
+partitions).
+
+Scale posture:
+
+- **Metadata-only where possible.**  ``retention_drop`` deletes whole
+  partition directories by comparing the partition VALUE against the
+  cutoff — no sample data is read, cost is O(partitions dropped), the
+  same property catalog-level partition pruning gives reads.
+- **Compaction is per-partition and independent.**  Each partition
+  rewrite reads and writes only that directory; partitions compact in
+  isolation (and could be dispatched concurrently — each rewrite is its
+  own small Spark job).  The rewrite preserves the sorted layout
+  (``sortWithinPartitions`` on time) so row-group pruning survives
+  compaction.
+- **Hadoop FileSystem API, not os.**  Listings and renames go through
+  the JVM's ``FileSystem`` so the same code addresses ``file://``,
+  ``hdfs://`` and object stores; nothing here assumes a local disk.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    return jvm, fs, hpath
+
+
+@dataclass
+class PartitionStat:
+    partition: str  # e.g. "dt=2023-03-21" ("" for an unpartitioned table)
+    n_files: int
+    total_bytes: int
+
+    @property
+    def avg_file_bytes(self) -> float:
+        return self.total_bytes / self.n_files if self.n_files else 0.0
+
+
+def _is_data_file(name: str) -> bool:
+    return not name.startswith(("_", ".")) and name.endswith(".parquet")
+
+
+def partition_stats(spark: SparkSession, path: str) -> list[PartitionStat]:
+    """Per-partition file count + bytes (driver-side listing — metadata
+    scale; one partition dir level, the layout ``writer.write_sorted``
+    produces with ``bucket_col`` / ``rollup`` with ``chunk``)."""
+    jvm, fs, root = _fs(spark, path)
+    out: list[PartitionStat] = []
+    root_files = 0
+    root_bytes = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and "=" in name:
+            n, b = 0, 0
+            for f in fs.listStatus(st.getPath()):
+                if _is_data_file(f.getPath().getName()):
+                    n += 1
+                    b += f.getLen()
+            out.append(PartitionStat(name, n, b))
+        elif st.isFile() and _is_data_file(name):
+            root_files += 1
+            root_bytes += st.getLen()
+    if root_files:
+        out.append(PartitionStat("", root_files, root_bytes))
+    return sorted(out, key=lambda s: s.partition)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+    sort_cols: list[str] | None = None,
+) -> list[str]:
+    """Compact every partition whose files are both numerous (>=
+    ``min_files``) and small (average < half the target).  Returns the
+    partitions rewritten.
+
+    Each rewrite: read one partition dir → coalesce to
+    ``ceil(bytes/target)`` files → ``sortWithinPartitions`` (sorted layout
+    survives) → write to a sibling temp dir → atomic-ish swap (rename old
+    out, rename new in, delete old).  Readers racing a swap see the old or
+    the new listing; for stronger isolation put a table format (Iceberg/
+    Delta) on top — out of scope here, the mechanism is the point.
+    """
+    from .timeseries import TIME_COL
+
+    rewritten: list[str] = []
+    for st in partition_stats(spark, path):
+        if st.n_files < min_files or st.avg_file_bytes >= target_file_bytes / 2:
+            continue
+        part_path = f"{path}/{st.partition}" if st.partition else path
+        n_out = max(1, math.ceil(st.total_bytes / target_file_bytes))
+        df = spark.read.parquet(part_path)
+        cols = df.columns
+        sort_by = sort_cols or ([TIME_COL] if TIME_COL in cols else cols[:1])
+        jvm, fs, _ = _fs(spark, path)
+        tmp = f"{part_path}__compact_tmp"
+        old = f"{part_path}__compact_old"
+        (
+            df.coalesce(n_out)
+            .sortWithinPartitions(*sort_by)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        p_cur = jvm.org.apache.hadoop.fs.Path(part_path)
+        p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        p_old = jvm.org.apache.hadoop.fs.Path(old)
+        if not fs.rename(p_cur, p_old):
+            raise IOError(f"compact: cannot stage out {part_path}")
+        if not fs.rename(p_tmp, p_cur):
+            fs.rename(p_old, p_cur)  # roll back
+            raise IOError(f"compact: cannot swap in {tmp}")
+        fs.delete(p_old, True)
+        rewritten.append(st.partition or ".")
+    return rewritten
+
+
+def retention_drop(
+    spark: SparkSession,
+    path: str,
+    keep_from: str,
+    partition_col: str | None = None,
+) -> list[str]:
+    """Drop every partition directory whose value sorts strictly below
+    ``keep_from`` (partition values are chosen sortable by construction:
+    ISO dates, zero-padded hours, numeric chunk ids compared numerically).
+    Metadata-only — nothing is read, cost is O(dropped partitions).
+
+    Returns the dropped partition names."""
+    jvm, fs, root = _fs(spark, path)
+    dropped: list[str] = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and "=" in name):
+            continue
+        col, _, val = name.partition("=")
+        if partition_col and col != partition_col:
+            continue
+        try:
+            below = float(val) < float(keep_from)
+        except ValueError:
+            below = val < keep_from
+        if below:
+            fs.delete(st.getPath(), True)
+            dropped.append(name)
+    return sorted(dropped)
+
+
+def table_health(spark: SparkSession, path: str) -> dict:
+    """One-call summary for a maintenance decision: partition count, file
+    count, bytes, and the small-file partitions a compaction would touch."""
+    stats = partition_stats(spark, path)
+    small = [
+        s.partition
+        for s in stats
+        if s.n_files >= 2 and s.avg_file_bytes < 64 * 1024 * 1024
+    ]
+    return {
+        "partitions": len(stats),
+        "files": sum(s.n_files for s in stats),
+        "bytes": sum(s.total_bytes for s in stats),
+        "small_file_partitions": small,
+    }
