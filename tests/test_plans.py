@@ -184,3 +184,17 @@ def test_interval_join_bucketed_equals_fallback(spark):
     assert ("u1-ish" not in got_b)  # sanity: non-empty, edge row included
     assert (0, 3) in got_b   # exact edge b.ts == a.ts + W is INCLUDED
     assert (0, 4) not in got_b  # one microsecond past the edge excluded
+
+
+def test_anomaly_mad_single_exchange(entry, spark):
+    # two nested whole-partition window aggregates (median, then MAD) must
+    # share one hash exchange on the series key — a second shuffle would
+    # double the op's cost at scale
+    from tsdb_parquet_spark.plans.audit import count_exchanges, count_nodes
+
+    df = entry.q73_anomaly_mad(spark, SF)
+    n_window = count_nodes(df, "Window")
+    assert n_window >= 2
+    # exchanges: one for the window partitioning + one for the trailing
+    # display sort (orderBy event_id) — nothing else
+    assert count_exchanges(df) <= 2

@@ -435,3 +435,39 @@ def gap_fill(
         filled.alias(VALUE_COL),
         is_obs.alias("observed"),
     )
+
+
+def anomaly_mad(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str = VALUE_COL,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Robust per-series outlier detection: flag samples where
+    ``|v − median| > threshold · 1.4826 · MAD`` (MAD = median absolute
+    deviation; 1.4826 scales it to σ under normality).  Median/MAD instead
+    of mean/stddev so the detector doesn't let outliers move its own
+    baseline — the standard robust z-score.
+
+    Plan shape: ONE hash exchange on ``keys``, then two whole-partition
+    window aggregates (median, then median of deviations) — the second
+    window reuses the first's partitioning, so no further shuffle
+    (plan-asserted in tests).  At 100 TB the per-key partitions are
+    per-series sample sets — bounded by retention, uniform by
+    construction; a global percentile would be the wrong shape here.
+
+    Returns the input rows (all of them) with ``med``/``mad``/
+    ``is_outlier`` appended; callers filter on ``is_outlier``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    out = df.withColumn("med", F.median(value_col).over(w))
+    out = out.withColumn(
+        "mad", F.median(F.abs(F.col(value_col) - F.col("med"))).over(w)
+    )
+    return out.withColumn(
+        "is_outlier",
+        F.abs(F.col(value_col) - F.col("med"))
+        > F.lit(threshold) * F.lit(1.4826) * F.col("mad"),
+    )
