@@ -318,3 +318,23 @@ def test_dedup_pipeline_simhash_to_clusters(docs):
     # docs 0/1 identical, 2 near-dup: one survivor (the min id, 0)
     assert 0 in ids and 1 not in ids
     assert 3 in ids and 4 in ids
+
+
+def test_cross_doc_ngram_dup_planted(spark):
+    from tsdb_parquet_spark.llm.corpus import cross_doc_ngram_dup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-gram
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique one tail words here now ok"),
+            (2, shared + " different continuation entirely other text yes"),
+            (3, "totally unrelated document with enough tokens to form grams"),
+            (4, "short"),  # < n tokens → 0 n-grams, frac 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in cross_doc_ngram_dup(docs, n=8).collect()}
+    # docs 1 and 2 share exactly the one leading 8-gram
+    assert got[1]["n_shared"] == 1 and got[2]["n_shared"] == 1
+    assert got[3]["n_shared"] == 0 and got[3]["n_ngrams"] > 0
+    assert got[4]["n_ngrams"] == 0 and got[4]["shared_frac"] == 0.0

@@ -137,3 +137,59 @@ def repetition_stats(
             "repetitive", F.coalesce(F.col("dup_frac") > threshold, F.lit(False))
         )
     )
+
+
+def cross_doc_ngram_dup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Corpus-level exact substring duplication (the n-gram-granular form
+    of "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022): per document, the fraction of its DISTINCT word n-grams
+    that also occur in at least one OTHER document.  High ``shared_frac``
+    marks boilerplate, mirrored articles, and template text that
+    document-level dedup (exact or MinHash) misses because the containing
+    documents differ.
+
+    Scale shape: after the per-doc explode+distinct, every shuffle carries
+    ``(xxhash64(ngram), doc_id)`` — 16 bytes per distinct n-gram, never
+    text.  Corpus-wide counts and per-doc rollup are two hash aggregates;
+    there is no pairwise document comparison anywhere (the op is linear in
+    corpus size, unlike suffix-array construction — the tradeoff is n-gram
+    granularity instead of arbitrary-length spans).
+
+    Adds ``n_ngrams`` (distinct n-grams in doc), ``n_shared`` (of those,
+    how many appear elsewhere), ``shared_frac``.
+    """
+    ng = word_ngrams(text_col, n)
+    pairs = (
+        docs.select(F.col(id_col), F.explode(ng).alias("_ng"))
+        .select(id_col, F.xxhash64("_ng").alias("_h"))
+        .distinct()
+    )
+    # pairs is distinct on (doc, hash) → count per hash = distinct docs
+    counts = pairs.groupBy("_h").agg(F.count(F.lit(1)).alias("_docs"))
+    per_doc = (
+        pairs.join(counts, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum((F.col("_docs") > 1).cast("bigint")).alias("n_shared"),
+        )
+    )
+    return (
+        docs.select(id_col).join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.when(
+                F.coalesce("n_ngrams", F.lit(0)) > 0,
+                F.round(F.col("n_shared") / F.col("n_ngrams"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("shared_frac"),
+        )
+    )
