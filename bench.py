@@ -77,6 +77,40 @@ def main() -> None:
     ]
     bench_set = {name: queries[name] for name in headline if name in oracles}
 
+    # DuckDB baseline FIRST: measured before the Spark suite so the
+    # yardstick never absorbs JVM heap/GC pressure left by multi-GB
+    # toPandas results (observed 3x duck inflation when run after)
+    duck: dict[str, float] | None = None
+    if run_duckdb:
+        try:
+            import duckdb
+
+            from tsdb_parquet_spark.tables import TABLE_NAMES, table_path
+
+            con = duckdb.connect()
+            con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count() or 8)}")
+            for t in TABLE_NAMES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+                )
+            duck = {}
+            for name in bench_set:
+                try:
+                    best = None
+                    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))):
+                        t0 = time.time()
+                        con.execute(oracles[name]).df()
+                        dt = time.time() - t0
+                        best = dt if best is None or dt < best else best
+                    duck[name] = round(best, 3)
+                except Exception as e:  # noqa: BLE001
+                    duck[name] = -1.0
+                    print(f"duckdb bench error {name}: {e}", file=sys.stderr)
+            con.close()
+        except Exception as e:  # noqa: BLE001
+            duck = None
+            print(f"duckdb baseline skipped: {e}", file=sys.stderr)
+
     per_query: dict[str, float] = {}
     total = 0.0
     rows_total = 0
@@ -155,40 +189,12 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — curve file is optional
         pass
 
-    if run_duckdb:
-        try:
-            import duckdb
-
-            from tsdb_parquet_spark.tables import TABLE_NAMES, table_path
-
-            con = duckdb.connect()
-            con.execute(f"SET threads TO {out['cpus']}")
-            for t in TABLE_NAMES:
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
-                )
-            dq: dict[str, float] = {}
-            dtotal = 0.0
-            for name in bench_set:
-                try:
-                    # warm min-of-N, same protocol as the Spark side
-                    best = None
-                    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))):
-                        t0 = time.time()
-                        con.execute(oracles[name]).df()
-                        dt = time.time() - t0
-                        best = dt if best is None or dt < best else best
-                    dq[name] = round(best, 3)
-                    dtotal += best
-                except Exception as e:  # noqa: BLE001
-                    dq[name] = -1.0
-                    print(f"duckdb bench error {name}: {e}", file=sys.stderr)
-            out["duckdb_queries"] = dq
-            out["duckdb_total_sec"] = round(dtotal, 3)
-            if dtotal > 0:
-                out["spark_vs_duckdb"] = round(total / dtotal, 3)
-        except Exception as e:  # noqa: BLE001
-            print(f"duckdb baseline skipped: {e}", file=sys.stderr)
+    if duck is not None:
+        out["duckdb_queries"] = duck
+        dtotal = sum(v for v in duck.values() if v > 0)
+        out["duckdb_total_sec"] = round(dtotal, 3)
+        if dtotal > 0:
+            out["spark_vs_duckdb"] = round(total / dtotal, 3)
 
     print(json.dumps(out))
 
