@@ -101,3 +101,24 @@ def test_streaming_rollup_equals_batch(spark, tmp_path):
     q.awaitTermination(180)
     got = read_rollup(spark, str(tmp_path / "rollup"))
     assert _canon(got) == _canon(downsample(full, STEP))
+
+
+def test_hll_distinct_state_merges_exactly(spark):
+    # distinct-count sketch state: incremental union must equal the
+    # one-shot sketch EXACTLY (sketch merge is associative/lossless), and
+    # the estimate must be exact at small cardinalities
+    rows = [(t, float(t % 7), "s", f"user{t % 53}") for t in range(0, 4 * STEP, 60_000)]
+    full = spark.createDataFrame(
+        rows, "time long, value double, label_name string, uid string"
+    )
+    a = full.filter(F.col("time") < 2 * STEP)
+    b = full.filter(F.col("time") >= 2 * STEP)
+    kw = dict(labels=["label_name"], distinct_col="uid")
+    merged = finalize_rollup(
+        merge_rollup_state(rollup_state(a, STEP, **kw), rollup_state(b, STEP, **kw))
+    )
+    direct = finalize_rollup(rollup_state(full, STEP, **kw))
+    m = {r["bucket"]: r["approx_nd"] for r in merged.collect()}
+    d = {r["bucket"]: r["approx_nd"] for r in direct.collect()}
+    assert m == d
+    assert all(v == 53 for v in m.values())  # exact at 53 distinct uids

@@ -48,7 +48,7 @@ from .timeseries import TIME_COL, VALUE_COL, label_columns
 
 _UNIT = 10**6  # scale-6 long units, matching aggregates.exact_value_sum
 
-STATE_COLS = ["n", "sum_u", "min_v", "max_v", "last_t", "last_v"]
+STATE_COLS = ["n", "sum_u", "min_v", "max_v", "last_t", "last_v", "nd_sketch"]
 
 
 def rollup_state(
@@ -56,6 +56,7 @@ def rollup_state(
     step_ms: int,
     labels: list[str] | None = None,
     buckets_per_chunk: int = 24,
+    distinct_col: str | None = None,
 ) -> DataFrame:
     """Per-(series, bucket) mergeable partial-aggregate state for ``df``'s
     samples — one hash aggregate, map-side partials, shuffle carries one
@@ -63,20 +64,31 @@ def rollup_state(
 
     ``chunk`` is the directory-partition key (``bucket // buckets_per
     _chunk``): with 1 h buckets the default groups a UTC day per partition.
+
+    ``distinct_col`` adds a **mergeable HLL sketch** (``nd_sketch``,
+    Apache DataSketches via ``hll_sketch_agg``) so the rollup can answer
+    per-bucket approximate COUNT DISTINCT (e.g. distinct users per hour)
+    incrementally — exact distinct state would require keeping every key;
+    the sketch is a few KB per bucket and unions losslessly (sketch-merge
+    is associative, so incremental == one-shot *exactly*, not just within
+    error bounds).
     """
     labels = labels if labels is not None else label_columns(df)
     bucket = (F.col(TIME_COL) / F.lit(step_ms)).cast("bigint")
     u = (F.col(VALUE_COL).cast("decimal(18,6)") * _UNIT).cast("long")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(u).alias("sum_u"),
+        F.min(VALUE_COL).alias("min_v"),
+        F.max(VALUE_COL).alias("max_v"),
+        F.max(TIME_COL).alias("last_t"),
+        F.max_by(VALUE_COL, F.col(TIME_COL)).alias("last_v"),
+    ]
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(distinct_col).alias("nd_sketch"))
     return (
         df.groupBy(*labels, bucket.alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(u).alias("sum_u"),
-            F.min(VALUE_COL).alias("min_v"),
-            F.max(VALUE_COL).alias("max_v"),
-            F.max(TIME_COL).alias("last_t"),
-            F.max_by(VALUE_COL, F.col(TIME_COL)).alias("last_v"),
-        )
+        .agg(*aggs)
         .withColumn(
             "chunk", (F.col("bucket") / F.lit(buckets_per_chunk)).cast("bigint")
         )
@@ -88,18 +100,17 @@ def merge_rollup_state(a: DataFrame, b: DataFrame) -> DataFrame:
     associative and order-independent (long +, min, max, argmax-by-time),
     so ``merge(state(x), state(y)) == state(x ∪ y)`` bit-for-bit."""
     keys = [c for c in a.columns if c not in STATE_COLS]
-    return (
-        a.unionByName(b)
-        .groupBy(*keys)
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("sum_u").alias("sum_u"),
-            F.min("min_v").alias("min_v"),
-            F.max("max_v").alias("max_v"),
-            F.max("last_t").alias("last_t"),
-            F.max_by("last_v", F.col("last_t")).alias("last_v"),
-        )
-    )
+    aggs = [
+        F.sum("n").alias("n"),
+        F.sum("sum_u").alias("sum_u"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+        F.max("last_t").alias("last_t"),
+        F.max_by("last_v", F.col("last_t")).alias("last_v"),
+    ]
+    if "nd_sketch" in a.columns:
+        aggs.append(F.hll_union_agg("nd_sketch").alias("nd_sketch"))
+    return a.unionByName(b).groupBy(*keys).agg(*aggs)
 
 
 def finalize_rollup(state: DataFrame) -> DataFrame:
@@ -113,14 +124,17 @@ def finalize_rollup(state: DataFrame) -> DataFrame:
         "double"
     )
     keys = [c for c in state.columns if c not in STATE_COLS and c != "chunk"]
-    return state.select(
+    out = [
         *keys,
         F.col("n"),
         (exact_sum / F.col("n")).alias("avg_v"),
         F.col("min_v"),
         F.col("max_v"),
         F.col("last_v"),
-    )
+    ]
+    if "nd_sketch" in state.columns:
+        out.append(F.hll_sketch_estimate("nd_sketch").alias("approx_nd"))
+    return state.select(*out)
 
 
 def refresh_rollup(
@@ -130,6 +144,7 @@ def refresh_rollup(
     step_ms: int,
     labels: list[str] | None = None,
     buckets_per_chunk: int = 24,
+    distinct_col: str | None = None,
 ) -> None:
     """Incrementally fold ``delta`` (new/late samples, raw rows) into the
     materialized state table at ``rollup_path``.
@@ -142,7 +157,7 @@ def refresh_rollup(
     of total rollup size — the property that makes the rollup maintainable
     under continuous ingest at 100 TB.
     """
-    delta_state = rollup_state(delta, step_ms, labels, buckets_per_chunk)
+    delta_state = rollup_state(delta, step_ms, labels, buckets_per_chunk, distinct_col)
     fresh = not os.path.exists(rollup_path)
     if not fresh:
         # the state table is re-used for the chunk list and the merge —
@@ -184,6 +199,7 @@ def streaming_rollup(
     step_ms: int,
     labels: list[str] | None = None,
     buckets_per_chunk: int = 24,
+    distinct_col: str | None = None,
     trigger_available_now: bool = False,
 ):
     """Continuous-aggregate maintenance as a stream: each micro-batch runs
@@ -208,6 +224,7 @@ def streaming_rollup(
             step_ms,
             labels,
             buckets_per_chunk,
+            distinct_col,
         )
 
     writer = stream_df.writeStream.foreachBatch(_refresh).option(
