@@ -462,3 +462,46 @@ def test_scalarize(spark, mini):
 def test_unary_minus(spark, mini):
     out = query_instant(mini, '-req{handler="/b"}', 3000)
     assert [r["value"] for r in out.collect()] == [-300.0]
+
+
+def test_label_replace(spark, mini):
+    out = query_instant(
+        mini,
+        'label_replace(req, "env", "prod-$1", "handler", "/(.*)")',
+        at_ms=3000,
+    )
+    got = {(r["label_handler"], r["label_code"]): r["label_env"] for r in out.collect()}
+    assert got[("/a", "200")] == "prod-a"
+    assert got[("/b", "200")] == "prod-b"
+
+
+def test_label_replace_no_match_keeps_dst(spark, mini):
+    # regex anchored and non-matching → dst (absent here) stays NULL
+    out = query_instant(
+        mini, 'label_replace(req, "env", "x", "handler", "nope")', at_ms=3000
+    )
+    assert all(r["label_env"] is None for r in out.collect())
+
+
+def test_label_join_instant_and_range(spark, mini):
+    out = query_instant(
+        mini, 'label_join(req, "hc", "-", "handler", "code")', at_ms=3000
+    )
+    vals = {r["label_hc"] for r in out.collect()}
+    assert vals == {"/a-200", "/a-500", "/b-200"}
+    # range path: projection applies per step identically
+    rng = query_range(
+        mini, 'label_join(req, "hc", "-", "handler", "code")',
+        start_ms=1000, end_ms=3000, step_ms=1000,
+    )
+    assert {r["label_hc"] for r in rng.collect()} == {"/a-200", "/a-500", "/b-200"}
+
+
+def test_label_replace_composes_with_agg(spark, mini):
+    out = query_instant(
+        mini,
+        'sum by (env) (label_replace(req, "env", "$1", "handler", "/(.*)"))',
+        at_ms=3000,
+    )
+    got = {r["label_env"]: r["value"] for r in out.collect()}
+    assert got == {"a": 33.0, "b": 300.0}

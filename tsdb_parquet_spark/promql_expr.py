@@ -26,6 +26,8 @@ Grammar (the working subset, PromQL precedence order)::
                | 'quantile_over_time' '(' number ',' sel '[' dur ']' ')'
                | 'histogram_quantile' '(' number ',' expr ')'
                | ('absent'|'sort'|'sort_desc'|'scalar') '(' expr ')'
+               | 'label_replace' '(' expr ',' string{4} ')'
+               | 'label_join' '(' expr ',' string{3,} ')'
                | 'vector' '(' expr ')' | 'time' '(' ')'
                | SCALAR_FN '(' expr (',' number)* ')'    # abs/round/...
     aggregate := OP byc? '(' expr ')' byc?
@@ -254,6 +256,16 @@ class Scalarize(Node):
     arg: Node
 
 
+@dataclass
+class LabelFn(Node):
+    """``label_replace(v, dst, repl, src, regex)`` /
+    ``label_join(v, dst, sep, src...)`` — pure projections over the
+    evaluated vector (promql.label_replace/label_join)."""
+    fn: str
+    arg: Node
+    args: list[str]
+
+
 # ---------------------------------------------------------------------------
 # tokenizer + recursive descent
 
@@ -430,6 +442,8 @@ class _Parser:
                 return self.histogram_quantile()
             if val in ("absent", "sort", "sort_desc", "scalar", "vector") and called:
                 return self.simple_call(val)
+            if val in ("label_replace", "label_join") and called:
+                return self.label_fn(val)
             if val == "time" and called:
                 self.eat("time")
                 self.eat("(")
@@ -580,6 +594,21 @@ class _Parser:
             return Scalarize(arg)
         return VectorFn(arg)
 
+    def label_fn(self, fn: str) -> LabelFn:
+        self.eat(fn)
+        self.eat("(")
+        arg = self.expr()
+        strs: list[str] = []
+        while self.peek() and self.peek()[1] == ",":
+            self.eat(",")
+            strs.append(self.eat("string")[1][1:-1])  # strip quotes
+        self.eat(")")
+        lo = 4 if fn == "label_replace" else 3
+        hi = 4 if fn == "label_replace" else 99
+        if not (lo <= len(strs) <= hi):
+            raise ValueError(f"{fn} takes {lo}..{hi} string args, got {len(strs)}")
+        return LabelFn(fn, arg, strs)
+
     def scalar_fn(self) -> ScalarFn:
         fn = self.eat()[1]
         self.eat("(")
@@ -715,9 +744,22 @@ class PromQLEngine:
             return histogram_quantile(arg, node.q, labels, time_col=None).withColumnRenamed(
                 "quantile", VALUE_COL
             )
+        if isinstance(node, LabelFn):
+            return self._label_fn(node, self._inst(node.arg, at))
         if isinstance(node, BinOp):
             return self._binop(node, self._inst(node.left, at), self._inst(node.right, at), [])
         raise TypeError(f"unknown node {node!r}")
+
+    def _label_fn(self, node: LabelFn, arg):
+        from . import promql
+
+        if not isinstance(arg, DataFrame):
+            raise ValueError(f"{node.fn} needs a vector argument")
+        if node.fn == "label_replace":
+            dst, repl, src, regex = node.args
+            return promql.label_replace(arg, dst, repl, src, regex)
+        dst, sep, *srcs = node.args
+        return promql.label_join(arg, dst, sep, *srcs)
 
     # -- range ------------------------------------------------------------
 
@@ -836,6 +878,10 @@ class PromQLEngine:
             return histogram_quantile(
                 arg, node.q, labels, time_col="step_ts"
             ).withColumnRenamed("quantile", VALUE_COL)
+        if isinstance(node, LabelFn):
+            # pure projection — label columns rewrite identically whether
+            # or not a step_ts axis is present
+            return self._label_fn(node, self._rng(node.arg, start, end, step))
         if isinstance(node, BinOp):
             return self._binop(
                 node,
