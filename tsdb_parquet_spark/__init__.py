@@ -16,7 +16,11 @@ back — see SURVEY.md), re-expressed Spark-first:
   set ops, scalar functions) via the DataFrame/SQL API;
 - LLM-data-pipeline operators (dedup exact/MinHash/SimHash/Jaccard,
   similarity search, text analysis, multimodal column plumbing);
-- Structured Streaming jobs mirroring the batch semantics.
+- Structured Streaming jobs mirroring the batch semantics, including
+  continuous-aggregate rollup maintenance (``rollup.py``);
+- a Spark-4 Python DataSource for TSDB blocks (``datasource.py``,
+  ``spark.read.format("tsdb")``) and table maintenance — compaction,
+  retention, partition health (``maintenance.py``).
 
 Everything is pure PySpark: Catalyst + Tungsten do the optimization; the
 engine is a thin, tested Python layer (SURVEY.md §7.0).

@@ -72,6 +72,19 @@ def main(argv: list[str] | None = None) -> None:
     p_r.add_argument("-m", "--matcher", action="append", default=[])
     p_r.add_argument("--labels", default=None, help="comma-separated label columns")
 
+    p_c = sub.add_parser("compact", help="compact small-file partitions (maintenance.py)")
+    p_c.add_argument("table")
+    p_c.add_argument("--target-mb", type=int, default=128)
+    p_c.add_argument("--min-files", type=int, default=2)
+
+    p_ret = sub.add_parser("retention", help="drop partitions below a cutoff value")
+    p_ret.add_argument("table")
+    p_ret.add_argument("keep_from", help="partition value cutoff (sortable)")
+    p_ret.add_argument("--col", default=None, help="partition column filter")
+
+    p_h = sub.add_parser("health", help="partition/file stats for a table")
+    p_h.add_argument("table")
+
     p_e = sub.add_parser("explain", help="plan audit for a matcher query (plans/audit.py)")
     p_e.add_argument("table")
     p_e.add_argument("-m", "--matcher", action="append", default=[])
@@ -167,6 +180,30 @@ def main(argv: list[str] | None = None) -> None:
         labels = args.labels.split(",") if args.labels else None
         out = counter_rate(df, labels)
         out.orderBy(*out.columns[:-3]).show(50, truncate=False)
+        return
+
+    if args.cmd == "compact":
+        from .maintenance import compact_table
+
+        done = compact_table(
+            spark, args.table,
+            target_file_bytes=args.target_mb * 1024 * 1024,
+            min_files=args.min_files,
+        )
+        print(f"compacted {len(done)} partition(s): {done}")
+        return
+
+    if args.cmd == "retention":
+        from .maintenance import retention_drop
+
+        dropped = retention_drop(spark, args.table, args.keep_from, args.col)
+        print(f"dropped {len(dropped)} partition(s): {dropped}")
+        return
+
+    if args.cmd == "health":
+        from .maintenance import table_health
+
+        print(table_health(spark, args.table))
         return
 
 
