@@ -92,3 +92,52 @@ def test_query_composition_pushes_into_plan(tsdb_scan):
         .count()
     )
     assert got > 0
+
+
+def test_stream_reader_ingests_new_blocks_exactly_once(spark, tmp_path):
+    # the reference's converter made continuous: blocks appearing in a
+    # Prometheus data dir become micro-batches; offsets (the set of seen
+    # ULIDs) checkpoint so a restart ingests only genuinely new blocks
+    from tsdb_parquet_spark.tsdb_block import write_block
+
+    ds.register(spark)
+    datadir = str(tmp_path / "promdata")
+    os.makedirs(datadir)
+    schema = "time bigint, value double, label_name string"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_batch():
+        q = (
+            spark.readStream.format("tsdb")
+            .schema(schema)
+            .load(datadir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_block(
+        os.path.join(datadir, "01AAAAAAAAAAAAAAAAAAAAAAAA"),
+        [({"__name__": "m1"}, [(1000, 1.0), (2000, 2.0)])],
+        ulid="01AAAAAAAAAAAAAAAAAAAAAAAA",
+    )
+    run_batch()
+    first = spark.read.parquet(out).collect()
+    assert sorted((r["time"], r["value"], r["label_name"]) for r in first) == [
+        (1000, 1.0, "m1"), (2000, 2.0, "m1"),
+    ]
+
+    # a second block appears; restart from the checkpoint → only the diff
+    write_block(
+        os.path.join(datadir, "01BBBBBBBBBBBBBBBBBBBBBBBB"),
+        [({"__name__": "m2"}, [(3000, 3.0)])],
+        ulid="01BBBBBBBBBBBBBBBBBBBBBBBB",
+    )
+    run_batch()
+    both = spark.read.parquet(out).collect()
+    got = sorted((r["time"], r["value"], r["label_name"]) for r in both)
+    assert got == [(1000, 1.0, "m1"), (2000, 2.0, "m1"), (3000, 3.0, "m2")]

@@ -39,7 +39,12 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from .tsdb_block import _col_name, decode_xor_chunk, read_index
 
@@ -147,6 +152,60 @@ class TsdbBlockReader(DataSourceReader):
         )
 
 
+class TsdbBlockStreamReader(DataSourceStreamReader):
+    """Streaming half: ``spark.readStream.format("tsdb").load(datadir)``
+    tails a Prometheus data directory — each new ULID block dir that
+    appears becomes (part of) a micro-batch.  This is the reference's
+    converter made *continuous* (its batch form reads one hardcoded block,
+    ``hello.go:548``): Prometheus cuts a new block every 2 h, the stream
+    ingests each exactly once, offsets checkpoint the set of processed
+    blocks.
+
+    Offsets are ``{"seen": [ulid, ...]}`` — a set-diff offset model (block
+    dirs are immutable once written, so membership is the only state; ULID
+    order is creation order but arrival order need not match, hence a set,
+    not a high-watermark).
+    """
+
+    def __init__(self, options: dict, schema_cols: list[str]):
+        self.inner = TsdbBlockReader(options, schema_cols)
+        self.path = self.inner.path
+
+    def _current_blocks(self) -> list[str]:
+        try:
+            return [os.path.basename(d) for d in _block_dirs(self.path)]
+        except FileNotFoundError:
+            return []
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        return {"seen": sorted(self._current_blocks())}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end["seen"]) - set(start["seen"]))
+        parts: list[InputPartition] = []
+        for name in new:
+            d = os.path.join(self.path, name)
+            n = len(read_index(os.path.join(d, "index")))
+            step = self.inner.series_per_partition
+            parts.extend(
+                _BlockSlice(d, lo, min(lo + step, n)) for lo in range(0, n, step)
+            )
+        # Spark requires >= 1 partition per micro-batch plan; an empty
+        # diff yields one empty slice
+        return parts or [_BlockSlice("", 0, 0)]
+
+    def read(self, partition: _BlockSlice):
+        if not partition.block_dir:
+            return iter(())
+        return self.inner.read(partition)
+
+    def commit(self, end: dict) -> None:  # blocks are immutable; nothing to do
+        pass
+
+
 class TsdbBlockDataSource(DataSource):
     """``spark.read.format("tsdb")`` — see module docstring.
 
@@ -172,6 +231,9 @@ class TsdbBlockDataSource(DataSource):
 
     def reader(self, schema) -> TsdbBlockReader:
         return TsdbBlockReader(self.options, [f.name for f in schema.fields])
+
+    def streamReader(self, schema) -> TsdbBlockStreamReader:
+        return TsdbBlockStreamReader(self.options, [f.name for f in schema.fields])
 
 
 def register(spark) -> None:
