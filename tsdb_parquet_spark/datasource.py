@@ -83,6 +83,93 @@ class TsdbBlockReader(DataSourceReader):
             raise ValueError("format('tsdb') requires .load(<block dir or parent>)")
         self.series_per_partition = int(options.get("series_per_partition", "256"))
         self.cols = schema_cols
+        # pushed-down predicates (pushFilters): series-level label
+        # equality/presence (exact — labels are constant per series) and
+        # chunk-level time bounds (partial — chunk (mint,maxt) prune)
+        self.label_eq: list[tuple[str, str]] = []  # (raw label, value)
+        self.label_null: list[tuple[str, bool]] = []  # (raw label, is_null)
+        self.time_lo: int | None = None  # row.time must be >  time_lo
+        self.time_hi: int | None = None  # row.time must be <  time_hi
+
+    def pushFilters(self, filters):
+        """The Spark-side twin of the reference's inverted-index matcher
+        evaluation (hello.go:447, SURVEY §4 O5): label equality and
+        presence predicates resolve EXACTLY at the series level from the
+        index alone (every row of a series carries identical labels), so
+        they are fully absorbed — matching series' chunks are never even
+        opened for the rest.  Time-range bounds prune whole chunks via the
+        index's per-chunk (mint, maxt) and are returned to Spark as
+        partially-pushed (boundary chunks still contain out-of-range
+        rows).  Everything else stays Spark-side."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        def _raw(colpath) -> str | None:
+            if len(colpath) != 1:
+                return None
+            c = colpath[0]
+            if c == "label_name":
+                return "__name__"
+            if c.startswith("label_"):
+                return c[len("label_"):]
+            return None
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            raw = _raw(attr) if attr is not None else None
+            if isinstance(f, EqualTo) and raw is not None and isinstance(f.value, str):
+                self.label_eq.append((raw, f.value))
+                continue  # exact at series level — fully absorbed
+            if isinstance(f, IsNull) and raw is not None:
+                self.label_null.append((raw, True))
+                continue
+            if isinstance(f, IsNotNull) and raw is not None:
+                self.label_null.append((raw, False))
+                continue
+            if attr is not None and tuple(attr) == ("time",):
+                v = getattr(f, "value", None)
+                if isinstance(f, GreaterThan) and isinstance(v, int):
+                    self.time_lo = max(self.time_lo, v) if self.time_lo is not None else v
+                    yield f  # chunk-level only: Spark re-filters rows
+                    continue
+                if isinstance(f, GreaterThanOrEqual) and isinstance(v, int):
+                    lo = v - 1
+                    self.time_lo = max(self.time_lo, lo) if self.time_lo is not None else lo
+                    yield f
+                    continue
+                if isinstance(f, LessThan) and isinstance(v, int):
+                    self.time_hi = min(self.time_hi, v) if self.time_hi is not None else v
+                    yield f
+                    continue
+                if isinstance(f, LessThanOrEqual) and isinstance(v, int):
+                    hi = v + 1
+                    self.time_hi = min(self.time_hi, hi) if self.time_hi is not None else hi
+                    yield f
+                    continue
+            yield f  # unsupported — evaluated by Spark post-scan
+
+    def _series_matches(self, labels: dict) -> bool:
+        for raw, val in self.label_eq:
+            if labels.get(raw) != val:
+                return False
+        for raw, want_null in self.label_null:
+            if (raw not in labels) != want_null:
+                return False
+        return True
+
+    def _chunk_overlaps(self, mint: int, maxt: int) -> bool:
+        if self.time_lo is not None and maxt <= self.time_lo:
+            return False
+        if self.time_hi is not None and mint >= self.time_hi:
+            return False
+        return True
 
     def partitions(self) -> list[InputPartition]:
         parts: list[InputPartition] = []
@@ -122,8 +209,12 @@ class TsdbBlockReader(DataSourceReader):
         values: list[float] = []
         label_vals: dict[str, list] = {c: [] for c in want_labels}
         for e in entries:
+            if not self._series_matches(e.labels):
+                continue  # pushed label matcher: chunks never opened
             samples: list[tuple[int, float]] = []
             for _mint, _maxt, ref in e.chunk_refs:
+                if not self._chunk_overlaps(_mint, _maxt):
+                    continue  # pushed time bound: chunk skipped
                 blob = _segment(ref >> 32)
                 off = ref & 0xFFFFFFFF
                 dlen, p = _uvarint(blob, off)

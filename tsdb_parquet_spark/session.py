@@ -67,6 +67,9 @@ def get_spark(
         # results.  On a cluster you'd page results or write a sink instead.
         .config("spark.driver.maxResultSize", os.environ.get("TSDB_SPARK_MAX_RESULT", "8g"))
         .config("spark.ui.enabled", "false")
+        # Python DataSource filter pushdown (datasource.py pushes label
+        # matchers to the TSDB block index, time bounds to chunk metadata)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
