@@ -48,7 +48,9 @@ from .timeseries import TIME_COL, VALUE_COL, label_columns
 
 _UNIT = 10**6  # scale-6 long units, matching aggregates.exact_value_sum
 
-STATE_COLS = ["n", "sum_u", "min_v", "max_v", "last_t", "last_v", "nd_sketch"]
+STATE_COLS = [
+    "n", "sum_u", "min_v", "max_v", "last_t", "last_v", "nd_sketch", "q_sketch",
+]
 
 
 def rollup_state(
@@ -57,6 +59,7 @@ def rollup_state(
     labels: list[str] | None = None,
     buckets_per_chunk: int = 24,
     distinct_col: str | None = None,
+    quantiles: bool = False,
 ) -> DataFrame:
     """Per-(series, bucket) mergeable partial-aggregate state for ``df``'s
     samples — one hash aggregate, map-side partials, shuffle carries one
@@ -72,6 +75,13 @@ def rollup_state(
     the sketch is a few KB per bucket and unions losslessly (sketch-merge
     is associative, so incremental == one-shot *exactly*, not just within
     error bounds).
+
+    ``quantiles=True`` adds a **mergeable KLL sketch** over the value
+    column (``q_sketch``, ``kll_sketch_agg_double``): per-bucket p50/p95/
+    p99 (any rank at read time) maintained incrementally — the downsample
+    statistic exact percentiles can't give you without re-reading raw
+    samples, and the reason holistic aggregates are usually missing from
+    materialized rollups.  Same associativity property as HLL.
     """
     labels = labels if labels is not None else label_columns(df)
     bucket = (F.col(TIME_COL) / F.lit(step_ms)).cast("bigint")
@@ -86,6 +96,8 @@ def rollup_state(
     ]
     if distinct_col is not None:
         aggs.append(F.hll_sketch_agg(distinct_col).alias("nd_sketch"))
+    if quantiles:
+        aggs.append(F.kll_sketch_agg_double(VALUE_COL).alias("q_sketch"))
     return (
         df.groupBy(*labels, bucket.alias("bucket"))
         .agg(*aggs)
@@ -110,6 +122,8 @@ def merge_rollup_state(a: DataFrame, b: DataFrame) -> DataFrame:
     ]
     if "nd_sketch" in a.columns:
         aggs.append(F.hll_union_agg("nd_sketch").alias("nd_sketch"))
+    if "q_sketch" in a.columns:
+        aggs.append(F.kll_merge_agg_double("q_sketch").alias("q_sketch"))
     return a.unionByName(b).groupBy(*keys).agg(*aggs)
 
 
@@ -134,6 +148,11 @@ def finalize_rollup(state: DataFrame) -> DataFrame:
     ]
     if "nd_sketch" in state.columns:
         out.append(F.hll_sketch_estimate("nd_sketch").alias("approx_nd"))
+    if "q_sketch" in state.columns:
+        for q, name in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            out.append(
+                F.kll_sketch_get_quantile_double("q_sketch", F.lit(q)).alias(name)
+            )
     return state.select(*out)
 
 
@@ -145,6 +164,7 @@ def refresh_rollup(
     labels: list[str] | None = None,
     buckets_per_chunk: int = 24,
     distinct_col: str | None = None,
+    quantiles: bool = False,
 ) -> None:
     """Incrementally fold ``delta`` (new/late samples, raw rows) into the
     materialized state table at ``rollup_path``.
@@ -157,7 +177,9 @@ def refresh_rollup(
     of total rollup size — the property that makes the rollup maintainable
     under continuous ingest at 100 TB.
     """
-    delta_state = rollup_state(delta, step_ms, labels, buckets_per_chunk, distinct_col)
+    delta_state = rollup_state(
+        delta, step_ms, labels, buckets_per_chunk, distinct_col, quantiles
+    )
     fresh = not os.path.exists(rollup_path)
     if not fresh:
         # the state table is re-used for the chunk list and the merge —
@@ -200,6 +222,7 @@ def streaming_rollup(
     labels: list[str] | None = None,
     buckets_per_chunk: int = 24,
     distinct_col: str | None = None,
+    quantiles: bool = False,
     trigger_available_now: bool = False,
 ):
     """Continuous-aggregate maintenance as a stream: each micro-batch runs
@@ -225,6 +248,7 @@ def streaming_rollup(
             labels,
             buckets_per_chunk,
             distinct_col,
+            quantiles,
         )
 
     writer = stream_df.writeStream.foreachBatch(_refresh).option(
