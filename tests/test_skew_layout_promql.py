@@ -381,3 +381,50 @@ def test_resets_and_changes_over_time(spark):
            for r in resets_changes_over_time(df, 60_000).collect()}
     assert out[0] == (1, 2)
     assert out[1] == (0, 0)  # cross-boundary pair excluded; 2->2 no change
+
+
+def test_zorder_prunes_second_dimension(spark, tmp_path):
+    # two independent dims: time-sorted layout prunes only time; z-order
+    # tightens per-file min/max on BOTH dims, so a user_id-only predicate
+    # can skip files again (row-group stats checked via pyarrow footers)
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tsdb_parquet_spark.layout import zorder_write
+
+    rows = [(t * 1000, float(t % 7), (t * 48271) % 1024)
+            for t in range(20_000)]
+    df = spark.createDataFrame(rows, "time long, value double, user_id long")
+
+    tsorted = str(tmp_path / "tsorted")
+    df.repartitionByRange(8, "time").sortWithinPartitions("time").write.parquet(tsorted)
+    zordered = str(tmp_path / "zorder")
+    zorder_write(df, zordered, ["time", "user_id"], num_files=8)
+
+    def files_containing(path, col, probe):
+        hits, total = 0, 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.ParquetFile(os.path.join(path, f))
+            idx = md.schema_arrow.get_field_index(col)
+            lo = min(md.metadata.row_group(i).column(idx).statistics.min
+                     for i in range(md.metadata.num_row_groups))
+            hi = max(md.metadata.row_group(i).column(idx).statistics.max
+                     for i in range(md.metadata.num_row_groups))
+            if lo <= probe <= hi:
+                hits += 1
+        return hits, total
+
+    t_hits, t_total = files_containing(tsorted, "user_id", 512)
+    z_hits, z_total = files_containing(zordered, "user_id", 512)
+    assert t_total == z_total == 8
+    assert t_hits == t_total          # time-sort: every file spans all users
+    assert z_hits < z_total           # z-order: user probe skips files
+
+    # and the z-ordered table still answers queries identically
+    a = sorted(spark.read.parquet(zordered).collect())
+    b = sorted(df.collect())
+    assert a == b

@@ -98,3 +98,69 @@ def advise_layout(
             + bucket_why
         ),
     )
+
+
+def zorder_column(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    alias: str = "_z",
+) -> DataFrame:
+    """Z-order (Morton) interleave value for multi-dimensional clustering.
+
+    Time-sorted layout prunes time predicates only; a query filtering on a
+    SECOND dimension (user, series, tenant) scans every file.  Z-ordering
+    interleaves the bit patterns of each dimension's bucket rank so rows
+    close in ANY dimension land close in the sort — per-file min/max
+    ranges tighten on every participating column and single-dimension
+    predicates prune files again (the Delta/Iceberg OPTIMIZE ZORDER idea,
+    done here as a plain write-time recipe).
+
+    Each column is first mapped to a ``bits``-wide bucket id with
+    ``width_bucket`` over its min/max (equi-width; for heavily skewed
+    dims substitute quantile boundaries — same interleave), then bit
+    planes are interleaved round-robin.  Everything is whole-stage
+    codegen; the only driver-side step is one min/max agg per column.
+    """
+    stats = df.agg(
+        *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(cols)],
+    ).first()
+    n_buckets = 1 << bits
+    ranks = []
+    for i, c in enumerate(cols):
+        lo = float(stats[f"lo_{i}"])
+        hi = float(stats[f"hi_{i}"])
+        if hi <= lo:
+            hi = lo + 1.0
+        # width_bucket yields 1..n+1; clamp to 0..n-1
+        r = F.width_bucket(
+            F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets)
+        ) - F.lit(1)
+        ranks.append(F.least(F.greatest(r, F.lit(0)), F.lit(n_buckets - 1)))
+    z = F.lit(0).cast("bigint")
+    for bit in range(bits):
+        for i, r in enumerate(ranks):
+            plane = F.shiftright(r.cast("bigint"), bit).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(plane, bit * len(ranks) + i))
+    return df.withColumn(alias, z)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int | None = None,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered by the Z-value of ``cols``: range-partition
+    on the interleave (each file owns a contiguous Z-range = a tile in
+    dimension space), sort within files, drop the helper column."""
+    out = zorder_column(df, cols, bits)
+    out = (
+        out.repartitionByRange(num_files, "_z")
+        if num_files
+        else out.repartitionByRange("_z")
+    )
+    out.sortWithinPartitions("_z").drop("_z").write.mode(mode).parquet(path)
