@@ -106,3 +106,19 @@ def test_table_health(spark, tmp_path):
     assert h["partitions"] == 2
     assert h["files"] >= 6
     assert sorted(h["small_file_partitions"]) == ["dt=2023-03-21", "dt=2023-03-22"]
+
+
+def test_vacuum_removes_interrupted_compaction_debris(spark, tmp_path):
+    from tsdb_parquet_spark.maintenance import vacuum
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, days=1, appends=2)
+    # simulate a compaction that died mid-swap
+    os.makedirs(os.path.join(path, "dt=2023-03-21__compact_tmp"))
+    os.makedirs(os.path.join(path, "dt=2023-03-21__compact_old"))
+    removed = vacuum(spark, path)
+    assert removed == [
+        "dt=2023-03-21__compact_old", "dt=2023-03-21__compact_tmp",
+    ]
+    assert vacuum(spark, path) == []  # idempotent
+    assert spark.read.parquet(path).count() > 0

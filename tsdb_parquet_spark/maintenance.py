@@ -179,3 +179,27 @@ def table_health(spark: SparkSession, path: str) -> dict:
         "bytes": sum(s.total_bytes for s in stats),
         "small_file_partitions": small,
     }
+
+
+def vacuum(spark: SparkSession, path: str) -> list[str]:
+    """Remove maintenance debris: ``__compact_tmp`` / ``__compact_old``
+    directories left by a compaction that died mid-swap.  Safe because a
+    completed swap always deletes both (compact_table), so any survivor
+    is an interrupted run whose live data sits in the primary directory
+    (the stage-out rename is the LAST step to leave the primary missing,
+    and its failure mode rolls back).  Returns removed paths."""
+    jvm, fs, root = _fs(spark, path)
+    removed: list[str] = []
+    stack = [root]
+    while stack:
+        cur = stack.pop()
+        for st in fs.listStatus(cur):
+            name = st.getPath().getName()
+            if not st.isDirectory():
+                continue
+            if name.endswith(("__compact_tmp", "__compact_old")):
+                fs.delete(st.getPath(), True)
+                removed.append(name)
+            else:
+                stack.append(st.getPath())
+    return sorted(removed)
