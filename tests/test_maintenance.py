@@ -122,3 +122,14 @@ def test_vacuum_removes_interrupted_compaction_debris(spark, tmp_path):
     ]
     assert vacuum(spark, path) == []  # idempotent
     assert spark.read.parquet(path).count() > 0
+
+
+def test_cli_health_and_retention(spark, tmp_path, capsys):
+    from tsdb_parquet_spark.cli import main
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, days=2, appends=2)
+    main(["health", path])
+    assert "'partitions': 2" in capsys.readouterr().out
+    main(["retention", path, "2023-03-22", "--col", "dt"])
+    assert "dropped 1 partition(s)" in capsys.readouterr().out

@@ -122,3 +122,15 @@ def test_hll_distinct_state_merges_exactly(spark):
     d = {r["bucket"]: r["approx_nd"] for r in direct.collect()}
     assert m == d
     assert all(v == 53 for v in m.values())  # exact at 53 distinct uids
+
+
+def test_cli_rollup_refresh(spark, tmp_path, capsys):
+    from tsdb_parquet_spark.cli import main
+
+    delta = str(tmp_path / "delta")
+    _samples(spark, 0, 4 * STEP).write.parquet(delta)
+    rdir = str(tmp_path / "r")
+    main(["rollup-refresh", delta, rdir, "--step-ms", str(STEP)])
+    assert "(series, bucket) rows" in capsys.readouterr().out
+    got = read_rollup(spark, rdir)
+    assert got.count() == 8  # 2 series x 4 buckets

@@ -72,6 +72,16 @@ def main(argv: list[str] | None = None) -> None:
     p_r.add_argument("-m", "--matcher", action="append", default=[])
     p_r.add_argument("--labels", default=None, help="comma-separated label columns")
 
+    p_ru = sub.add_parser(
+        "rollup-refresh",
+        help="incrementally fold new samples into a continuous aggregate (rollup.py)",
+    )
+    p_ru.add_argument("delta", help="parquet of new samples (time/value/label_*)")
+    p_ru.add_argument("rollup_dir")
+    p_ru.add_argument("--step-ms", type=int, default=3_600_000)
+    p_ru.add_argument("--distinct-col", default=None)
+    p_ru.add_argument("--quantiles", action="store_true")
+
     p_c = sub.add_parser("compact", help="compact small-file partitions (maintenance.py)")
     p_c.add_argument("table")
     p_c.add_argument("--target-mb", type=int, default=128)
@@ -130,6 +140,45 @@ def main(argv: list[str] | None = None) -> None:
         print(f"wrote {args.dest}: {n} rows, labels={label_columns(df)}")
         return
 
+    if args.cmd == "rollup-refresh":
+        from .rollup import read_rollup, refresh_rollup
+
+        refresh_rollup(
+            spark,
+            spark.read.parquet(args.delta),
+            args.rollup_dir,
+            args.step_ms,
+            distinct_col=args.distinct_col,
+            quantiles=args.quantiles,
+        )
+        n = read_rollup(spark, args.rollup_dir).count()
+        print(f"rollup at {args.rollup_dir}: {n} (series, bucket) rows")
+        return
+
+    if args.cmd == "compact":
+        from .maintenance import compact_table
+
+        done = compact_table(
+            spark, args.table,
+            target_file_bytes=args.target_mb * 1024 * 1024,
+            min_files=args.min_files,
+        )
+        print(f"compacted {len(done)} partition(s): {done}")
+        return
+
+    if args.cmd == "retention":
+        from .maintenance import retention_drop
+
+        dropped = retention_drop(spark, args.table, args.keep_from, args.col)
+        print(f"dropped {len(dropped)} partition(s): {dropped}")
+        return
+
+    if args.cmd == "health":
+        from .maintenance import table_health
+
+        print(table_health(spark, args.table))
+        return
+
     matchers = [parse_matcher(s) for s in args.matcher]
     if getattr(args, "selector", None):
         from .matchers import parse_selector
@@ -182,29 +231,6 @@ def main(argv: list[str] | None = None) -> None:
         out.orderBy(*out.columns[:-3]).show(50, truncate=False)
         return
 
-    if args.cmd == "compact":
-        from .maintenance import compact_table
-
-        done = compact_table(
-            spark, args.table,
-            target_file_bytes=args.target_mb * 1024 * 1024,
-            min_files=args.min_files,
-        )
-        print(f"compacted {len(done)} partition(s): {done}")
-        return
-
-    if args.cmd == "retention":
-        from .maintenance import retention_drop
-
-        dropped = retention_drop(spark, args.table, args.keep_from, args.col)
-        print(f"dropped {len(dropped)} partition(s): {dropped}")
-        return
-
-    if args.cmd == "health":
-        from .maintenance import table_health
-
-        print(table_health(spark, args.table))
-        return
 
 
 if __name__ == "__main__":
