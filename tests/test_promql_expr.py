@@ -505,3 +505,21 @@ def test_label_replace_composes_with_agg(spark, mini):
     )
     got = {r["label_env"]: r["value"] for r in out.collect()}
     assert got == {"a": 33.0, "b": 300.0}
+
+
+def test_absent_over_time_instant(spark, mini):
+    # data exists in the window → empty; nothing matches → one row of 1.0
+    assert query_instant(mini, "absent_over_time(req[5s])", at_ms=3000).count() == 0
+    got = query_instant(mini, "absent_over_time(nope[5s])", at_ms=3000).collect()
+    assert [r["value"] for r in got] == [1.0]
+
+
+def test_absent_over_time_range(spark, mini):
+    # samples exist at 0..3s; steps beyond 3s + window see nothing
+    out = query_range(
+        mini, "absent_over_time(req[1s])", start_ms=1000, end_ms=10_000,
+        step_ms=1000,
+    ).collect()
+    absent_steps = sorted(r["step_ts"] for r in out)
+    assert all(r["value"] == 1.0 for r in out)
+    assert absent_steps == [4000, 5000, 6000, 7000, 8000, 9000, 10000]

@@ -36,7 +36,7 @@ Grammar (the working subset, PromQL precedence order)::
     mods      := ('offset' duration | '@' number)*
 
 Range functions: rate, increase, irate, delta, idelta, deriv, resets,
-changes, avg/min/max/sum/count/last/stddev/stdvar/present_over_time,
+changes, avg/min/max/sum/count/last/stddev/stdvar/present/absent_over_time,
 quantile_over_time(q, …).  A subquery ``fn(expr[range:step])`` evaluates
 the inner expression on a fine grid and applies the range function over
 the grid points (step defaults to 60s when omitted, documented
@@ -84,6 +84,7 @@ _RANGE_FNS = {
     "avg_over_time", "min_over_time", "max_over_time",
     "sum_over_time", "count_over_time", "last_over_time",
     "stddev_over_time", "stdvar_over_time", "present_over_time",
+    "absent_over_time",
 }
 _AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar", "group"}
 _PARAM_AGGS = {"topk", "bottomk", "quantile", "count_values"}
@@ -686,6 +687,14 @@ class PromQLEngine:
                 (F.col(TIME_COL) <= at_eff)
                 & (F.col(TIME_COL) > at_eff - node.window_ms)
             )
+            if node.fn == "absent_over_time":
+                # 1 (label-less) iff the selector matched NOTHING in the
+                # whole window — same emission shape as absent()
+                return (
+                    w.agg(F.count(F.lit(1)).alias("_n"))
+                    .filter(F.col("_n") == 0)
+                    .select(F.lit(1.0).alias(VALUE_COL))
+                )
             labels = label_columns(w)
             return self._range_fn_agg(node.fn, node.param, w, labels, [])
         if isinstance(node, Subquery):
@@ -806,6 +815,20 @@ class PromQLEngine:
             sel = apply_matchers(self.df, node.arg.matchers)
             labels = label_columns(sel)
             off = node.arg.offset_ms
+            if node.fn == "absent_over_time":
+                # steps whose lookback window saw no sample at all: count
+                # presence per step, anti-join against the full step grid
+                counts = self._grid_apply(
+                    "count_over_time", None, node.window_ms, sel, labels,
+                    start - off, end - off, step,
+                )
+                live = counts.select("step_ts").distinct()
+                out = (
+                    self._steps_df(start - off, end - off, step)
+                    .join(live, "step_ts", "left_anti")
+                    .withColumn(VALUE_COL, F.lit(1.0))
+                )
+                return self._shift_steps(out, off)
             if node.fn in ("rate", "increase"):
                 rr = promql.range_rate(
                     sel, start - off, end - off, step, node.window_ms, labels
