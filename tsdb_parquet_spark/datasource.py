@@ -331,5 +331,13 @@ class TsdbBlockDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Register the source on a session: ``datasource.register(spark)``."""
+    """Register the source on a session: ``datasource.register(spark)``.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` at runtime:
+    :meth:`TsdbBlockReader.pushFilters` requires it, and callers register
+    on arbitrary sessions (not just :func:`session.get_spark`), so the
+    source must carry its own prerequisite.  The conf is runtime-settable
+    (verified under a bare ``SparkSession.builder.getOrCreate()``).
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TsdbBlockDataSource)
