@@ -64,6 +64,55 @@ def first_comment_or_doc(fn) -> str:
     return ""
 
 
+def coverage_ledger(queries: dict) -> list[str]:
+    """Per-query ledger of driver CORRECTNESS records across rounds, so a
+    rotation gap (an entry never placed in the driver's 50-entry window,
+    like q49 in r3-r5) is visible in the doc instead of latent."""
+    import glob
+    import json
+
+    rounds: dict[str, dict] = {}
+    for p in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = p.rsplit("_r", 1)[1].split(".")[0].lstrip("0") or "0"
+        rounds[f"r{rnd}"] = json.load(open(p))
+    lines = [
+        "",
+        "## Driver-verification coverage",
+        "",
+        "Which rounds the driver recorded each query in (the driver checks "
+        "the first 50 insertion-ordered `queries()` entries per round; the "
+        "builder rotates the window). `pass` = rows+schema+hash all match; "
+        "`rows` = rows-only record (no oracle); `FAIL` = a recorded "
+        "mismatch/error that round. `—` = not in that round's window.",
+        "",
+        "| query | " + " | ".join(rounds) + " | in-window now |",
+        "|---|" + "---|" * (len(rounds) + 1),
+    ]
+    never: list[str] = []
+    for i, name in enumerate(queries):
+        cells = []
+        for rnd, recs in rounds.items():
+            if name not in recs:
+                cells.append("—")
+                continue
+            r = recs[name]
+            if r.get("err") == "no_oracle" and r.get("spark_rows") is not None:
+                cells.append("rows")
+            elif r.get("err"):
+                cells.append("FAIL")
+            elif r.get("hash_match"):
+                cells.append("pass")
+            else:
+                cells.append("FAIL")
+        window = "yes" if i < 50 else "no"
+        if all(c in ("—",) for c in cells):
+            never.append(name)
+        lines.append(f"| {name} | " + " | ".join(cells) + f" | {window} |")
+    if never:
+        lines += ["", f"Never driver-recorded yet ({len(never)}): " + ", ".join(never) + "."]
+    return lines
+
+
 def main() -> None:
     queries = m.queries()
     oracles = m.oracle_sql()
@@ -81,6 +130,7 @@ def main() -> None:
         has = "yes" if name in oracles else "rows-only"
         desc = (first_comment_or_doc(fn) or FALLBACK.get(name, "")).replace("|", "\\|")
         lines.append(f"| {name} | {has} | {desc} |")
+    lines += coverage_ledger(queries)
     open("/root/repo/QUERIES.md", "w").write("\n".join(lines) + "\n")
     print(f"wrote QUERIES.md: {len(queries)} queries")
 
