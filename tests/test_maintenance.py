@@ -124,6 +124,51 @@ def test_vacuum_removes_interrupted_compaction_debris(spark, tmp_path):
     assert spark.read.parquet(path).count() > 0
 
 
+def test_vacuum_restores_primary_lost_mid_swap(spark, tmp_path):
+    """Crash BETWEEN stage-out (cur->old) and swap-in (tmp->cur): the
+    primary dir is missing and old/tmp hold the only copies.  vacuum must
+    complete the swap (tmp in, old deleted), never delete the data."""
+    import shutil
+
+    from tsdb_parquet_spark.maintenance import vacuum
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, days=1, appends=2)
+    part = os.path.join(path, "dt=2023-03-21")
+    rows_before = sorted(
+        spark.read.parquet(path).drop("dt").collect()
+    )
+    # simulate: tmp fully written (copy), then cur renamed to old, crash
+    shutil.copytree(part, part + "__compact_tmp")
+    os.rename(part, part + "__compact_old")
+    assert not os.path.exists(part)
+
+    removed = vacuum(spark, path)
+    assert removed == [
+        "dt=2023-03-21__compact_old",
+        "restored:dt=2023-03-21__compact_tmp",
+    ]
+    assert os.path.isdir(part)
+    assert sorted(spark.read.parquet(path).drop("dt").collect()) == rows_before
+    assert vacuum(spark, path) == []
+
+
+def test_vacuum_restores_from_old_when_no_tmp(spark, tmp_path):
+    """Degenerate debris: primary missing and only __compact_old exists
+    (e.g. tmp was partially deleted by hand) — roll back old."""
+    from tsdb_parquet_spark.maintenance import vacuum
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, days=1, appends=2)
+    part = os.path.join(path, "dt=2023-03-21")
+    n = spark.read.parquet(path).count()
+    os.rename(part, part + "__compact_old")
+
+    removed = vacuum(spark, path)
+    assert removed == ["restored:dt=2023-03-21__compact_old"]
+    assert spark.read.parquet(path).count() == n
+
+
 def test_cli_health_and_retention(spark, tmp_path, capsys):
     from tsdb_parquet_spark.cli import main
 

@@ -81,6 +81,23 @@ def test_refresh_rewrites_only_affected_chunks(spark, tmp_path):
         assert after[d] == before[d], f"{d} rewritten by an unrelated refresh"
 
 
+def test_refresh_is_single_writer(spark, tmp_path):
+    # a second refresh while the lock is held must fail fast (lost-delta
+    # prevention), and the lock must clear after a completed refresh
+    import pytest
+
+    from tsdb_parquet_spark.rollup import ConcurrentRefreshError, _refresh_lock
+
+    path = str(tmp_path / "rollup")
+    with _refresh_lock(path):  # simulate an in-flight refresh
+        with pytest.raises(ConcurrentRefreshError, match="in progress"):
+            refresh_rollup(spark, _samples(spark, 0, 2 * STEP), path, STEP)
+    # lock released -> refresh proceeds, and releases its own lock
+    refresh_rollup(spark, _samples(spark, 0, 2 * STEP), path, STEP)
+    assert not os.path.exists(path.rstrip("/") + ".__refresh_lock")
+    assert read_rollup(spark, path).count() > 0
+
+
 def test_streaming_rollup_equals_batch(spark, tmp_path):
     src = str(tmp_path / "src")
     full = _samples(spark, 0, 24 * STEP)

@@ -428,3 +428,24 @@ def test_zorder_prunes_second_dimension(spark, tmp_path):
     a = sorted(spark.read.parquet(zordered).collect())
     b = sorted(df.collect())
     assert a == b
+
+
+def test_zorder_bits_clamped_to_bigint(spark):
+    # default bits=16 with 4 columns would interleave into bit 63+ —
+    # sign-flip + Java shift wraparound.  zorder_column must clamp to
+    # bits*len(cols) <= 63 and keep every z value non-negative.
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.layout import zorder_column
+
+    rows = [(t, t * 3 % 97, t * 5 % 89, t * 7 % 83) for t in range(2000)]
+    df = spark.createDataFrame(rows, "a long, b long, c long, d long")
+    z = zorder_column(df, ["a", "b", "c", "d"], bits=16)
+    stats = z.agg(
+        F.min("_z").alias("lo"), F.max("_z").alias("hi")
+    ).first()
+    assert stats["lo"] >= 0
+    # 4 cols -> 15 bits each -> z < 2^60
+    assert stats["hi"] < 1 << 60
+    # clamped interleave still separates distinct points
+    assert z.select("_z").distinct().count() > 100

@@ -74,7 +74,9 @@ def main(argv: list[str] | None = None) -> None:
 
     p_ru = sub.add_parser(
         "rollup-refresh",
-        help="incrementally fold new samples into a continuous aggregate (rollup.py)",
+        help="incrementally fold new samples into a continuous aggregate "
+        "(rollup.py; single writer per rollup dir — fails fast if another "
+        "refresh/streaming maintainer holds the lock)",
     )
     p_ru.add_argument("delta", help="parquet of new samples (time/value/label_*)")
     p_ru.add_argument("rollup_dir")

@@ -121,7 +121,15 @@ def zorder_column(
     dims substitute quantile boundaries — same interleave), then bit
     planes are interleaved round-robin.  Everything is whole-stage
     codegen; the only driver-side step is one min/max agg per column.
+
+    ``bits`` is clamped so ``bits * len(cols) <= 63``: the interleave
+    lives in a signed bigint, and a shift reaching bit 63 would flip the
+    sign (and Java shift amounts wrap mod 64), silently breaking the
+    range-partition monotonicity the clustering depends on.
     """
+    if not cols:
+        raise ValueError("zorder_column: need at least one column")
+    bits = max(1, min(bits, 63 // len(cols)))
     stats = df.agg(
         *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(cols)],
         *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(cols)],

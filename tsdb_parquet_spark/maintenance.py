@@ -183,13 +183,22 @@ def table_health(spark: SparkSession, path: str) -> dict:
 
 def vacuum(spark: SparkSession, path: str) -> list[str]:
     """Remove maintenance debris: ``__compact_tmp`` / ``__compact_old``
-    directories left by a compaction that died mid-swap.  Safe because a
-    completed swap always deletes both (compact_table), so any survivor
-    is an interrupted run whose live data sits in the primary directory
-    (the stage-out rename is the LAST step to leave the primary missing,
-    and its failure mode rolls back).  Returns removed paths."""
+    directories left by a compaction that died mid-swap.
+
+    Crash-safe: a process death BETWEEN compact_table's stage-out rename
+    (cur→old) and swap-in rename (tmp→cur) leaves the primary directory
+    missing and old/tmp holding the ONLY copies of the partition, so
+    before deleting debris for primary ``X`` this checks that ``X``
+    exists.  If it doesn't, vacuum RESTORES instead of deleting: the tmp
+    dir (fully written before stage-out begins) is renamed in to
+    complete the interrupted swap, else the old dir is renamed back to
+    roll it back.  Only after the primary is present is remaining debris
+    deleted.  Returns removed paths (restores are reported as
+    ``restored:<name>``)."""
     jvm, fs, root = _fs(spark, path)
     removed: list[str] = []
+    # group debris by its primary path: {primary: {suffix: hadoop Path}}
+    debris: dict[str, dict[str, object]] = {}
     stack = [root]
     while stack:
         cur = stack.pop()
@@ -197,9 +206,32 @@ def vacuum(spark: SparkSession, path: str) -> list[str]:
             name = st.getPath().getName()
             if not st.isDirectory():
                 continue
-            if name.endswith(("__compact_tmp", "__compact_old")):
-                fs.delete(st.getPath(), True)
-                removed.append(name)
-            else:
+            matched = False
+            for suf in ("__compact_tmp", "__compact_old"):
+                if name.endswith(suf):
+                    primary = str(st.getPath())[: -len(suf)]
+                    debris.setdefault(primary, {})[suf] = st.getPath()
+                    matched = True
+                    break
+            if not matched:
                 stack.append(st.getPath())
+    for primary, parts in debris.items():
+        p_cur = jvm.org.apache.hadoop.fs.Path(primary)
+        if not fs.exists(p_cur):
+            # interrupted between stage-out and swap-in: restore before
+            # any delete.  Prefer completing the swap (tmp was fully
+            # written before stage-out started); else roll back to old.
+            src_suf = (
+                "__compact_tmp" if "__compact_tmp" in parts else "__compact_old"
+            )
+            src = parts.pop(src_suf)
+            if not fs.rename(src, p_cur):
+                raise IOError(
+                    f"vacuum: primary {primary} missing and cannot "
+                    f"restore {src_suf} — leaving debris untouched"
+                )
+            removed.append(f"restored:{src.getName()}")
+        for p in parts.values():
+            fs.delete(p, True)
+            removed.append(p.getName())
     return sorted(removed)

@@ -53,6 +53,61 @@ STATE_COLS = [
 ]
 
 
+class ConcurrentRefreshError(RuntimeError):
+    """A second refresh attempted while another holds the rollup lock."""
+
+
+class _refresh_lock:
+    """Single-writer guard for a rollup table.
+
+    ``refresh_rollup`` is read-merge-overwrite of the same path: two
+    concurrent refreshes of one rollup (e.g. the CLI ``rollup-refresh``
+    racing the streaming maintainer) would each read pre-merge state and
+    the second overwrite would silently drop the first's delta.  The
+    guard is an O_EXCL lock file beside the table — atomic on a local
+    or NFS/HDFS-mounted POSIX path, which is where this engine's state
+    tables live; on an object store substitute the table format's own
+    commit protocol (Iceberg/Delta) instead.  Holds pid + ISO timestamp
+    for post-crash triage; a crashed holder's lock must be removed by
+    the operator (the error message names the path).
+    """
+
+    def __init__(self, rollup_path: str):
+        self.lock_path = rollup_path.rstrip("/") + ".__refresh_lock"
+
+    def __enter__(self):
+        os.makedirs(os.path.dirname(self.lock_path) or ".", exist_ok=True)
+        try:
+            fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            holder = ""
+            try:
+                with open(self.lock_path) as f:
+                    holder = f.read().strip()
+            except OSError:
+                pass
+            raise ConcurrentRefreshError(
+                f"rollup refresh already in progress ({holder or 'unknown'}); "
+                f"serialize refreshes of one rollup — if the holder crashed, "
+                f"remove {self.lock_path}"
+            ) from None
+        import datetime
+
+        os.write(
+            fd,
+            f"pid={os.getpid()} at={datetime.datetime.now(datetime.UTC).isoformat()}".encode(),
+        )
+        os.close(fd)
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.lock_path)
+        except FileNotFoundError:
+            pass
+        return False
+
+
 def rollup_state(
     df: DataFrame,
     step_ms: int,
@@ -176,37 +231,44 @@ def refresh_rollup(
     exactly those chunks.  Cost is O(delta + affected chunks), independent
     of total rollup size — the property that makes the rollup maintainable
     under continuous ingest at 100 TB.
+
+    SINGLE WRITER per rollup path: refreshes are serialized by a lock
+    file (see ``_refresh_lock``); a concurrent attempt raises
+    :class:`ConcurrentRefreshError` instead of silently losing one
+    delta's state.  Concurrent READERS are unaffected.
     """
-    delta_state = rollup_state(
-        delta, step_ms, labels, buckets_per_chunk, distinct_col, quantiles
-    )
-    fresh = not os.path.exists(rollup_path)
-    if not fresh:
-        # the state table is re-used for the chunk list and the merge —
-        # cache so the delta aggregates once (state rows only, small)
-        delta_state = delta_state.persist()
-    try:
-        if fresh:
-            out = delta_state
-        else:
-            chunks = [
-                r["chunk"] for r in delta_state.select("chunk").distinct().collect()
-            ]
-            existing = spark.read.parquet(rollup_path).filter(
-                F.col("chunk").isin(chunks)
-            )
-            out = merge_rollup_state(existing, delta_state)
-        (
-            out.repartition("chunk")
-            .sortWithinPartitions("bucket")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("chunk")
-            .parquet(rollup_path)
+    with _refresh_lock(rollup_path):
+        delta_state = rollup_state(
+            delta, step_ms, labels, buckets_per_chunk, distinct_col, quantiles
         )
-    finally:
+        fresh = not os.path.exists(rollup_path)
         if not fresh:
-            delta_state.unpersist()
+            # the state table is re-used for the chunk list and the merge —
+            # cache so the delta aggregates once (state rows only, small)
+            delta_state = delta_state.persist()
+        try:
+            if fresh:
+                out = delta_state
+            else:
+                chunks = [
+                    r["chunk"]
+                    for r in delta_state.select("chunk").distinct().collect()
+                ]
+                existing = spark.read.parquet(rollup_path).filter(
+                    F.col("chunk").isin(chunks)
+                )
+                out = merge_rollup_state(existing, delta_state)
+            (
+                out.repartition("chunk")
+                .sortWithinPartitions("bucket")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("chunk")
+                .parquet(rollup_path)
+            )
+        finally:
+            if not fresh:
+                delta_state.unpersist()
 
 
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
@@ -233,6 +295,11 @@ def streaming_rollup(
     exactly-once-per-batch refresh semantics (dynamic partition overwrite
     is idempotent per batch replay only if the batch content is stable;
     file/kafka sources with checkpoints give exactly that).
+
+    SINGLE WRITER: each micro-batch takes the rollup's refresh lock, so
+    a CLI ``rollup-refresh`` racing this maintainer fails fast with
+    :class:`ConcurrentRefreshError` (and vice versa) rather than losing
+    a delta.  Run at most one maintainer per rollup path.
 
     Returns the started ``StreamingQuery``.
     """
