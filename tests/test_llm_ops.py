@@ -140,10 +140,68 @@ def test_multimodal_decode_roundtrip(spark, docs):
     assert out[0]["width"] >= 1 and out[0]["height"] >= 1
 
 
-def test_multimodal_real_decode_raises(spark, docs):
+def test_multimodal_real_decode_raises_on_unparseable(spark, docs):
+    # text payloads are not PNG/GIF/JPEG and Pillow is absent here, so
+    # the real path must fail loudly, not fake silently
     table = llm.make_multimodal_table(spark, docs.limit(1))
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         llm.decode_images(table, fake=False).collect()
+
+
+def _minimal_png(w: int, h: int) -> bytes:
+    """A valid w x h RGB PNG built with stdlib only (zlib + struct)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x7f" * (3 * w) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_multimodal_real_decode_png_gif_headers(spark):
+    # fake=False without Pillow: REAL dimensions via the stdlib header
+    # parser, real crc32 checksum — on a hand-built valid PNG and GIF
+    import struct
+    import zlib as _zlib
+
+    png = _minimal_png(320, 41)
+    gif = b"GIF89a" + struct.pack("<HH", 99, 7) + b"\x00" * 6
+    rows = [(1, png, None), (2, gif, None)]
+    from tsdb_parquet_spark.llm.multimodal import MULTIMODAL_SCHEMA
+
+    table = spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
+    out = {r["item_id"]: r for r in llm.decode_images(table, fake=False).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (320, 41)
+    assert (out[2]["width"], out[2]["height"]) == (99, 7)
+    assert out[1]["n_bytes"] == len(png)
+    assert out[1]["checksum"] == _zlib.crc32(png) & 0x7FFFFFFF
+
+
+def test_parse_image_dims_jpeg_and_garbage():
+    import struct
+
+    from tsdb_parquet_spark.llm.multimodal import parse_image_dims
+
+    # minimal JPEG: SOI + APP0 stub + SOF0 carrying (h=10, w=20)
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 8) + b"\x08" + struct.pack(">HH", 10, 20) + b"\x01"
+    jpeg = b"\xff\xd8" + app0 + sof0
+    assert parse_image_dims(jpeg) == (20, 10)
+    assert parse_image_dims(b"not an image at all") is None
+    assert parse_image_dims(_minimal_png(5, 6)) == (5, 6)
 
 
 def test_embedding_neardup_finds_planted_pair(spark):
