@@ -56,6 +56,25 @@ def test_q09_dim_broadcasts_facts_shuffle_join(entry, spark):
     assert "l_extendedprice" in plan and "l_shipdate" not in plan
 
 
+def test_q09_bucketed_join_exchange_free(entry, spark):
+    """The bucketed layout's whole point: the fact-fact join and the
+    per-orderkey pre-aggregate consume the at-rest bucket partitioning —
+    no shuffle of either fact table, no per-query sort of the join keys
+    (buckets are written sorted).  Only the final 5-group agg/orderBy
+    may exchange."""
+    df = entry.q09_bucketed(spark, SF)
+    plan = plan_of(df)
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    # no exchange on either fact key — the only hash exchange is the
+    # final c_mktsegment aggregate
+    assert "hashpartitioning(o_orderkey" not in plan, plan
+    assert "hashpartitioning(l_orderkey" not in plan, plan
+    # result identical to the unbucketed q09
+    a = sorted(entry.q09_join_agg(spark, SF).collect())
+    assert sorted(df.collect()) == a
+
+
 def test_q10_fact_side_never_broadcast(entry, spark):
     plan = plan_of(entry.q10_left_outer_join(spark, SF))
     # left-outer forces BuildRight and orders is fact-scale: the hint must

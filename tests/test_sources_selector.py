@@ -87,6 +87,43 @@ def test_counter_rate_reset_handling(spark):
     assert out["n_samples"] == 4
 
 
+def test_counter_rate_agg_form_bit_identical(spark):
+    """The no-window aggregate formulation (sort_array(collect_list) +
+    HOF delta sum) must match counter_rate exactly, resets and single-
+    sample groups included.  (A/B at sf1/sf10-scale tsdb showed the
+    window form faster — SCALE.md §6 — so the agg form is the documented
+    alternative, kept correct by this test.)"""
+    from tsdb_parquet_spark.timeseries import counter_rate_agg
+
+    rows = [
+        (0, 0.0, "m"), (1000, 10.0, "m"), (2000, 3.0, "m"), (3000, 8.0, "m"),
+        (500, 7.0, "s"),  # single-sample series: rate NULL
+    ]
+    df = spark.createDataFrame(rows, "time long, value double, label_name string")
+    a = sorted(counter_rate(df, ["label_name"]).collect())
+    b = sorted(counter_rate_agg(df, ["label_name"]).collect())
+    assert a == b
+    assert a[0]["increase"] == 18.0 and a[1]["rate"] is None
+
+
+def test_rate_agg_form_bit_identical(spark):
+    from tsdb_parquet_spark.promql import rate, rate_agg
+
+    # samples spanning two aligned 2s buckets + a reset inside bucket 1
+    rows = [
+        (0, 1.0, "m"), (900, 4.0, "m"), (1800, 6.0, "m"),  # bucket 0
+        (2200, 2.0, "m"), (3100, 9.0, "m"), (3900, 1.0, "m"),  # bucket 1, reset at end
+    ]
+    df = spark.createDataFrame(rows, "time long, value double, label_name string")
+    a = sorted(rate(df, 2000, ["label_name"]).collect())
+    b = sorted(rate_agg(df, 2000, ["label_name"]).collect())
+    assert a == b
+    # bucket 0: (4-1)+(6-4)=5; bucket 1: (9-2)+1(reset)=8 — the cross-
+    # bucket 1800->2200 delta counts in NEITHER (both-in-window rule)
+    by_bucket = {r["bucket"]: r["increase"] for r in a}
+    assert by_bucket == {0: 5.0, 1: 8.0}
+
+
 def test_udtf_parse_promql(spark):
     from tsdb_parquet_spark.functions import register_udtfs
 

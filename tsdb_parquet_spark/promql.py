@@ -568,3 +568,55 @@ def rate(
         inc.alias("increase"),
         F.when(span_s > 0, inc / span_s).otherwise(F.lit(None).cast("double")).alias("rate"),
     )
+
+
+def rate_agg(
+    df: DataFrame,
+    window_ms: int,
+    labels: list[str] | None = None,
+) -> DataFrame:
+    """:func:`rate` as ONE hash aggregate — no window operator.
+
+    The key observation: ``rate``'s delta counts only when BOTH samples
+    fall in the same aligned bucket, so grouping by (labels, bucket) and
+    sorting each group's samples inside the aggregate reproduces exactly
+    the same adjacent pairs (a bucket is a contiguous time range, so
+    in-bucket-consecutive == series-consecutive).  One exchange carrying
+    (labels, bucket)-grouped arrays replaces exchange+sort+window+agg;
+    delta summation is the scale-6 long-unit exact path inlined as a JVM
+    higher-order lambda.  Bit-identical to :func:`rate`.  Memory bound:
+    one bucket of one series per array — window_ms caps it, so this form
+    is safe even for very long series (unlike ``counter_rate_agg``'s
+    whole-series arrays).
+    """
+    labels = labels if labels is not None else label_columns(df)
+    grouped = _bucketed(df, window_ms, labels).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(TIME_COL).alias("t"), F.col(VALUE_COL).alias("v"))
+            )
+        ).alias("_tv")
+    )
+    units = F.expr(
+        """
+        aggregate(
+          zip_with(slice(_tv, 2, greatest(size(_tv) - 1, 0)),
+                   slice(_tv, 1, greatest(size(_tv) - 1, 0)),
+                   (a, b) -> CAST(CAST((CASE WHEN a.v >= b.v THEN a.v - b.v
+                                             ELSE a.v END) AS DECIMAL(18,6))
+                             * 1000000 AS LONG)),
+          CAST(0 AS LONG), (acc, x) -> acc + x)
+        """
+    )
+    inc = (units.cast("decimal(38,6)") / F.lit(10**6)).cast("double")
+    span_s = (
+        F.element_at("_tv", -1)["t"] - F.element_at("_tv", 1)["t"]
+    ).cast("double") / 1000.0
+    return grouped.select(
+        *labels,
+        "bucket",
+        inc.alias("increase"),
+        F.when(span_s > 0, inc / span_s)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("rate"),
+    )

@@ -76,6 +76,62 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table_name)
 
 
+def ensure_bucketed_table(
+    spark: SparkSession,
+    table_name: str,
+    build_df,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+) -> DataFrame:
+    """Idempotent bucketed table across sessions.
+
+    The in-memory session catalog forgets tables on restart while the
+    warehouse directory persists, so a cold session can't just
+    ``saveAsTable`` again (LOCATION_ALREADY_EXISTS) — and rewriting
+    would waste the whole point of bucketing (ONE write-time shuffle
+    amortized over many queries).  Resolution order:
+
+    1. table in catalog → use it;
+    2. complete files on disk (``_SUCCESS`` marker from the committed
+       write) → re-register them as a bucketed table via DDL (bucket
+       ids live in the file names, so the layout survives the catalog);
+    3. else → clear any partial debris and write via
+       :func:`write_bucketed`.
+
+    ``build_df`` is a thunk returning the source DataFrame — only
+    evaluated when (re)writing or for schema DDL, never scanned in
+    case 1.
+    """
+    import os
+    import shutil
+
+    if spark.catalog.tableExists(table_name):
+        return spark.table(table_name)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for pre in ("file://", "file:"):
+        if wh.startswith(pre):
+            wh = wh[len(pre):]
+            break
+    loc = os.path.join(wh, table_name)
+    if os.path.exists(os.path.join(loc, "_SUCCESS")):
+        df = build_df()
+        schema_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        sort = f"SORTED BY (`{sort_col}`) " if sort_col else ""
+        spark.sql(
+            f"CREATE TABLE `{table_name}` ({schema_ddl}) USING parquet "
+            f"CLUSTERED BY (`{bucket_col}`) {sort}INTO {num_buckets} BUCKETS "
+            f"LOCATION '{loc}'"
+        )
+        return spark.table(table_name)
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+    write_bucketed(build_df(), table_name, bucket_col, num_buckets, sort_col)
+    return spark.table(table_name)
+
+
 def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
     """ORC source — Spark's other native columnar format (vectorized
     reader, predicate pushdown, column pruning all built in, same as

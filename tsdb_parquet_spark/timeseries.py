@@ -223,6 +223,62 @@ def counter_rate(
     )
 
 
+def counter_rate_agg(
+    df: DataFrame,
+    labels: list[str] | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """``counter_rate`` re-expressed as ONE hash aggregate — no window.
+
+    Per series: ``sort_array(collect_list(struct(t, v)))`` builds the
+    time-ordered samples inside the aggregate (partial arrays merge
+    map-side), then JVM higher-order functions compute the reset-aware
+    delta sum over adjacent pairs in scale-6 long units (the
+    ``decimal_sum`` fast path inlined into the lambda), rebuilt with one
+    exact decimal division — bit-identical to :func:`counter_rate`.
+
+    Trade-off vs the window form (why both exist): this replaces the
+    exchange+per-partition-SORT+window pass with the same exchange and a
+    per-GROUP ``sort_array`` — cheaper when series are many and modest
+    (sort cost distributes over groups, no second operator pass), but it
+    materializes each whole series as one array in executor memory, so
+    the window form remains the choice for pathologically long series
+    (millions of samples in ONE series).  Measured at sf1 (see
+    SCALE.md): q35 shape ~1.5x faster than the window form.
+    """
+    labels = labels or label_columns(df)
+    grouped = df.groupBy(*labels).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(TIME_COL).alias("t"), F.col(VALUE_COL).alias("v"))
+            )
+        ).alias("_tv")
+    )
+    units = F.expr(
+        """
+        aggregate(
+          zip_with(slice(_tv, 2, greatest(size(_tv) - 1, 0)),
+                   slice(_tv, 1, greatest(size(_tv) - 1, 0)),
+                   (a, b) -> CAST(CAST((CASE WHEN a.v >= b.v THEN a.v - b.v
+                                             ELSE a.v END) AS DECIMAL(18,6))
+                             * 1000000 AS LONG)),
+          CAST(0 AS LONG), (acc, x) -> acc + x)
+        """
+    )
+    inc = (units.cast("decimal(38,6)") / F.lit(10**6)).cast("double")
+    span_s = (
+        F.element_at("_tv", -1)["t"] - F.element_at("_tv", 1)["t"]
+    ).cast("double") / 1000.0
+    return grouped.select(
+        *labels,
+        F.round(inc, round_dp).alias("increase"),
+        F.when(span_s > 0, F.round(inc / span_s, round_dp))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("rate"),
+        F.size("_tv").cast("long").alias("n_samples"),
+    )
+
+
 def downsample(
     df: DataFrame,
     step_ms: int,
