@@ -178,3 +178,15 @@ def test_cli_health_and_retention(spark, tmp_path, capsys):
     assert "'partitions': 2" in capsys.readouterr().out
     main(["retention", path, "2023-03-22", "--col", "dt"])
     assert "dropped 1 partition(s)" in capsys.readouterr().out
+
+
+def test_cli_vacuum(spark, tmp_path, capsys):
+    from tsdb_parquet_spark.cli import main
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, days=1, appends=2)
+    os.makedirs(os.path.join(path, "dt=2023-03-21__compact_tmp"))
+    main(["vacuum", path])
+    assert "vacuumed 1 item(s)" in capsys.readouterr().out
+    main(["vacuum", path])
+    assert "vacuumed 0 item(s)" in capsys.readouterr().out

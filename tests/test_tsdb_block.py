@@ -167,6 +167,38 @@ def test_xor_chunk_encoder_edge_values():
         assert tb.decode_xor_chunk(tb.encode_xor_chunk(samples)) == samples
 
 
+def test_xor_chunk_roundtrip_property():
+    """Property: decode(encode(s)) == s for ANY sorted sample run —
+    arbitrary time gaps (delta-of-delta buckets incl. the 64-bit path)
+    and full-float values (subnormals, ±inf, ±0.0, huge exponents).
+    NaN is excluded here only because NaN != NaN breaks the equality
+    oracle; the dedicated edge test covers the engine's NaN sentinel
+    handling at the ingest layer."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    times = st.lists(
+        st.integers(min_value=0, max_value=1 << 41), min_size=0, max_size=60,
+        unique=True,
+    ).map(sorted)
+    value = st.floats(allow_nan=False, width=64)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.data())
+    def run(data):
+        ts = data.draw(times)
+        vs = [data.draw(value) for _ in ts]
+        samples = list(zip(ts, vs))
+        out = tb.decode_xor_chunk(tb.encode_xor_chunk(samples))
+        # compare bit patterns so -0.0 vs 0.0 can't false-pass
+        import struct
+
+        pack = lambda s: [(t, struct.pack(">d", v)) for t, v in s]  # noqa: E731
+        assert pack(out) == pack(samples)
+
+    run()
+
+
 def test_multi_block_ingest_distinct_blocks(spark, tmp_path):
     # the reference block + a synthetic block with DIFFERENT label names:
     # union schema, both decode in executor tasks

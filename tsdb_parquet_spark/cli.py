@@ -97,6 +97,13 @@ def main(argv: list[str] | None = None) -> None:
     p_h = sub.add_parser("health", help="partition/file stats for a table")
     p_h.add_argument("table")
 
+    p_v = sub.add_parser(
+        "vacuum",
+        help="remove compaction debris (__compact_tmp/__compact_old); "
+        "restores the primary dir first if a crash left it missing",
+    )
+    p_v.add_argument("table")
+
     p_e = sub.add_parser("explain", help="plan audit for a matcher query (plans/audit.py)")
     p_e.add_argument("table")
     p_e.add_argument("-m", "--matcher", action="append", default=[])
@@ -179,6 +186,13 @@ def main(argv: list[str] | None = None) -> None:
         from .maintenance import table_health
 
         print(table_health(spark, args.table))
+        return
+
+    if args.cmd == "vacuum":
+        from .maintenance import vacuum
+
+        removed = vacuum(spark, args.table)
+        print(f"vacuumed {len(removed)} item(s): {removed}")
         return
 
     matchers = [parse_matcher(s) for s in args.matcher]
