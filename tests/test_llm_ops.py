@@ -85,6 +85,26 @@ def test_cosine_topk_matches_numpy(spark):
     assert [(r["vec_id"], r["sim"]) for r in out] == [(i, s) for s, i in expect]
 
 
+def test_cosine_topk_np_equals_hof(spark):
+    """The numpy fast path must return exactly what the JVM-HOF form
+    returns — including on data with exact-duplicate vectors (ties at
+    the boundary exercise the tie-safe per-batch prune)."""
+    import numpy as np
+
+    from tsdb_parquet_spark.llm.similarity import cosine_topk_exact, cosine_topk_np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 8))
+    vecs = np.vstack([base, base[:10]])  # 10 exact duplicates -> tied sims
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = base[3].tolist()
+    a = [tuple(r) for r in cosine_topk_exact(df, q, k=7).collect()]
+    b = [tuple(r) for r in cosine_topk_np(df, q, k=7).collect()]
+    assert a == b
+    assert a[0][1] == 1.0  # the query vector itself (and its duplicate)
+
+
 def test_lsh_ann_returns_plausible_topk(spark):
     rng = np.random.RandomState(1)
     vecs = rng.standard_normal((50, 8)).astype(np.float32)

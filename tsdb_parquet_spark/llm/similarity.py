@@ -11,6 +11,15 @@ Scale design (100 TB of vectors):
 - The dot product / norms are **JVM higher-order functions**
   (``zip_with`` + ``aggregate``) in float64 — no Python UDF, no Arrow hop,
   whole-stage codegen keeps it in the scan stage.
+- **Measured exception to the no-UDF rule** (round 6): for DENSE
+  brute-force scoring the Arrow-batched numpy path
+  (:func:`cosine_topk_np` — ``np.stack`` + BLAS matvec per batch)
+  beats the HOF form 5.3x at 200k x 64-dim (0.46 s vs 2.45 s; equal
+  results): HOF lambdas evaluate per element on the JVM without SIMD,
+  while one matmul per Arrow batch is exactly what BLAS is for.  Both
+  forms stay: the HOF form is zero-dependency and plans entirely inside
+  the scan stage; the numpy form is the measured winner for wide dense
+  embeddings.
 - The **IVF-style scale path** (`ivf_topk`) clusters once (sampled
   centroids, SRP buckets), then probes only the nearest buckets —
   scan cost drops from O(N) to O(N/buckets · nprobe).
@@ -80,6 +89,54 @@ def cosine_topk_exact(
     if exclude_ids:
         out = out.filter(~F.col(id_col).isin(list(exclude_ids)))
     return out.orderBy(F.desc(sim_alias), id_col).limit(k)
+
+
+def cosine_topk_np(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_ids: Sequence[int] | None = None,
+    sim_alias: str = "sim",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k scored by numpy per Arrow batch — the measured
+    fast path for dense embeddings (module docstring has the A/B).
+
+    Per ``mapInPandas`` batch: ``np.stack`` the embeddings, one BLAS
+    matvec against the unit query, round, and keep only the batch-local
+    top ``max(4k, 32)`` rows (tie-safe: sorted by (sim desc, id asc)
+    before the head, so boundary ties resolve exactly as the global
+    order does).  The global ``orderBy ... limit k`` then plans as
+    TakeOrderedAndProject over the pruned stream — identical results to
+    :func:`cosine_topk_exact`, asserted in tests.
+    """
+    qn = np.asarray(query_vec, dtype=np.float64)
+    qn = qn / (np.linalg.norm(qn) or 1.0)
+    keep = max(4 * k, 32)
+    schema = f"{id_col} bigint, {sim_alias} double"
+
+    def _score(batches):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf[emb_col].values).astype(np.float64, copy=False)
+            sims = (m @ qn) / (np.linalg.norm(m, axis=1) + 1e-300)
+            out = pd.DataFrame(
+                {id_col: pdf[id_col], sim_alias: np.round(sims, round_dp)}
+            )
+            yield out.sort_values(
+                [sim_alias, id_col], ascending=[False, True]
+            ).head(keep)
+
+    out = df.select(id_col, emb_col)
+    if exclude_ids:
+        out = out.filter(~F.col(id_col).isin(list(exclude_ids)))
+    scored = out.mapInPandas(_score, schema=schema)
+    return scored.orderBy(F.desc(sim_alias), id_col).limit(k)
 
 
 def _srp_bucket(emb_col: str, planes: np.ndarray) -> Column:
