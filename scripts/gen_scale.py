@@ -99,11 +99,16 @@ def main() -> None:
         print(f"{name}: {n} rows ({time.time()-t0:.1f}s)", flush=True)
 
     # tsdb fixture: new replicas are new series (suffixed instance),
-    # replica 0 bit-identical labels; global (time, labels) sort preserved
-    tsdb_src = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "data", "tsdb.parquet",
-    )
+    # replica 0 bit-identical labels; global (time, labels) sort preserved.
+    # Prefer SRC_DIR's own tsdb.parquet so chained scale-ups compound
+    # (sf0.1 -> sf1 -> sf10 gives 100x series, not 10x twice from the
+    # fixed fixture); fall back to the repo fixture for first-stage runs.
+    tsdb_src = os.path.join(src, "tsdb.parquet")
+    if not os.path.exists(tsdb_src):
+        tsdb_src = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data", "tsdb.parquet",
+        )
     t0 = time.time()
     con.execute(f"""
         COPY (
