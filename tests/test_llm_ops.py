@@ -57,6 +57,23 @@ def test_ngram_jaccard_scores(spark, docs):
     assert out[(0, 3)] < 0.2
 
 
+def test_ngram_jaccard_raw_division(spark, docs):
+    # round_dp=None emits the raw int/int double division — the
+    # cross-engine-comparable form (q77's oracle relies on it)
+    cand = spark.createDataFrame([(0, 2)], "id_a long, id_b long")
+    raw = llm.ngram_jaccard_pairs(docs, cand, round_dp=None).first()["jaccard"]
+    rounded = llm.ngram_jaccard_pairs(docs, cand).first()["jaccard"]
+    assert rounded == round(raw, 6)
+    # the raw value is exactly representable as intersection/union
+    from tsdb_parquet_spark.llm.dedup import char_shingles
+    import pyspark.sql.functions as F
+
+    sh = docs.select("doc_id", char_shingles("text").alias("sh"))
+    rows = {r["doc_id"]: set(r["sh"]) for r in sh.collect()}
+    expect = len(rows[0] & rows[2]) / len(rows[0] | rows[2])
+    assert raw == expect
+
+
 def test_simhash_hamming_ordering(docs):
     sigs = {r["doc_id"]: r["simhash"] for r in llm.simhash_signatures(docs).collect()}
     assert sigs[0] == sigs[1]

@@ -155,12 +155,18 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 5,
     threshold: float = 0.0,
+    round_dp: int | None = 6,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
     ``candidates`` has (id_a, id_b); the doc side is joined twice.  At scale
     the candidate set is the (small) LSH output, so both joins are skewed
     toward broadcast/shuffled-hash on the id key — never all-pairs.
+
+    ``round_dp=None`` emits the raw int/int double division — IEEE-exact
+    and therefore bit-reproducible by any engine computing the same
+    intersection/union counts (the cross-engine-comparable form); the
+    default rounds for display.
     """
     sh = docs.select(
         F.col(id_col),
@@ -171,9 +177,10 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    out_jac = jac if round_dp is None else F.round(jac, round_dp)
     return (
         candidates.join(a, "id_a").join(b, "id_b")
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .select("id_a", "id_b", out_jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

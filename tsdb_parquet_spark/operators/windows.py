@@ -87,8 +87,13 @@ def sessionize(
     streaming/windows.py).
 
     Both window passes share the same (partitionBy, orderBy), so Spark plans
-    a single shuffle + sort on ``user_col``.
+    a single shuffle + sort on ``user_col`` — pinned against AQE
+    byte-coalescing (operators/partitioning.pin_partitioning: the
+    exchange carries full event rows and the sort happens after it).
     """
+    from .partitioning import pin_partitioning
+
+    df = pin_partitioning(df, [user_col])
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     # Full-precision epoch seconds (double keeps the µs fraction) so the gap
     # comparison is exact — second-truncation here would mis-bucket events

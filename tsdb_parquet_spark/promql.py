@@ -543,9 +543,16 @@ def rate(
     the in-window sample span.
 
     Two window passes sharing one (labels) partitioning: lag for deltas,
-    then the bucket groupBy — Spark plans a single exchange.
+    then the bucket groupBy — Spark plans a single exchange, PINNED
+    (operators/partitioning.pin_partitioning) so AQE byte-coalescing
+    can't shrink the sort/window parallelism (measured 2.3x at sf10).
+    The (labels, bucket) groupBy consumes the labels partitioning — hash
+    on a subset of the grouping keys satisfies its distribution.
     """
+    from .operators.partitioning import pin_partitioning
+
     labels = labels if labels is not None else label_columns(df)
+    df = pin_partitioning(df, labels)
     w = Window.partitionBy(*labels).orderBy(TIME_COL)
     prev_v = F.lag(VALUE_COL).over(w)
     prev_t = F.lag(TIME_COL).over(w)
@@ -589,7 +596,12 @@ def rate_agg(
     is safe even for very long series (unlike ``counter_rate_agg``'s
     whole-series arrays).
     """
+    from .operators.partitioning import pin_partitioning
+
     labels = labels if labels is not None else label_columns(df)
+    # collect_list shuffles full rows (no partial reduction): pin the
+    # exchange on the same grounds as rate()'s
+    df = pin_partitioning(df, labels)
     grouped = _bucketed(df, window_ms, labels).agg(
         F.sort_array(
             F.collect_list(

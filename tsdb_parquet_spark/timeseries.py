@@ -195,11 +195,17 @@ def counter_rate(
 
     Plan: one shuffle on the label columns (the window partition), then a
     partial+final aggregate over the same keys — Spark reuses the window's
-    partitioning, so the aggregate needs no second exchange.
+    partitioning, so the aggregate needs no second exchange.  The shuffle
+    is PINNED (operators/partitioning.pin_partitioning) so AQE's byte-based
+    coalescing can't strand the post-shuffle sort+window on a few cores —
+    measured 2x at a 5.8 M-row series scan.
     """
     from pyspark.sql import Window
 
+    from .operators.partitioning import pin_partitioning
+
     labels = labels or label_columns(df)
+    df = pin_partitioning(df, labels)
     w = Window.partitionBy(*labels).orderBy(TIME_COL)
     prev_v = F.lag(VALUE_COL).over(w)
     delta = F.when(prev_v.isNull(), F.lit(0.0)).otherwise(
@@ -246,8 +252,12 @@ def counter_rate_agg(
     (millions of samples in ONE series).  Measured at sf1 (see
     SCALE.md): q35 shape ~1.5x faster than the window form.
     """
+    from .operators.partitioning import pin_partitioning
+
     labels = labels or label_columns(df)
-    grouped = df.groupBy(*labels).agg(
+    # collect_list has no partial reduction — the exchange carries full
+    # rows, so pin it like the window form's (same AQE-coalesce hazard)
+    grouped = pin_partitioning(df, labels).groupBy(*labels).agg(
         F.sort_array(
             F.collect_list(
                 F.struct(F.col(TIME_COL).alias("t"), F.col(VALUE_COL).alias("v"))
