@@ -168,6 +168,26 @@ def test_doc_fingerprint_normalizes_whitespace_and_case(spark):
     assert fp[0] != fp[2]
 
 
+def test_rolling_fingerprint_matches_python_reference(spark):
+    # the hash is DEFINED by its arithmetic — any engine (or this five-
+    # line Python fold) must reproduce it exactly
+    texts = [(0, "Hello  World"), (1, "hello world"), (2, "héllo 世界")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    fp = {r["doc_id"]: r["fingerprint"] for r in llm.rolling_fingerprint(df).collect()}
+
+    import re
+
+    def ref(t):
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        h = 0
+        for ch in norm:
+            h = (h * 131 + ord(ch)) % 2147483647
+        return h
+
+    assert fp == {i: ref(t) for i, t in texts}
+    assert fp[0] == fp[1]  # normalization collapses case + whitespace
+
+
 def test_multimodal_decode_roundtrip(spark, docs):
     table = llm.make_multimodal_table(spark, docs.filter("text <> ''"))
     out = {r["item_id"]: r for r in llm.decode_images(table, fake=True).collect()}

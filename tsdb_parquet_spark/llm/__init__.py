@@ -29,6 +29,7 @@ from .similarity import (
 )
 from .text import (
     doc_fingerprint,
+    rolling_fingerprint,
     language_id,
     text_quality,
     token_count,
@@ -71,6 +72,7 @@ __all__ = [
     "text_quality",
     "language_id",
     "doc_fingerprint",
+    "rolling_fingerprint",
     "split_corpus",
     "decontaminate",
     "repetition_stats",

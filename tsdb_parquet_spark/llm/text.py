@@ -145,6 +145,38 @@ def doc_fingerprint(
     return df.select(F.col(id_col), F.xxhash64(norm).alias(fp_alias))
 
 
+# Rolling-hash parameters: Mersenne modulus keeps acc < 2^31, so
+# acc*B + codepoint < 2^38 + 2^21 — no 64-bit overflow in either engine.
+_ROLL_BASE = 131
+_ROLL_MOD = 2_147_483_647  # 2^31 - 1
+
+
+def rolling_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_alias: str = "fingerprint",
+) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint — the classic
+    Rabin-Karp form ``h = sum(code_i * B^(n-i)) mod M`` over the
+    normalized text's Unicode code points (lowercase, collapsed
+    whitespace).
+
+    Unlike :func:`doc_fingerprint`'s ``xxhash64`` (engine-specific), this
+    hash is defined by plain integer arithmetic, so any engine reproduces
+    it bit-exactly (the DuckDB oracle runs the same fold via
+    ``list_reduce``) — and a pure map stage at any scale: per-row JVM
+    higher-order fold, no shuffle, no Python."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    codes = F.transform(F.split(norm, ""), lambda c: F.ascii(c).cast("bigint"))
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * _ROLL_BASE + c) % F.lit(_ROLL_MOD),
+    )
+    return df.select(F.col(id_col), fp.alias(fp_alias))
+
+
 # PII patterns — valid and identically-matching in BOTH Java regex (Spark)
 # and RE2 (DuckDB), so the oracle runs the same redaction: no lookaround,
 # no backreferences, POSIX-safe classes only.
