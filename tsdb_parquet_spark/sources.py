@@ -53,26 +53,45 @@ def read_jsonl(
     return reader.json(path)
 
 
+def _as_cols(cols: str | list[str] | None) -> list[str]:
+    if cols is None:
+        return []
+    return [cols] if isinstance(cols, str) else list(cols)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
-    bucket_col: str,
+    bucket_col: str | list[str],
     num_buckets: int = 16,
-    sort_col: str | None = None,
+    sort_col: str | list[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
     """Bucketed managed table: pre-shuffles rows into ``num_buckets`` hash
-    buckets on ``bucket_col`` at write time.  Two tables bucketed the same
-    way join WITHOUT a shuffle (SortMergeJoin with no Exchange) — the
-    co-located join layout for repeated fact-fact joins at 100 TB, where
-    re-shuffling the big table per query is the dominant cost.
+    buckets on ``bucket_col`` (one column or a composite key) at write
+    time.  Two tables bucketed the same way join WITHOUT a shuffle
+    (SortMergeJoin with no Exchange) — the co-located join layout for
+    repeated fact-fact joins at 100 TB, where re-shuffling the big table
+    per query is the dominant cost.  A WINDOW over the bucket key
+    likewise consumes the bucket partitioning exchange-free (the
+    counter-rate family's at-rest layout, q35_bucketed).
+
+    The pre-write ``repartition(num_buckets, keys)`` aligns task
+    partitioning with the bucket hash, so each bucket lands in ONE file —
+    the layout sorted scans need.
 
     Bucketing requires the session catalog (``saveAsTable``), not a bare
     path — Spark stores bucket metadata in the table catalog.
     """
-    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
-    if sort_col:
-        writer = writer.sortBy(sort_col)
+    bcols = _as_cols(bucket_col)
+    scols = _as_cols(sort_col)
+    writer = (
+        df.repartition(num_buckets, *bcols)
+        .write.mode(mode)
+        .bucketBy(num_buckets, *bcols)
+    )
+    if scols:
+        writer = writer.sortBy(*scols)
     writer.format("parquet").saveAsTable(table_name)
 
 
@@ -80,9 +99,9 @@ def ensure_bucketed_table(
     spark: SparkSession,
     table_name: str,
     build_df,
-    bucket_col: str,
+    bucket_col: str | list[str],
     num_buckets: int = 16,
-    sort_col: str | None = None,
+    sort_col: str | list[str] | None = None,
 ) -> DataFrame:
     """Idempotent bucketed table across sessions.
 
@@ -114,15 +133,22 @@ def ensure_bucketed_table(
             wh = wh[len(pre):]
             break
     loc = os.path.join(wh, table_name)
+    bcols = _as_cols(bucket_col)
+    scols = _as_cols(sort_col)
     if os.path.exists(os.path.join(loc, "_SUCCESS")):
         df = build_df()
         schema_ddl = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
         )
-        sort = f"SORTED BY (`{sort_col}`) " if sort_col else ""
+        sort = (
+            "SORTED BY (" + ", ".join(f"`{c}`" for c in scols) + ") "
+            if scols
+            else ""
+        )
+        clustered = ", ".join(f"`{c}`" for c in bcols)
         spark.sql(
             f"CREATE TABLE `{table_name}` ({schema_ddl}) USING parquet "
-            f"CLUSTERED BY (`{bucket_col}`) {sort}INTO {num_buckets} BUCKETS "
+            f"CLUSTERED BY ({clustered}) {sort}INTO {num_buckets} BUCKETS "
             f"LOCATION '{loc}'"
         )
         return spark.table(table_name)

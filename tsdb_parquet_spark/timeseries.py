@@ -182,6 +182,7 @@ def counter_rate(
     df: DataFrame,
     labels: list[str] | None = None,
     round_dp: int = 6,
+    pin: bool = True,
 ) -> DataFrame:
     """PromQL-style counter ``increase``/``rate`` per series, reset-aware —
     the TSDB-domain aggregation the reference's end goal (a PromQL engine,
@@ -198,14 +199,18 @@ def counter_rate(
     partitioning, so the aggregate needs no second exchange.  The shuffle
     is PINNED (operators/partitioning.pin_partitioning) so AQE's byte-based
     coalescing can't strand the post-shuffle sort+window on a few cores —
-    measured 2x at a 5.8 M-row series scan.
+    measured 2x at a 5.8 M-row series scan.  ``pin=False`` skips the
+    repartition for inputs already distributed on the labels (a bucketed
+    table — q35_bucketed — or an upstream repartition): the window then
+    consumes the existing partitioning with ZERO exchanges.
     """
     from pyspark.sql import Window
 
     from .operators.partitioning import pin_partitioning
 
     labels = labels or label_columns(df)
-    df = pin_partitioning(df, labels)
+    if pin:
+        df = pin_partitioning(df, labels)
     w = Window.partitionBy(*labels).orderBy(TIME_COL)
     prev_v = F.lag(VALUE_COL).over(w)
     delta = F.when(prev_v.isNull(), F.lit(0.0)).otherwise(
