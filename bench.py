@@ -8,7 +8,8 @@
 Extra keys: per-query DuckDB timings on the same parquet (the BASELINE.md
 yardstick — engine must stay within 2× of DuckDB at the same sf) when
 ``SPARK_GRAFT_BENCH_DUCKDB=1`` (default on), and the Spark-vs-DuckDB total
-ratio.  Timings are query execution + full result consumption (collect),
+ratio.  Timings are query execution + full result consumption (Arrow
+table in the driver — ``toArrow()`` / ``.arrow()`` on the two engines),
 excluding session startup (reported separately as ``spark_init_sec``).
 """
 
@@ -99,7 +100,10 @@ def main() -> None:
                     best = None
                     for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))):
                         t0 = time.time()
-                        con.execute(oracles[name]).df()
+                        # .arrow(): full result materialized in the driver,
+                        # columnar — the same consumption contract as the
+                        # Spark side's toArrow() (see below)
+                        con.execute(oracles[name]).arrow()
                         dt = time.time() - t0
                         best = dt if best is None or dt < best else best
                     duck[name] = round(best, 3)
@@ -114,28 +118,34 @@ def main() -> None:
     per_query: dict[str, float] = {}
     total = 0.0
     rows_total = 0
+    gc_between = os.environ.get("SPARK_GRAFT_BENCH_GC", "1") == "1"
     for name, fn in bench_set.items():
         try:
-            # Arrow-path result consumption (toPandas): the columnar edge
-            # the engine is designed around; DuckDB side uses .df() — both
-            # timings include full dataframe materialization in Python.
+            # Consumption contract: toArrow() — the FULL result transferred
+            # to the driver as one columnar Arrow table (same bytes as
+            # toPandas), WITHOUT the pandas object-boxing step that held
+            # multi-GB of Python strings across queries and inflated later
+            # timings ~2.5x at sf10 via heap/Arrow allocator pressure
+            # (SCALE.md round-6; the in-suite-vs-isolated gap).  The DuckDB
+            # yardstick consumes .arrow() — symmetric.
             # Warm timing (min of 2): the first run pays one-time
             # whole-stage-codegen compilation (~0.5-2 s per unique plan), a
             # constant that amortizes to zero at real scale.
             best = None
             for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))):
                 t0 = time.time()
-                pdf = fn(spark, sf_dir).toPandas()
+                tbl = fn(spark, sf_dir).toArrow()
                 dt = time.time() - t0
                 best = dt if best is None or dt < best else best
             per_query[name] = round(best, 3)
             total += best
-            rows_total += len(pdf)
-            del pdf
-            if os.environ.get("SPARK_GRAFT_BENCH_GC", "0") == "1":
-                # at large sf the multi-GB toPandas results leave heap/Arrow
-                # pressure that inflates LATER queries ~2x (measured at
-                # sf10); collecting between queries isolates each timing
+            rows_total += tbl.num_rows
+            del tbl
+            if gc_between:
+                # the multi-GB results leave heap/Arrow pressure that
+                # inflates LATER queries (measured ~2.5x at sf10);
+                # collecting between queries isolates each timing — on by
+                # default since round 7 (SPARK_GRAFT_BENCH_GC=0 reverts)
                 import gc
 
                 gc.collect()
@@ -152,7 +162,7 @@ def main() -> None:
 
     t0 = time.time()
     with ThreadPoolExecutor(max_workers=8) as pool:
-        futs = [pool.submit(lambda f=fn: f(spark, sf_dir).toPandas())
+        futs = [pool.submit(lambda f=fn: f(spark, sf_dir).toArrow())
                 for fn in bench_set.values()]
         for f in futs:
             try:

@@ -93,3 +93,118 @@ def test_fake_decode_is_seed_independent(spark):
     c = zlib.crc32(b"abc")
     assert r["width"] == (c & 0x7FF) + 1
     assert r["height"] == ((c >> 11) & 0x7FF) + 1
+
+
+# ---------------------------------------------------------------------------
+# Round-6 advisor findings (ADVICE.md r6)
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_table_cache_invalidates_on_source_change(spark, tmp_path):
+    # regenerating the source parquet under the SAME path must not serve
+    # the stale bucketed table (the r6 medium finding)
+    import os
+    import time
+
+    src = str(tmp_path / "t.parquet")
+
+    from tsdb_parquet_spark.sources import ensure_bucketed_table
+
+    spark.range(5).withColumnRenamed("id", "k").write.mode("overwrite").parquet(src)
+
+    def build():
+        return spark.read.parquet(src)
+
+    t1 = ensure_bucketed_table(
+        spark, "advfix_src", build, "k", num_buckets=2, source_paths=src
+    )
+    assert t1.count() == 5
+    # regenerate with different contents; ensure mtime_ns moves even on
+    # coarse-granularity filesystems
+    time.sleep(0.05)
+    spark.range(9).withColumnRenamed("id", "k").write.mode("overwrite").parquet(src)
+    os.utime(src)
+    t2 = ensure_bucketed_table(
+        spark, "advfix_src", build, "k", num_buckets=2, source_paths=src
+    )
+    assert t2.count() == 9  # fresh table, not the cached 5-row one
+    # the stale sibling was dropped from the catalog
+    names = [t.name for t in spark.catalog.listTables() if t.name.startswith("advfix_src_")]
+    assert len(names) == 1
+    for n in names:
+        spark.sql(f"DROP TABLE IF EXISTS `{n}`")
+
+
+def test_neardup_clusters_raises_on_non_convergence(spark):
+    import pytest as _pytest
+
+    from tsdb_parquet_spark.llm.dedup import neardup_clusters
+
+    # a 6-node chain: min-label needs 5 hops; max_iter=2 must raise, a
+    # converged run with enough iterations must not
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(pairs, max_iter=2)
+    out = {r["node"]: r["comp"] for r in neardup_clusters(pairs, max_iter=10).collect()}
+    assert set(out.values()) == {0}
+
+
+def test_pin_partitioning_non_numeric_conf_falls_back(spark, monkeypatch):
+    # Spark's own conf.set validates this conf as numeric, but managed
+    # platforms ship sessions where it reads back "auto" — simulate that
+    # read path and assert the defaultParallelism fallback
+    from tsdb_parquet_spark.operators.partitioning import pin_partitioning
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    real_get = spark.conf.get
+
+    _unset = object()
+
+    def fake_get(key, default=_unset):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return real_get(key) if default is _unset else real_get(key, default)
+
+    monkeypatch.setattr(spark.conf, "get", fake_get)
+    out = pin_partitioning(df, ["k"])
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_bpe_tokens_vertical_tab_matches_oracle_semantics(spark):
+    # Java \s includes \x0B, RE2's does not — the explicit class treats a
+    # VT as a TOKEN character in both engines (it is not in the class)
+    from tsdb_parquet_spark.llm.text import bpe_ish_tokens
+
+    df = spark.createDataFrame([("a\x0bb c",)], "text string")
+    toks = df.select(bpe_ish_tokens("text").alias("t")).collect()[0]["t"]
+    # VT is neither letter/digit nor class whitespace -> it is a single
+    # punct-ish token, NOT a split point that Java would eat silently
+    assert toks == ["a", "\x0b", "b", "c"]
+
+
+def test_sessionize_and_rate_pin_escape_hatch(spark):
+    from tsdb_parquet_spark.operators.windows import sessionize
+    from tsdb_parquet_spark import promql
+    from tsdb_parquet_spark.timeseries import counter_rate_agg
+
+    ev = spark.createDataFrame(
+        [(1, 0.0, "a"), (1, 10000.0, "b")],
+        "user_id long, ts double, eid string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    pinned = sessionize(ev, "user_id", "ts", "eid", gap_seconds=10)
+    unpinned = sessionize(ev, "user_id", "ts", "eid", gap_seconds=10, pin=False)
+    assert sorted(r["session_id"] for r in pinned.collect()) == sorted(
+        r["session_id"] for r in unpinned.collect()
+    )
+    assert "repartitionbyexpression" not in unpinned._jdf.queryExecution().toString().lower()
+
+    ts = spark.createDataFrame(
+        [("m", 0, 1.0), ("m", 60000, 5.0)], "label_name string, time long, value double"
+    )
+    a = promql.rate(ts, 120000, ["label_name"], pin=False).collect()
+    b = promql.rate_agg(ts, 120000, ["label_name"], pin=False).collect()
+    c = counter_rate_agg(ts, ["label_name"], pin=False).collect()
+    assert a[0]["increase"] == b[0]["increase"] == 4.0
+    assert c[0]["increase"] == 4.0

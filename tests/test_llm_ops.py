@@ -63,7 +63,9 @@ def test_ngram_jaccard_raw_division(spark, docs):
     cand = spark.createDataFrame([(0, 2)], "id_a long, id_b long")
     raw = llm.ngram_jaccard_pairs(docs, cand, round_dp=None).first()["jaccard"]
     rounded = llm.ngram_jaccard_pairs(docs, cand).first()["jaccard"]
-    assert rounded == round(raw, 6)
+    # NOT round(raw, 6): Python rounds half-to-even while Spark's F.round
+    # is HALF_UP — a jaccard with a 5 in the 7th decimal place would flake
+    assert abs(rounded - raw) < 5e-7
     # the raw value is exactly representable as intersection/union
     from tsdb_parquet_spark.llm.dedup import char_shingles
     import pyspark.sql.functions as F
@@ -325,6 +327,114 @@ def test_multimodal_resize_and_features(spark, docs):
     )
     top = llm.cosine_topk_exact(emb_df, feats[0], k=1, exclude_ids=[0]).collect()
     assert top[0]["vec_id"] == 1 and top[0]["sim"] == 1.0
+
+
+def test_png_codec_roundtrip_and_filters():
+    # stdlib encode -> decode is identity; decode also handles every
+    # filter type via a zlib re-encode of hand-filtered scanlines
+    import struct
+    import zlib as _z
+
+    from tsdb_parquet_spark.llm.multimodal import png_decode, png_encode
+
+    rows = [bytes((x * 7 + y * 13) & 0xFF for x in range(5 * 3)) for y in range(4)]
+    b = png_encode(5, 4, 3, rows)
+    w, h, ch, out = png_decode(b)
+    assert (w, h, ch) == (5, 4, 3)
+    assert out == rows
+    # every filter code on the same raw scanlines (filter then decode):
+    # build a PNG whose IDAT uses Sub/Up/Average/Paeth, assert decode
+    # inverts each.  Filtering is the spec's forward transform.
+    def filt(fcode, line, prev, ch):
+        out = bytearray(line)
+        if fcode == 1:
+            for x in range(len(line) - 1, ch - 1, -1):
+                out[x] = (line[x] - line[x - ch]) & 0xFF
+        elif fcode == 2:
+            for x in range(len(line)):
+                out[x] = (line[x] - prev[x]) & 0xFF
+        elif fcode == 3:
+            for x in range(len(line)):
+                a = line[x - ch] if x >= ch else 0
+                out[x] = (line[x] - ((a + prev[x]) >> 1)) & 0xFF
+        elif fcode == 4:
+            for x in range(len(line)):
+                a = line[x - ch] if x >= ch else 0
+                c = prev[x - ch] if x >= ch else 0
+                p = a + prev[x] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[x]), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (prev[x] if pb <= pc else c)
+                out[x] = (line[x] - pr) & 0xFF
+        return bytes(out)
+
+    fcodes = [0, 1, 2, 3, 4]
+    raw = b""
+    prev = bytes(5 * 3)
+    for fcode, line in zip(fcodes, rows + rows[:1]):
+        raw += bytes([fcode]) + filt(fcode, line, prev, 3)
+        prev = line
+
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(
+            ">I", _z.crc32(tag + data))
+
+    ihdr = struct.pack(">IIBBBBB", 5, 5, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b""))
+    _, _, _, dec = png_decode(png)
+    assert dec == rows + rows[:1]
+
+
+def test_png_resize_nearest():
+    from tsdb_parquet_spark.llm.multimodal import (
+        png_decode,
+        png_encode,
+        png_resize_nearest,
+    )
+    rows = []
+    for y in range(8):
+        line = bytearray()
+        for x in range(8):
+            v = 255 if x >= 4 else 0
+            line += bytes((v, v, v))
+        rows.append(bytes(line))
+    b = png_encode(8, 8, 3, rows)
+    rb, nw, nh = png_resize_nearest(b, 4)
+    assert (nw, nh) == (4, 4)
+    w, h, ch, out = png_decode(rb)
+    assert (w, h, ch) == (4, 4, 3)
+    # nearest-neighbor preserves the half-black/half-white structure
+    assert out[0][:3] == b"\x00\x00\x00" and out[0][-3:] == b"\xff\xff\xff"
+    # no-op when already within bounds
+    same, sw, sh = png_resize_nearest(b, 16)
+    assert same == b and (sw, sh) == (8, 8)
+
+
+def test_make_image_payload_table_real_decode_and_resize(spark, docs):
+    # the driver entry's path: real PNG payloads -> fake=False decode
+    # reads back EXACTLY the generated dimensions; resize without Pillow
+    # really rescales pixels
+    from tsdb_parquet_spark.llm.multimodal import (
+        make_image_payload_table,
+        resize_images,
+    )
+
+    table = make_image_payload_table(spark, docs)
+    meta = {r["item_id"]: (r["meta"]["width"], r["meta"]["height"])
+            for r in table.select("item_id", "meta").collect()}
+    out = {r["item_id"]: r for r in llm.decode_images(table, fake=False).collect()}
+    assert set(out) == set(meta)
+    for iid, (w, h) in meta.items():
+        assert (out[iid]["width"], out[iid]["height"]) == (w, h)
+        assert 4 <= w <= 24 and 4 <= h <= 20
+    resized = {r["item_id"]: r for r in
+               resize_images(table, max_dim=5, fake=False).collect()}
+    for iid, r in resized.items():
+        assert max(r["width"], r["height"]) <= 5
+        # the resized payload is itself a valid PNG with those dims
+        from tsdb_parquet_spark.llm.multimodal import png_decode
+        w2, h2, _, _ = png_decode(bytes(r["content"]))
+        assert (w2, h2) == (r["width"], r["height"])
 
 
 def test_query_selector_end_to_end(spark):

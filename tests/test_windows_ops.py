@@ -52,3 +52,41 @@ def test_sessionize_single_pinned_exchange(events):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert plan.count("REPARTITION_BY_NUM") == 1
     assert "ENSURE_REQUIREMENTS" not in plan or plan.count("Exchange") == 1
+
+
+def test_regroup_and_downsample_hashed_key_equals_exact(spark):
+    # the 64-bit hashed grouping key is a pure optimization: identical
+    # output to the exact multi-string key (incl. NULL label columns,
+    # where xxhash64's null-skipping would collide without the sentinel)
+    from tsdb_parquet_spark.tables import load_table
+    from tsdb_parquet_spark.timeseries import downsample, regroup_series_stats
+
+    tsdb = load_table(spark, "/root/testdata/sf0.001", "tsdb")
+    labels = ["label_name", "label_instance", "label_job", "label_quantile"]
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert canon(regroup_series_stats(tsdb, labels, hashed_key=True)) == canon(
+        regroup_series_stats(tsdb, labels)
+    )
+    assert canon(downsample(tsdb, 300_000, labels, hashed_key=True)) == canon(
+        downsample(tsdb, 300_000, labels)
+    )
+
+
+def test_hashed_group_key_null_vs_shifted_value_distinct(spark):
+    # (NULL,'x') vs ('x',NULL) must be DIFFERENT groups — the case raw
+    # xxhash64 merges because it skips null inputs
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.operators.aggregates import hashed_group_key
+
+    df = spark.createDataFrame(
+        [(None, "x", 1), ("x", None, 2)], "a string, b string, v int"
+    )
+    out = df.groupBy(hashed_group_key(df, ["a", "b"]).alias("k")).count().collect()
+    assert len(out) == 2
+    # ...and raw xxhash64 indeed collides here (documents WHY the helper exists)
+    raw = df.select(F.xxhash64("a", "b").alias("h")).distinct().count()
+    assert raw == 1

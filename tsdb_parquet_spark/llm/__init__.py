@@ -46,7 +46,11 @@ from .multimodal import (
     decode_images,
     extract_features,
     frame_sample_plan,
+    make_image_payload_table,
     make_multimodal_table,
+    png_decode,
+    png_encode,
+    png_resize_nearest,
     resize_images,
 )
 
@@ -82,4 +86,8 @@ __all__ = [
     "extract_features",
     "frame_sample_plan",
     "make_multimodal_table",
+    "make_image_payload_table",
+    "png_decode",
+    "png_encode",
+    "png_resize_nearest",
 ]

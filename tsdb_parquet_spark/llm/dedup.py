@@ -380,6 +380,7 @@ def neardup_clusters(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         neigh = (
             edges.join(
@@ -410,6 +411,16 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed > 0:
+        # Exiting via max_iter with unconverged labels would silently
+        # return WRONG component ids (any component whose min-id is
+        # > max_iter hops away) — fail loudly; the caller can raise
+        # max_iter or switch to a large-star/small-star O(log n) variant.
+        raise RuntimeError(
+            f"neardup_clusters: label propagation did not converge within "
+            f"max_iter={max_iter} rounds ({changed} labels still changing) "
+            f"— raise max_iter (diameter-bound) for long-chain graphs"
+        )
     return labels
 
 

@@ -24,8 +24,10 @@ no PIL/cv2/imageio and installs are disallowed):
    ``NotImplementedError``.  This is what the in-repo real-decode test
    exercises (tests/test_llm_ops.py builds a valid PNG by hand).
 
-Pixel-level ops (``resize_images(fake=False)``, real feature extraction)
-genuinely need Pillow/a model and raise without them.
+Pixel-level resize without Pillow is covered for PNG by a pure-stdlib
+codec (``png_decode``/``png_encode``/``png_resize_nearest`` — bounded,
+per-pixel Python, intended for small fixtures; a real cluster installs
+Pillow).  Real feature extraction genuinely needs a model and raises.
 
 Scale notes: ``mapInPandas`` streams Arrow batches (bounded memory per
 task); binary payloads make *rows* huge, so cap
@@ -93,6 +95,189 @@ def make_multimodal_table(spark, docs: DataFrame, id_col: str = "doc_id",
 
 
 _DECODED_SCHEMA = "item_id bigint, width int, height int, n_bytes bigint, checksum bigint"
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib PNG codec (public format, RFC 2083): enough to generate real
+# payloads for the fake=False decode path and to nearest-neighbor resize
+# when Pillow is absent.  Per-pixel Python — bounded to small images; a
+# real cluster installs Pillow and never enters this path.
+# ---------------------------------------------------------------------------
+
+
+def _png_chunks(b: bytes):
+    import struct
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    i = 8
+    while i + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[i : i + 4])
+        tag = b[i + 4 : i + 8]
+        yield tag, b[i + 8 : i + 8 + ln]
+        i += 12 + ln
+        if tag == b"IEND":
+            break
+
+
+def png_decode(b: bytes) -> tuple[int, int, int, list[bytes]]:
+    """(width, height, channels, scanline rows) from an 8-bit
+    gray/RGB/RGBA non-interlaced PNG — stdlib only (zlib inflate + the
+    spec's five scanline unfilters)."""
+    import struct
+
+    ihdr = None
+    idat = b""
+    for tag, data in _png_chunks(b):
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat += data
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h = struct.unpack(">II", ihdr[:8])
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+        raise NotImplementedError(
+            "stdlib PNG decode covers 8-bit gray/RGB/RGBA non-interlaced "
+            f"(got depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace}) — install Pillow for the rest"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    rows: list[bytes] = []
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(h):
+        f = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if f == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                up = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"invalid PNG filter {f}")
+        rows.append(bytes(line))
+        prev = line
+    return int(w), int(h), ch, rows
+
+
+def png_encode(w: int, h: int, ch: int, rows: list[bytes]) -> bytes:
+    """Valid PNG from 8-bit scanlines (1=gray, 3=RGB, 4=RGBA channels);
+    filter 0 per line, one zlib-deflated IDAT."""
+    import struct
+
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + r for r in rows)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_resize_nearest(b: bytes, max_dim: int) -> tuple[bytes, int, int]:
+    """Aspect-preserving nearest-neighbor downscale of a PNG to fit
+    ``max_dim`` — (resized_png, new_w, new_h).  Never upscales."""
+    w, h, ch, rows = png_decode(b)
+    scale = min(1.0, max_dim / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    if (nw, nh) == (w, h):
+        return b, w, h
+    out = []
+    for y in range(nh):
+        src = rows[min(h - 1, y * h // nh)]
+        line = bytearray(nw * ch)
+        for x in range(nw):
+            sx = min(w - 1, x * w // nw)
+            line[x * ch : (x + 1) * ch] = src[sx * ch : (sx + 1) * ch]
+        out.append(bytes(line))
+    return png_encode(nw, nh, ch, out), nw, nh
+
+
+def make_image_payload_table(spark, docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """REAL-payload multimodal table: each document becomes a small but
+    VALID RGB PNG (the pure-stdlib :func:`png_encode`), dimensions
+    derived JVM-side from ``crc32(text)`` (seed-independent) and pixels
+    from a deterministic (item_id, x, y) formula — so ``decode_images
+    (fake=False)`` and ``resize_images(fake=False)`` run the real decode
+    path with reproducible results in a container without Pillow.
+    Generation is worker-side mapInPandas (Arrow batches, map stage)."""
+    crc = F.crc32(F.encode(F.col(text_col), "utf-8"))
+    base = docs.select(
+        F.col(id_col).alias("item_id"),
+        (crc % 21 + 4).cast("int").alias("_w"),
+        (F.shiftright(crc, 5) % 17 + 4).cast("int").alias("_h"),
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for iid, w, h in zip(pdf["item_id"], pdf["_w"], pdf["_h"]):
+                iid, w, h = int(iid), int(w), int(h)
+                rows = []
+                for y in range(h):
+                    line = bytearray(w * 3)
+                    for x in range(w):
+                        line[3 * x] = (iid * 73 + x * 31 + y * 17) & 0xFF
+                        line[3 * x + 1] = (iid * 151 + x * 7 + y * 3) & 0xFF
+                        line[3 * x + 2] = (iid * 29 + x + y * 11) & 0xFF
+                    rows.append(bytes(line))
+                contents.append(png_encode(w, h, 3, rows))
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "content": contents,
+                    "width": pdf["_w"],
+                    "height": pdf["_h"],
+                }
+            )
+
+    payload = base.mapInPandas(
+        _gen, schema="item_id bigint, content binary, width int, height int"
+    )
+    return payload.select(
+        "item_id",
+        "content",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/png").alias("mime"),
+            F.col("width"),
+            F.col("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
 
 
 def _pil():
@@ -204,21 +389,19 @@ def decode_images(df: DataFrame, fake: bool = True) -> DataFrame:
 def resize_images(df: DataFrame, max_dim: int = 256, fake: bool = True) -> DataFrame:
     """Resize payloads to fit ``max_dim`` (aspect-preserving).  Fake mode
     recomputes target dimensions from the decode stub's fake dims and
-    passes bytes through; ``fake=False`` is where PIL's ``thumbnail``
-    would run.  Same Arrow-batched mapInPandas plumbing as decode."""
+    passes bytes through; ``fake=False`` runs PIL's ``thumbnail`` when
+    Pillow is importable, else the pure-stdlib nearest-neighbor PNG path
+    (:func:`png_resize_nearest`) — REAL pixels either way; non-PNG
+    payloads without Pillow raise.  Same Arrow-batched mapInPandas
+    plumbing as decode."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pil_image = None if fake else _pil()
         for pdf in batches:
-            if not fake and pil_image is None:
-                raise NotImplementedError(
-                    "real resize is pixel-level — requires Pillow, probed "
-                    "absent in this container (header-only decode can't help)"
-                )
             out_w, out_h, content = [], [], []
             for b in pdf["content"]:
                 bb = bytes(b)
-                if pil_image is not None:
+                if not fake and pil_image is not None:
                     import io
 
                     with pil_image.open(io.BytesIO(bb)) as im:
@@ -228,6 +411,18 @@ def resize_images(df: DataFrame, max_dim: int = 256, fake: bool = True) -> DataF
                         out_w.append(im.size[0])
                         out_h.append(im.size[1])
                         content.append(buf.getvalue())
+                    continue
+                if not fake:
+                    if bb[:8] != b"\x89PNG\r\n\x1a\n":
+                        raise NotImplementedError(
+                            "real resize without Pillow covers PNG only "
+                            "(stdlib nearest-neighbor path) — install "
+                            "Pillow for other formats"
+                        )
+                    rb, nw, nh = png_resize_nearest(bb, max_dim)
+                    out_w.append(nw)
+                    out_h.append(nh)
+                    content.append(rb)
                     continue
                 w = (zlib.crc32(bb) & 0x7FF) + 1
                 h = ((zlib.crc32(bb) >> 11) & 0x7FF) + 1

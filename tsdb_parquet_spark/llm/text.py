@@ -37,9 +37,17 @@ def bpe_ish_tokens(text_col: Column | str) -> Column:
     runs of letters, runs of digits, or single non-space punctuation —
     approximates subword pre-tokenization for token counting."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # Explicit whitespace class, not \s: Java's \s includes vertical tab
+    # (\x0B) while RE2's (the DuckDB oracle's engine) does not — the
+    # explicit class is identical in both engines, so a VT in a document
+    # can't make Spark and the oracle tokenize differently.
     return F.filter(
-        F.split(F.regexp_replace(c, r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])", "$1\u0001"),
-                "[\\s\u0001]+"),
+        F.split(
+            F.regexp_replace(
+                c, r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f])", "$1\u0001"
+            ),
+            "[ \\t\\n\\r\\f\u0001]+",
+        ),
         lambda w: F.trim(w) != "",
     )
 

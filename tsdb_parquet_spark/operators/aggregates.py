@@ -58,6 +58,54 @@ def exact_value_sum(col: Column | str) -> Column:
     return decimal_sum(col, precision=18, scale=6)
 
 
+# A string no real label value plausibly contains — disambiguates NULL
+# from any value inside the hashed grouping key (xxhash64 SKIPS null
+# inputs, so without it (NULL,'x') and ('x',NULL) would collide).
+NULL_SENTINEL = "\x00\x01\x7f_NULL"
+
+
+def hashed_group_key(df: DataFrame, cols: list[str]) -> Column:
+    """One 64-bit ``xxhash64`` column standing in for a multi-column
+    (typically multi-STRING) grouping key.
+
+    Why: a hash aggregate probes its map with the full grouping-key row —
+    hashing + memcmp over N variable-length strings per input row; the
+    8-byte fixed-width key probes cheaper (q06 shape at sf10: 1.47 s vs
+    2.18 s when the output does NOT need the original columns).
+
+    WHEN IT PAYS (measured, SCALE.md round-7): only when the original key
+    columns do NOT appear in the output — e.g. a pre-filter/candidate
+    count, or when a persisted key→labels dimension already exists to
+    join back.  Carrying the strings through as ``first()`` aggregates
+    looks free but is NOT: any variable-length aggregate buffer drops
+    HashAggregate to **SortAggregate** (a full per-partition sort of the
+    input), measured 4.7 s vs the exact key's 2.2 s on the sf10 q06 —
+    which is why ``regroup_series_stats``/``downsample`` keep the exact
+    multi-string key.
+
+    Null safety: string columns are coalesced to :data:`NULL_SENTINEL`
+    before hashing (xxhash64 skips nulls, which would otherwise merge
+    (NULL,'x') with ('x',NULL)); non-string columns contribute an
+    explicit ``isnull`` flag instead.
+
+    Collision bound (the exactness trade): distinct key-sets colliding on
+    64 bits merge SILENTLY.  P(any collision) ≈ n²/2^65 for n groups —
+    3e-13 at 10³ groups, 3e-6 at 10⁷.  Use only below ~10⁷ groups;
+    beyond that keep the exact key (or add a second seeded hash column
+    for a 128-bit bound).
+    """
+    dtypes = dict(df.dtypes)
+    parts: list[Column] = []
+    for c in cols:
+        col = F.col(c)
+        if dtypes.get(c) == "string":
+            parts.append(F.coalesce(col, F.lit(NULL_SENTINEL)))
+        else:
+            parts.append(col)
+            parts.append(F.isnull(col).cast("int"))
+    return F.xxhash64(*parts)
+
+
 def grouped_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
     """groupBy().agg() with explicit aliased aggregate columns."""
     return df.groupBy(*keys).agg(*aggs)

@@ -39,6 +39,15 @@ def pin_partitioning(df: DataFrame, keys: list[str]) -> DataFrame:
     window over ``keys`` — consume this partitioning without a further
     exchange (hash partitioning on a subset of the grouping keys satisfies
     the clustered distribution).
+
+    The pinned count comes from ``spark.sql.shuffle.partitions``; when
+    that conf is non-numeric (some managed platforms set ``"auto"``), the
+    cluster's ``defaultParallelism`` — cores — is the fallback, which is
+    exactly the cores-not-bytes parallelism this pin exists to restore.
     """
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    try:
+        n = int(raw)
+    except (TypeError, ValueError):
+        n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *[F.col(k) for k in keys])

@@ -79,6 +79,7 @@ def sessionize(
     tiebreak_col: str,
     gap_seconds: int = 1800,
     session_alias: str = "session_id",
+    pin: bool = True,
 ) -> DataFrame:
     """Assign session ids by inactivity gap: a new session starts when the
     time since the previous event (per user) exceeds ``gap_seconds``.
@@ -90,10 +91,14 @@ def sessionize(
     a single shuffle + sort on ``user_col`` — pinned against AQE
     byte-coalescing (operators/partitioning.pin_partitioning: the
     exchange carries full event rows and the sort happens after it).
+    ``pin=False`` skips the explicit repartition — for small inputs that
+    are already usefully partitioned, where a full-width exchange would
+    cost more than it saves.
     """
     from .partitioning import pin_partitioning
 
-    df = pin_partitioning(df, [user_col])
+    if pin:
+        df = pin_partitioning(df, [user_col])
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     # Full-precision epoch seconds (double keeps the µs fraction) so the gap
     # comparison is exact — second-truncation here would mis-bucket events

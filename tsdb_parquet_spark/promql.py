@@ -537,6 +537,7 @@ def rate(
     df: DataFrame,
     window_ms: int,
     labels: list[str] | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """PromQL ``rate``/``increase`` per aligned window, reset-aware: sum of
     positive deltas (a reset contributes the post-reset value) divided by
@@ -552,7 +553,8 @@ def rate(
     from .operators.partitioning import pin_partitioning
 
     labels = labels if labels is not None else label_columns(df)
-    df = pin_partitioning(df, labels)
+    if pin:
+        df = pin_partitioning(df, labels)
     w = Window.partitionBy(*labels).orderBy(TIME_COL)
     prev_v = F.lag(VALUE_COL).over(w)
     prev_t = F.lag(TIME_COL).over(w)
@@ -581,6 +583,7 @@ def rate_agg(
     df: DataFrame,
     window_ms: int,
     labels: list[str] | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """:func:`rate` as ONE hash aggregate — no window operator.
 
@@ -601,7 +604,8 @@ def rate_agg(
     labels = labels if labels is not None else label_columns(df)
     # collect_list shuffles full rows (no partial reduction): pin the
     # exchange on the same grounds as rate()'s
-    df = pin_partitioning(df, labels)
+    if pin:
+        df = pin_partitioning(df, labels)
     grouped = _bucketed(df, window_ms, labels).agg(
         F.sort_array(
             F.collect_list(

@@ -95,6 +95,34 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table_name)
 
 
+def source_fingerprint(paths: str | list[str]) -> str:
+    """Content fingerprint of source parquet file(s)/dir(s): sorted
+    (path, size, mtime_ns) triples hashed to 10 hex chars.  Cheap (stat
+    only, no data read) yet changes whenever a source file is rewritten —
+    the key that keeps a cached bucketed table honest when the same
+    ``sf_dir`` name is regenerated with different contents (e.g. a
+    chained ``gen_scale.py`` run compounding a scale dir in place)."""
+    import hashlib
+    import os
+
+    plist = [paths] if isinstance(paths, str) else list(paths)
+    parts = []
+    for p in sorted(plist):
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(r, f)
+                for r, _, fs in os.walk(p)
+                for f in fs
+                if not f.startswith((".", "_"))
+            )
+        else:
+            files = [p]
+        for f in files:
+            st = os.stat(f)
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:10]
+
+
 def ensure_bucketed_table(
     spark: SparkSession,
     table_name: str,
@@ -102,6 +130,7 @@ def ensure_bucketed_table(
     bucket_col: str | list[str],
     num_buckets: int = 16,
     sort_col: str | list[str] | None = None,
+    source_paths: str | list[str] | None = None,
 ) -> DataFrame:
     """Idempotent bucketed table across sessions.
 
@@ -121,10 +150,19 @@ def ensure_bucketed_table(
     ``build_df`` is a thunk returning the source DataFrame — only
     evaluated when (re)writing or for schema DDL, never scanned in
     case 1.
+
+    ``source_paths``: when given, a :func:`source_fingerprint` of those
+    files is appended to ``table_name``, so regenerating the source data
+    under the same directory name invalidates the cache instead of
+    silently serving stale rows; stale same-prefix siblings are dropped.
     """
     import os
     import shutil
 
+    if source_paths is not None:
+        base = table_name
+        table_name = f"{base}_{source_fingerprint(source_paths)}"
+        _drop_stale_siblings(spark, base, keep=table_name)
     if spark.catalog.tableExists(table_name):
         return spark.table(table_name)
     wh = spark.conf.get("spark.sql.warehouse.dir")
@@ -156,6 +194,29 @@ def ensure_bucketed_table(
         shutil.rmtree(loc)
     write_bucketed(build_df(), table_name, bucket_col, num_buckets, sort_col)
     return spark.table(table_name)
+
+
+def _drop_stale_siblings(spark: SparkSession, base: str, keep: str) -> None:
+    """Drop catalog tables and warehouse dirs named ``{base}_<fp>`` whose
+    fingerprint no longer matches ``keep`` — bounds warehouse growth when
+    a scale dir is regenerated repeatedly under the same name."""
+    import os
+    import re
+    import shutil
+
+    pat = re.compile(re.escape(base) + r"_[0-9a-f]{10}$")
+    for t in spark.catalog.listTables():
+        if pat.fullmatch(t.name) and t.name != keep.lower():
+            spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for pre in ("file://", "file:"):
+        if wh.startswith(pre):
+            wh = wh[len(pre):]
+            break
+    if os.path.isdir(wh):
+        for d in os.listdir(wh):
+            if pat.fullmatch(d) and d != keep.lower():
+                shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
 
 
 def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:

@@ -75,21 +75,40 @@ def tumbling_counts_batch(
     key_col: str = "event_type",
     window_len: str = "1 hour",
 ) -> DataFrame:
-    """Batch twin of ``tumbling_counts`` — same ``window()`` expression, no
-    watermark (batch has no late data).  This is Q27's engine form."""
-    return (
-        events.groupBy(F.window(ts_col, window_len).alias("win"), F.col(key_col))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            decimal_sum(F.col("value"), scale=4).alias("sv"),
-        )
-        .select(
-            F.unix_timestamp("win.start").alias("bucket_start"),
-            key_col,
-            "n",
-            "sv",
-        )
+    """Batch twin of ``tumbling_counts`` — identical buckets, no watermark
+    (batch has no late data).  This is Q27's engine form.
+
+    Unlike the streaming form, the grouping key here is the LONG bucket
+    start (``floor(epoch/len)*len`` — exactly where ``window()`` puts an
+    epoch-aligned tumbling window's start), not the ``window()`` struct:
+    grouping by a two-timestamp struct hashes and compares 16 bytes of
+    struct per probe and measured 3x slower at sf10 (1.05 s → 0.33 s over
+    6 M events; SCALE.md round-7).  The streaming twin keeps ``window()``
+    because watermark semantics attach to it."""
+    step = _interval_seconds(window_len)
+    bucket = (F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step).alias(
+        "bucket_start"
     )
+    return events.groupBy(bucket, F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        decimal_sum(F.col("value"), scale=4).alias("sv"),
+    )
+
+
+def _interval_seconds(s: str) -> int:
+    """Seconds from a '<n> <unit>' interval string (the subset batch
+    bucketing needs — streaming keeps Spark's own interval parser)."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", s)
+    if not m:
+        raise ValueError(f"unsupported interval for batch bucketing: {s!r}")
+    return int(m.group(1)) * {
+        "second": 1,
+        "minute": 60,
+        "hour": 3600,
+        "day": 86400,
+    }[m.group(2)]
 
 
 def session_counts(

@@ -134,18 +134,41 @@ def regroup_series(df: DataFrame, labels: list[str] | None = None) -> DataFrame:
     )
 
 
-def regroup_series_stats(df: DataFrame, labels: list[str] | None = None) -> DataFrame:
+def regroup_series_stats(
+    df: DataFrame,
+    labels: list[str] | None = None,
+    hashed_key: bool = False,
+) -> DataFrame:
     """Scalar-shaped series regroup (oracle-friendly form of Q6): per label
     set, sample count, time span, and an exact decimal sum of values
     (determinism convention D2 — decimal before aggregation, emitted as
-    DOUBLE so Spark's and DuckDB's result types agree)."""
+    DOUBLE so Spark's and DuckDB's result types agree).
+
+    ``hashed_key=True`` groups on one 64-bit hash of the label columns
+    instead of the N-string key, carrying the labels as ``first()``
+    aggregates.  Identical output below the documented collision bound —
+    but measured SLOWER at sf10 (4.7 s vs 2.2 s fresh-built): the
+    string-valued ``first`` buffers force SortAggregate (full
+    per-partition sort) in place of HashAggregate.  Kept as the recorded
+    negative result (SCALE.md round-7); default False is the fast path.
+    """
     labels = labels or label_columns(df)
-    return df.groupBy(*labels).agg(
+    aggs = [
         F.count(F.lit(1)).alias("n"),
         F.min(TIME_COL).alias("t0"),
         F.max(TIME_COL).alias("t1"),
         exact_value_sum(F.col(VALUE_COL)).alias("sv"),
-    )
+    ]
+    if hashed_key:
+        from .operators.aggregates import hashed_group_key
+
+        key = hashed_group_key(df, labels).alias("_gk")
+        return (
+            df.groupBy(key)
+            .agg(*[F.first(c).alias(c) for c in labels], *aggs)
+            .drop("_gk")
+        )
+    return df.groupBy(*labels).agg(*aggs)
 
 
 def merge_series(
@@ -238,6 +261,7 @@ def counter_rate_agg(
     df: DataFrame,
     labels: list[str] | None = None,
     round_dp: int = 6,
+    pin: bool = True,
 ) -> DataFrame:
     """``counter_rate`` re-expressed as ONE hash aggregate — no window.
 
@@ -254,15 +278,20 @@ def counter_rate_agg(
     (sort cost distributes over groups, no second operator pass), but it
     materializes each whole series as one array in executor memory, so
     the window form remains the choice for pathologically long series
-    (millions of samples in ONE series).  Measured at sf1 (see
-    SCALE.md): q35 shape ~1.5x faster than the window form.
+    (millions of samples in ONE series).  Measured A/B at every scale
+    (SCALE.md round-6 table): the WINDOW form wins — e.g. 0.62 s vs
+    0.87 s at sf1 — so :func:`counter_rate` is the default and this
+    aggregate form is kept as the documented negative result / long-tail
+    alternative.
     """
     from .operators.partitioning import pin_partitioning
 
     labels = labels or label_columns(df)
     # collect_list has no partial reduction — the exchange carries full
     # rows, so pin it like the window form's (same AQE-coalesce hazard)
-    grouped = pin_partitioning(df, labels).groupBy(*labels).agg(
+    if pin:
+        df = pin_partitioning(df, labels)
+    grouped = df.groupBy(*labels).agg(
         F.sort_array(
             F.collect_list(
                 F.struct(F.col(TIME_COL).alias("t"), F.col(VALUE_COL).alias("v"))
@@ -298,6 +327,7 @@ def downsample(
     df: DataFrame,
     step_ms: int,
     labels: list[str] | None = None,
+    hashed_key: bool = False,
 ) -> DataFrame:
     """Time-bucket downsampling per series: bucket = floor(time/step), with
     count/avg/min/max/last per (series, bucket) — the hypertable-rollup /
@@ -308,12 +338,27 @@ def downsample(
     shuffle on (labels, bucket); partial aggregation map-side.  At 100 TB
     this is the materialized-rollup write path: compute once per step,
     store sorted by (bucket, labels) with writer.write_sorted.
-    """
+
+    ``hashed_key=True``: the label columns collapse to one 64-bit hash in
+    the grouping key, labels riding as ``first()`` aggregates — measured
+    SLOWER at sf10 (1.27 s vs 0.86 s: string agg buffers force
+    SortAggregate; see hashed_group_key's docstring).  Recorded negative
+    result; default False."""
     labels = labels or label_columns(df)
     bucket = (F.col(TIME_COL) / F.lit(step_ms)).cast("bigint").alias("bucket")
+    if hashed_key:
+        from .operators.aggregates import hashed_group_key
+
+        key = hashed_group_key(df, labels).alias("_gk")
+        grouped = df.groupBy(key, bucket)
+        firsts = [F.first(c).alias(c) for c in labels]
+    else:
+        grouped = df.groupBy(*labels, bucket)
+        firsts = []
     return (
-        df.groupBy(*labels, bucket)
+        grouped
         .agg(
+            *firsts,
             F.count(F.lit(1)).alias("n"),
             # decimal-before-sum (D2): the sum is exact and
             # order-independent, so sum/count is a deterministic double —
@@ -326,6 +371,9 @@ def downsample(
             F.min(VALUE_COL).alias("min_v"),
             F.max(VALUE_COL).alias("max_v"),
             F.max_by(VALUE_COL, F.col(TIME_COL)).alias("last_v"),
+        )
+        .select(  # same column order either way; hashed key never escapes
+            *labels, "bucket", "n", "avg_v", "min_v", "max_v", "last_v"
         )
     )
 
