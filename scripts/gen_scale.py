@@ -89,6 +89,7 @@ def main() -> None:
             SELECT vec_id + i*{maxes['v']} AS vec_id, embedding, label
             FROM {t('embeddings')} {rep}""",
     }
+    dims = {"region", "nation"}
     for name, q in jobs.items():
         t0 = time.time()
         con.execute(
@@ -96,6 +97,14 @@ def main() -> None:
             f"(FORMAT PARQUET, ROW_GROUP_SIZE 524288)"
         )
         n = con.sql(f"SELECT count(*) FROM read_parquet('{dst}/{name}.parquet')").fetchone()[0]
+        # Compounding invariant: every fact table must carry EXACTLY
+        # src_rows * factor (dims stay fixed), so a chained scale-up
+        # (sf0.1 -> sf1 -> sf10) compounds to 100x for relational tables
+        # the same way the tsdb fixture does — a silent divergence here is
+        # how an earlier sf10 point under-scaled the tsdb side (SCALE.md §5).
+        n_src = con.sql(f"SELECT count(*) FROM {t(name)}").fetchone()[0]
+        want = n_src if name in dims else n_src * factor
+        assert n == want, f"{name}: wrote {n} rows, expected {want} (src {n_src} x {factor})"
         print(f"{name}: {n} rows ({time.time()-t0:.1f}s)", flush=True)
 
     # tsdb fixture: new replicas are new series (suffixed instance),
@@ -121,6 +130,10 @@ def main() -> None:
         ) TO '{dst}/tsdb.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 524288)
     """)
     n = con.sql(f"SELECT count(*) FROM read_parquet('{dst}/tsdb.parquet')").fetchone()[0]
+    n_src = con.sql(f"SELECT count(*) FROM read_parquet('{tsdb_src}')").fetchone()[0]
+    assert n == n_src * factor, (
+        f"tsdb: wrote {n} rows, expected {n_src * factor} (src {n_src} x {factor})"
+    )
     print(f"tsdb: {n} rows ({time.time()-t0:.1f}s)", flush=True)
 
 
