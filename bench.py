@@ -68,6 +68,7 @@ def main() -> None:
     # they measure Spark's fixed per-job floor, not the engine.
     headline = [
         "q01_scan_project", "q02_eq_matchers_time_range", "q06_series_regroup",
+        "q06_series_dim",
         "q07_sorted_merge", "q09_join_agg", "q09_bucketed", "q10_left_outer_join",
         "q14_interval_self_join", "q15_multi_agg", "q16_count_distinct",
         "q18_topk_per_group", "q19_lag_moving_avg", "q20_global_topk",

@@ -90,3 +90,68 @@ def test_hashed_group_key_null_vs_shifted_value_distinct(spark):
     # ...and raw xxhash64 indeed collides here (documents WHY the helper exists)
     raw = df.select(F.xxhash64("a", "b").alias("h")).distinct().count()
     assert raw == 1
+
+
+def test_money_units_exact_across_money_domain(spark):
+    # money_units must reproduce the exact integer cent/1e-4 units for
+    # every 2dp value in a wide range, bit-identical to the decimal cast
+    # path it replaces (q09's long-unit revenue sum)
+    from decimal import Decimal
+
+    from tsdb_parquet_spark.operators.aggregates import money_units
+
+    # every 2dp value in [0, 2) plus large magnitudes near the double
+    # precision edge for 2dp money (1e9 dollars)
+    vals = [i / 100 for i in range(200)] + [
+        999_999_999.99, 123_456_789.01, 104_949.5, 0.07, 0.29, 1e9 - 0.01
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.u for r in df.select(money_units("x").alias("u")).collect()]
+    want = [int(Decimal(str(v)) * 100) for v in vals]
+    assert got == want
+
+    # the q09 revenue identity: units-of-price * (100 - units-of-discount)
+    # == exact 1e-4 units of price*(1-discount) for 2dp price/discount
+    pairs = [(9999.99, 0.05), (0.01, 0.0), (123.45, 0.10), (88.2, 0.09)]
+    pdf = spark.createDataFrame(pairs, "p double, d double")
+    got = [
+        r.ru
+        for r in pdf.select(
+            (money_units("p") * (F.lit(100) - money_units("d"))).alias("ru")
+        ).collect()
+    ]
+    want = [
+        int(Decimal(str(p)) * 100) * (100 - int(Decimal(str(d)) * 100))
+        for p, d in pairs
+    ]
+    assert got == want
+
+
+def test_series_dim_layout_matches_raw_regroup(spark):
+    # the at-rest series-dictionary layout must be invisible in results:
+    # q06_series_dim == q06_series_regroup bit-for-bit (incl. the exact
+    # decimal value sum and NULL label_quantile rows)
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    a = entry.q06_series_regroup(spark, sf).collect()
+    b = entry.q06_series_dim(spark, sf).collect()
+    assert a == b
+    assert any(r.label_quantile is None for r in b)  # NULL labels survive
+
+    # and the facts aggregate consumes the bucket partitioning: no
+    # Exchange between the facts scan and the final series_id aggregate
+    from tsdb_parquet_spark.tables import TSDB_PATH
+    from tsdb_parquet_spark.timeseries import (
+        ensure_series_dim_layout,
+        regroup_series_stats_dim,
+    )
+
+    labels = ["label_name", "label_instance", "label_job", "label_quantile"]
+    facts, dim = ensure_series_dim_layout(
+        spark, "q06d_tsdb_sf0_001",
+        lambda: entry._t(spark, sf, "tsdb").select(*labels, "time", "value"),
+        labels, source_paths=TSDB_PATH,
+    )
+    agg_plan = facts.groupBy("series_id").count()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in agg_plan

@@ -151,17 +151,19 @@ def ensure_bucketed_table(
     evaluated when (re)writing or for schema DDL, never scanned in
     case 1.
 
-    ``source_paths``: when given, a :func:`source_fingerprint` of those
-    files is appended to ``table_name``, so regenerating the source data
-    under the same directory name invalidates the cache instead of
-    silently serving stale rows; stale same-prefix siblings are dropped.
+    ``source_paths``: when given, the bucket count and a
+    :func:`source_fingerprint` of those files are appended to
+    ``table_name``, so regenerating the source data under the same
+    directory name — or re-tuning ``num_buckets`` — invalidates the
+    cache instead of silently serving a stale layout; stale same-prefix
+    siblings are dropped.
     """
     import os
     import shutil
 
     if source_paths is not None:
         base = table_name
-        table_name = f"{base}_{source_fingerprint(source_paths)}"
+        table_name = f"{base}_b{num_buckets}_{source_fingerprint(source_paths)}"
         _drop_stale_siblings(spark, base, keep=table_name)
     if spark.catalog.tableExists(table_name):
         return spark.table(table_name)
@@ -204,7 +206,9 @@ def _drop_stale_siblings(spark: SparkSession, base: str, keep: str) -> None:
     import re
     import shutil
 
-    pat = re.compile(re.escape(base) + r"_[0-9a-f]{10}$")
+    # matches both the current `{base}_b{n}_{fp}` scheme and the older
+    # `{base}_{fp}` one, so pre-existing warehouse dirs are cleaned too
+    pat = re.compile(re.escape(base) + r"_(b\d+_)?[0-9a-f]{10}$")
     for t in spark.catalog.listTables():
         if pat.fullmatch(t.name) and t.name != keep.lower():
             spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
@@ -217,6 +221,49 @@ def _drop_stale_siblings(spark: SparkSession, base: str, keep: str) -> None:
         for d in os.listdir(wh):
             if pat.fullmatch(d) and d != keep.lower():
                 shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+
+
+def ensure_table(
+    spark: SparkSession,
+    table_name: str,
+    build_df,
+    source_paths: str | list[str] | None = None,
+) -> DataFrame:
+    """Idempotent UNBUCKETED managed parquet table — the plain-layout
+    sibling of :func:`ensure_bucketed_table` (same catalog → disk →
+    write resolution order, same source fingerprint in the name, same
+    stale-sibling cleanup).  For small derived dimensions (e.g. the
+    series dictionary of :func:`~tsdb_parquet_spark.timeseries.
+    ensure_series_dim_layout`) where bucket metadata buys nothing."""
+    import os
+    import shutil
+
+    if source_paths is not None:
+        base = table_name
+        table_name = f"{base}_{source_fingerprint(source_paths)}"
+        _drop_stale_siblings(spark, base, keep=table_name)
+    if spark.catalog.tableExists(table_name):
+        return spark.table(table_name)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for pre in ("file://", "file:"):
+        if wh.startswith(pre):
+            wh = wh[len(pre):]
+            break
+    loc = os.path.join(wh, table_name)
+    if os.path.exists(os.path.join(loc, "_SUCCESS")):
+        df = build_df()
+        schema_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE `{table_name}` ({schema_ddl}) USING parquet "
+            f"LOCATION '{loc}'"
+        )
+        return spark.table(table_name)
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+    build_df().write.mode("overwrite").format("parquet").saveAsTable(table_name)
+    return spark.table(table_name)
 
 
 def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
