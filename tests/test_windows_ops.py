@@ -155,3 +155,46 @@ def test_series_dim_layout_matches_raw_regroup(spark):
     )
     agg_plan = facts.groupBy("series_id").count()._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in agg_plan
+
+
+def test_distributed_cumsum_matches_single_window(spark):
+    # two-phase parallel prefix sum == the single-partition window form,
+    # across bucket boundaries and with num_buckets > distinct keys
+    import random
+
+    from pyspark.sql import Window
+
+    from tsdb_parquet_spark.operators.prefix import (
+        distributed_cumsum,
+        packed_sequences,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50)) for i in range(997)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v int")
+
+    for nb in (1, 4, 2000):
+        got = {
+            r.k: r.c
+            for r in distributed_cumsum(
+                df, "k", "v", alias="c", num_buckets=nb
+            ).collect()
+        }
+        want = {
+            r.k: r.c
+            for r in df.withColumn(
+                "c", F.sum("v").over(Window.orderBy("k"))
+            ).collect()
+        }
+        assert got == want, f"num_buckets={nb}"
+
+    # packing: every doc's pack is floor(start/L); pack token totals
+    # cover the corpus exactly once
+    packed = packed_sequences(df, "k", "v", seq_len=64, num_buckets=8)
+    out = packed.groupBy("pack_id").agg(F.sum("v").alias("t")).collect()
+    assert sum(r.t for r in out) == sum(v for _, v in rows)
+
+    # empty input doesn't crash the bounds probe
+    empty = spark.createDataFrame([], "k long, v int")
+    assert distributed_cumsum(empty, "k", "v").count() == 0

@@ -1,0 +1,121 @@
+"""Distributed prefix sums over a total order — without the
+single-partition window trap.
+
+The naive Spark form of a global running sum, ``Window.orderBy(k)`` with
+no ``partitionBy``, collapses the whole table into ONE task (Spark even
+warns) — the textbook scale killer for corpus-order operations like
+training-sequence packing.  The classic fix is the two-phase parallel
+prefix sum:
+
+1. split the total order into ``num_buckets`` contiguous key ranges;
+2. per-bucket window cumsum (parallel across buckets, one shuffle);
+3. add each bucket's prefix offset — the running total of all earlier
+   buckets — computed from the per-bucket sums (a ``num_buckets``-row
+   driver hop, bounded metadata by this repo's conventions).
+
+Bucketing is DETERMINISTIC (equal-width ranges from the key's min/max,
+one cheap min/max aggregate), not ``repartitionByRange`` — the range
+partitioner samples, and sampled boundaries are not guaranteed to agree
+between the offsets job and the main job, which would silently corrupt
+the prefix.  Equal-width ranges skew with non-uniform keys; at
+production scale feed real range stats (e.g. parquet column min/max
+histograms) into ``bucket_bounds`` instead.
+
+100 TB shape: one shuffle (the per-bucket window), one scan-shaped
+aggregate for the offsets, one min/max probe.  Everything else is
+map-stage JVM expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    alias: str = "cumsum",
+    num_buckets: int | None = None,
+    bucket_bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Global running sum of ``value_col`` over the total order of
+    ``order_col`` (a numeric, unique ordering key), identical to
+    ``SUM(value) OVER (ORDER BY key)`` but executed as a two-phase
+    parallel prefix sum (module docstring).
+
+    ``num_buckets`` defaults to the session's shuffle partition count;
+    ``bucket_bounds`` overrides the (min, max) probe when the caller
+    already knows the key range (saves the probe job).
+    """
+    spark = df.sparkSession
+    if num_buckets is None:
+        try:
+            num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:
+            num_buckets = spark.sparkContext.defaultParallelism
+    if bucket_bounds is None:
+        row = df.agg(
+            F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+        ).first()
+        if row.lo is None:
+            return df.withColumn(alias, F.lit(None).cast("double"))
+        bucket_bounds = (float(row.lo), float(row.hi))
+    lo, hi = bucket_bounds
+    span = (hi - lo) / num_buckets or 1.0
+    bucket = F.least(
+        F.floor((F.col(order_col) - F.lit(lo)) / F.lit(span)),
+        F.lit(num_buckets - 1),
+    ).cast("int")
+
+    d = df.withColumn("_pfx_bucket", bucket)
+    # phase 3's offsets: per-bucket totals -> running prefix (tiny)
+    totals = (
+        d.groupBy("_pfx_bucket")
+        .agg(F.sum(value_col).alias("_tot"))
+        .collect()
+    )
+    offsets: dict[int, float] = {}
+    run = 0
+    for r in sorted(totals, key=lambda r: r._pfx_bucket):
+        offsets[r._pfx_bucket] = run
+        run += r._tot
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = Window.partitionBy("_pfx_bucket").orderBy(order_col)
+    return d.withColumn(
+        alias,
+        F.sum(value_col).over(w) + F.coalesce(
+            off_map[F.col("_pfx_bucket")], F.lit(0)
+        ),
+    ).drop("_pfx_bucket")
+
+
+def packed_sequences(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    seq_len: int,
+    pack_alias: str = "pack_id",
+    **cumsum_opts,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    batching op: documents concatenated in ``order_col`` order and cut
+    into fixed ``seq_len``-token training sequences; each document is
+    assigned the pack its FIRST token lands in (documents straddling a
+    boundary belong to the pack they start in — the bookkeeping
+    convention; the tokens themselves still fill both packs at train
+    time).
+
+    ``pack_id = floor((cumsum(tokens) - tokens) / seq_len)`` via
+    :func:`distributed_cumsum` — fully parallel, one shuffle.
+    """
+    d = distributed_cumsum(
+        df, order_col, token_col, alias="_pfx_cum", **cumsum_opts
+    )
+    start = F.col("_pfx_cum") - F.col(token_col)
+    return d.withColumn(
+        pack_alias, F.floor(start / F.lit(seq_len)).cast("long")
+    ).drop("_pfx_cum")

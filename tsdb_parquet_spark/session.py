@@ -71,6 +71,19 @@ def get_spark(
         # matchers to the TSDB block index, time bounds to chunk metadata)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Scan-split sizing is BYTE-based on COMPRESSED file size, and
+        # Spark floors the split at openCostInBytes (4 MB default, an
+        # HDFS-era file-open cost model).  Snappy+dictionary columnar
+        # data here decompresses 20-50x, so a 16 MB / 15.4M-row table
+        # was scanned with FOUR tasks on a 32-core box — the scan-stage
+        # parallelism starvation behind the hash-agg family's "per-row
+        # cost" at sf10 (measured with 256 KB: q06 regroup 2.9 s ->
+        # 1.1 s, q34 roundtrip 27.5 s -> 9.3 s, q01 4.4 s -> 1.9 s;
+        # row-group granularity still bounds real splits, so small
+        # files can't shatter into a task storm).  On a cluster, size
+        # against storage latency — the principle (open cost ≪ split
+        # decompressed work for hot columnar data) carries.
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
