@@ -80,10 +80,15 @@ def get_spark(
         # cost" at sf10 (measured with 256 KB: q06 regroup 2.9 s ->
         # 1.1 s, q34 roundtrip 27.5 s -> 9.3 s, q01 4.4 s -> 1.9 s;
         # row-group granularity still bounds real splits, so small
-        # files can't shatter into a task storm).  On a cluster, size
-        # against storage latency — the principle (open cost ≪ split
-        # decompressed work for hot columnar data) carries.
-        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
+        # files can't shatter into a task storm).  512 KB won a sweep
+        # over {256 KB, 1 MB, 2 MB, 4 MB}: small enough to unlock the
+        # compressed-scan parallelism, large enough that tiny broadcast-
+        # side dimension scans don't pay a task-storm latency (the 256 KB
+        # trial cost q09_bucketed ~0.5 s in scheduling overhead on its
+        # 13 MB customer scans).  On a cluster, size against storage
+        # latency — the principle (open cost ≪ split decompressed work
+        # for hot columnar data) carries.
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
