@@ -75,6 +75,19 @@ def test_q09_bucketed_join_exchange_free(entry, spark):
     assert sorted(df.collect()) == a
 
 
+def test_q28_bucketed_window_exchange_free(entry, spark):
+    """The user-bucketed events layout: sessionize's windows and the
+    per-user aggregate consume the bucket partitioning — NO hash
+    exchange anywhere; the only exchange is the display orderBy."""
+    df = entry.q28_bucketed(spark, SF)
+    plan = plan_of(df)
+    assert "Bucketed: true" in plan, plan
+    assert "hashpartitioning(user_id" not in plan, plan
+    assert sorted(df.collect()) == sorted(
+        entry.q28_session_windows(spark, SF).collect()
+    )
+
+
 def test_q10_fact_side_never_broadcast(entry, spark):
     plan = plan_of(entry.q10_left_outer_join(spark, SF))
     # left-outer forces BuildRight and orders is fact-scale: the hint must
