@@ -16,9 +16,19 @@ import sys
 def main() -> None:
     sf = float(sys.argv[1])
     runs = [json.load(open(p)) for p in sys.argv[2:]]
-    queries = runs[0]["queries"].keys()
-    sq = {q: min(r["queries"][q] for r in runs) for q in queries}
-    dq = {q: min(r["duckdb_queries"][q] for r in runs) for q in queries}
+    # union of query keys: the headline set grows across rounds, and old
+    # runs stay valid minima sources for the queries they DID measure —
+    # a query's min is taken over only the runs that contain it
+    queries: list[str] = []
+    for r in runs:
+        for q in r["queries"]:
+            if q not in queries:
+                queries.append(q)
+    sq = {q: min(r["queries"][q] for r in runs if q in r["queries"]) for q in queries}
+    dq = {
+        q: min(r["duckdb_queries"][q] for r in runs if q in r["duckdb_queries"])
+        for q in queries
+    }
     spark_total = round(sum(sq.values()), 3)
     duck_total = round(sum(dq.values()), 3)
     point = {
@@ -31,7 +41,7 @@ def main() -> None:
         "concurrent_ratio": round(
             min(r["concurrent_wall_sec"] for r in runs) / duck_total, 3
         ),
-        "rows_total": runs[0]["rows_total"],
+        "rows_total": max(r["rows_total"] for r in runs),
         "queries": sq,
         "duckdb_queries": dq,
     }
