@@ -563,3 +563,49 @@ def test_cross_doc_ngram_dup_planted(spark):
     assert got[1]["n_shared"] == 1 and got[2]["n_shared"] == 1
     assert got[3]["n_shared"] == 0 and got[3]["n_ngrams"] > 0
     assert got[4]["n_ngrams"] == 0 and got[4]["shared_frac"] == 0.0
+
+
+class TestSampleMixture:
+    @pytest.fixture()
+    def corpus(self, spark):
+        rows = [(i, f"s{i % 4}") for i in range(200)]
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_integer_weights_are_exact_epochs(self, corpus):
+        out = llm.sample_mixture(
+            corpus, {"s0": 3.0, "s1": 0.0}, default_weight=1.0
+        )
+        rows = out.groupBy("source", "epoch").count().collect()
+        got = {(r["source"], r["epoch"]): r["count"] for r in rows}
+        # every s0 doc appears in epochs 1..3, each epoch complete (50 docs)
+        assert got[("s0", 1)] == got[("s0", 2)] == got[("s0", 3)] == 50
+        # s1 dropped entirely; s2/s3 pass through once
+        assert not any(src == "s1" for src, _ in got)
+        assert got[("s2", 1)] == 50 and got[("s3", 1)] == 50
+        assert ("s2", 2) not in got
+
+    def test_fractional_weight_is_deterministic_subset(self, corpus):
+        a = llm.sample_mixture(corpus, {"s0": 0.5}, default_weight=0.0)
+        b = llm.sample_mixture(corpus, {"s0": 0.5}, default_weight=0.0)
+        ids_a = sorted(r["doc_id"] for r in a.collect())
+        ids_b = sorted(r["doc_id"] for r in b.collect())
+        assert ids_a == ids_b                      # same set every run
+        assert 0 < len(ids_a) < 50                 # a strict subset
+        # the 2.5x sample contains two full epochs plus exactly that subset
+        up = llm.sample_mixture(corpus, {"s0": 2.5}, default_weight=0.0)
+        extra = sorted(
+            r["doc_id"] for r in up.collect() if r["epoch"] == 3
+        )
+        assert extra == ids_a
+
+    def test_salt_rerolls_fractional_keep(self, corpus):
+        a = {r["doc_id"] for r in
+             llm.sample_mixture(corpus, {"s0": 0.5}, default_weight=0.0).collect()}
+        b = {r["doc_id"] for r in
+             llm.sample_mixture(corpus, {"s0": 0.5}, default_weight=0.0,
+                                salt="other").collect()}
+        assert a != b
+
+    def test_negative_weight_rejected(self, corpus):
+        with pytest.raises(ValueError):
+            llm.sample_mixture(corpus, {"s0": -1.0})

@@ -39,6 +39,7 @@ from .text import (
 from .corpus import (
     decontaminate,
     repetition_stats,
+    sample_mixture,
     split_corpus,
     word_ngrams,
 )
@@ -77,6 +78,7 @@ __all__ = [
     "language_id",
     "doc_fingerprint",
     "rolling_fingerprint",
+    "sample_mixture",
     "split_corpus",
     "decontaminate",
     "repetition_stats",

@@ -21,6 +21,10 @@ the corpus-management steps an LLM data pipeline runs between dedup
 - ``repetition_stats`` is per-row higher-order-function arithmetic over
   the token array — zero Python, zero shuffle; the n-gram array is
   bounded by document length (cap long docs upstream via ``n_chars``).
+- ``sample_mixture`` is the same pure-map-hash device as
+  ``split_corpus`` applied to data-recipe mixing: per-source epoch
+  counts with a deterministic fractional keep — no shuffle, no RNG
+  state, output proportions exact in expectation.
 """
 
 from __future__ import annotations
@@ -193,3 +197,61 @@ def cross_doc_ngram_dup(
             .alias("shared_frac"),
         )
     )
+
+
+def sample_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    salt: str = "mix1",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Per-source mixture sampling with deterministic epoch semantics —
+    the data-recipe step that turns raw source proportions into training
+    proportions (the LLaMA/Pile "epochs per source" pattern).
+
+    A source weight ``w`` means every document of that source appears
+    ``floor(w)`` times, plus one more with probability ``frac(w)`` —
+    so the EXPECTED copy count is exactly ``w`` and upsampled sources
+    emit whole "epochs" (``epoch_col`` = 1..copies) rather than random
+    duplicates.  The fractional keep is Bernoulli on the first 8 hex
+    chars of ``md5(id || salt)`` (the ``split_corpus`` device): no RNG
+    state, engine-portable, re-rolled by ``salt``, and independent of
+    the train/val split's hash (different salt).  ``w = 0`` drops the
+    source entirely; sources absent from ``weights`` get
+    ``default_weight``.
+
+    100 TB posture: pure map stage — a per-row literal-map lookup, one
+    md5, and an ``explode(sequence(...))`` whose fan-out is the copy
+    count; no shuffle, no driver state, any partition samples
+    independently.  (Contrast ``df.sample``: seeded per-partition RNG,
+    so the kept SET changes with partitioning — this one is a function
+    of the data alone.)
+    """
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("mixture weights must be >= 0")
+    base_items: list[Column] = []
+    frac_items: list[Column] = []
+    for src in sorted(weights):
+        w = weights[src]
+        base_items += [F.lit(src), F.lit(int(w))]
+        frac_items += [F.lit(src), F.lit(format(int((w - int(w)) * 16**8), "08x"))]
+    def_thr = format(int((default_weight - int(default_weight)) * 16**8), "08x")
+    base = F.coalesce(
+        F.create_map(*base_items)[F.col(source_col)], F.lit(int(default_weight))
+    )
+    thr = F.coalesce(
+        F.create_map(*frac_items)[F.col(source_col)], F.lit(def_thr)
+    )
+    u = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+    )
+    copies = base + F.when(u < thr, F.lit(1)).otherwise(F.lit(0))
+    # sequence(1, 0) would count DOWN ([1, 0]); guard so 0 copies explodes
+    # to nothing and the row is dropped
+    epochs = F.when(copies >= 1, F.sequence(F.lit(1), copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(epoch_col, F.explode(epochs))
