@@ -74,7 +74,7 @@ def main() -> None:
         "q18_topk_per_group", "q19_lag_moving_avg", "q20_global_topk",
         "q22_scalar_functions", "q24_exact_dedup", "q25_tokenize_counts",
         "q26_cosine_topk", "q27_tumbling_window", "q28_session_windows",
-        "q28_bucketed",
+        "q28_bucketed", "q84_mixture_sampling",
         "q30_asof_join", "q34_wide_long_roundtrip", "q35_counter_rate", "q35_bucketed",
         "q37_downsample", "q39_promql_rate_window", "q42_sliding_window",
     ]

@@ -230,3 +230,20 @@ def test_anomaly_mad_single_exchange(entry, spark):
     # exchanges: one for the window partitioning + one for the trailing
     # display sort (orderBy event_id) — nothing else
     assert count_exchanges(df) <= 2
+
+
+def test_sample_mixture_pure_map_stage(spark):
+    """sample_mixture must plan as scan -> project/generate with ZERO
+    exchanges: the 100 TB contract is that mixing is a map stage (any
+    partition samples independently).  A refactor that introduces a
+    join against a weights table or a repartition breaks that silently
+    — this guard fails loudly."""
+    from tsdb_parquet_spark.llm.corpus import sample_mixture
+    from tsdb_parquet_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = sample_mixture(docs, {"src0": 2.5, "src1": 0.0, "src3": 3.0})
+    plan = plan_of(out)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Generate explode" in plan  # the epoch fan-out is the only blowup
