@@ -88,6 +88,23 @@ def test_q28_bucketed_window_exchange_free(entry, spark):
     )
 
 
+def test_q14_bucketed_join_and_agg_exchange_free(entry, spark):
+    """The interval self-join over the SAME q28b user-bucketed table:
+    both join sides are co-partitioned on user_id — a SUBSET of the
+    join keys (user_id, _cand), accepted because the engine session
+    sets requireAllClusterKeysForCoPartition=false — and the per-user
+    aggregate consumes the same partitioning.  No hash exchange
+    anywhere; the only exchange is the display orderBy.  Results must
+    equal the unbucketed q14."""
+    df = entry.q14_bucketed(spark, SF)
+    plan = plan_of(df)
+    assert "Bucketed: true" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert sorted(df.collect()) == sorted(
+        entry.q14_interval_self_join(spark, SF).collect()
+    )
+
+
 def test_q10_fact_side_never_broadcast(entry, spark):
     plan = plan_of(entry.q10_left_outer_join(spark, SF))
     # left-outer forces BuildRight and orders is fact-scale: the hint must

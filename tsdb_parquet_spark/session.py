@@ -89,6 +89,19 @@ def get_spark(
         # latency — the principle (open cost ≪ split decompressed work
         # for hot columnar data) carries.
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
+        # Subset co-partitioning: a join whose children are both hash-
+        # partitioned on a SUBSET of the join keys (e.g. two scans of a
+        # user_id-bucketed table joined on (user_id, time_bucket) — the
+        # interval-join candidate pattern) is semantically co-partitioned
+        # and needs no exchange, but Spark 3.3+ rejects it by default.
+        # Allowing it is exactly the at-rest-layout contract this engine
+        # sells: bucket keys are chosen as the stable prefix of every
+        # query's join/group keys (q14_bucketed: join+agg run with ZERO
+        # hash exchanges over the q28_bucketed events table).  Trade-off:
+        # the join inherits the subset key's bucket count/skew — fine by
+        # construction here, where bucket counts track cluster
+        # parallelism (sources.ensure_bucketed_table docstring).
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
