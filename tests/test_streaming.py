@@ -111,7 +111,9 @@ def test_stateful_running_totals_matches_batch(spark, events_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    from tsdb_parquet_spark.streaming import drain_available_now
+
+    drain_available_now(q)  # timeout-bearing state never self-terminates
     # update mode appends one row per (key, batch); the final state per key
     # is the row with the max running count
     got = {
@@ -233,7 +235,9 @@ def test_streaming_counter_rate_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    from tsdb_parquet_spark.streaming import drain_available_now
+
+    drain_available_now(q)  # timeout-bearing state never self-terminates
     # update mode appends one row per key per batch: final = max last_time
     got = (
         spark.table("rate_stream")
@@ -256,3 +260,27 @@ def test_streaming_counter_rate_equals_batch(spark, tmp_path):
             float(batch_res[k]["increase"]), abs=1e-9)
         assert round(stream_res[k]["rate"], 6) == pytest.approx(
             float(batch_res[k]["rate"]), abs=1e-9)
+
+
+def test_q86_entry_equals_batch_group_by(spark):
+    # the driver-gated stateful entry (q86): applyInPandasWithState
+    # running totals over exact 1e-4 units must equal the plain batch
+    # GROUP BY — including the multi-batch replay path the memory-sink
+    # finality filter (max-n row per key) exists for
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["user_id"]: (r["n"], r["sv_units"])
+           for r in entry.q86_streaming_stateful_totals(spark, sf).collect()}
+    batch = {
+        r["user_id"]: (r["n"], r["sv_units"])
+        for r in entry._t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long"))
+            .alias("sv_units"),
+        )
+        .collect()
+    }
+    assert got == batch

@@ -6,6 +6,7 @@ never read by ``hello.go``, and FrostDB's WAL option is commented out at
 
 from .stateful import running_totals, streaming_counter_rate
 from .windows import (
+    drain_available_now,
     read_events_stream,
     session_counts,
     session_counts_batch,
@@ -19,6 +20,7 @@ from .windows import (
 
 __all__ = [
     "running_totals",
+    "drain_available_now",
     "streaming_counter_rate",
     "read_events_stream",
     "tumbling_counts",

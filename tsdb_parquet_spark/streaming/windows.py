@@ -23,6 +23,42 @@ from pyspark.sql import functions as F
 from ..operators.aggregates import decimal_sum
 
 
+def drain_available_now(query, timeout: float = 120.0, poll: float = 0.2) -> None:
+    """Wait until an ``availableNow`` query has processed every file that
+    existed at start, then stop it if it hasn't stopped itself.
+
+    Why not just ``awaitTermination``: a stateful query with a
+    processing-time timeout (``applyInPandasWithState`` eviction) never
+    self-terminates under availableNow — after draining the data it
+    schedules back-to-back empty "No new data but cleaning up state"
+    batches until every per-key timeout has fired (measured: 187 empty
+    batches in the 120 s awaitTermination ceiling on a bounded replay),
+    so termination-as-the-wait-condition turns every bounded replay into
+    a fixed 120 s stall.  Drained is the right condition: at least one
+    batch recorded AND the source reports no data available (the
+    availableNow end-offset is fixed at start, so ``isDataAvailable``
+    stays true until the last planned batch commits); two consecutive
+    confirmations dodge the planning-tick race between micro-batches.
+    Self-terminating queries (no timeouts) exit via ``isActive`` first.
+    """
+    import time as _time
+
+    deadline = _time.time() + timeout
+    confirmed = 0
+    while _time.time() < deadline and query.isActive:
+        status = query.status
+        if query.lastProgress is not None and not status["isDataAvailable"]:
+            confirmed += 1
+            if confirmed >= 2:
+                break
+        else:
+            confirmed = 0
+        _time.sleep(poll)
+    if query.isActive:
+        query.stop()
+    query.awaitTermination(30)
+
+
 def read_events_stream(
     spark: SparkSession,
     path: str,
