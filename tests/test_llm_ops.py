@@ -609,3 +609,49 @@ class TestSampleMixture:
     def test_negative_weight_rejected(self, corpus):
         with pytest.raises(ValueError):
             llm.sample_mixture(corpus, {"s0": -1.0})
+
+
+def test_shuffle_shards_permutation_properties(spark):
+    from tsdb_parquet_spark.llm.corpus import shuffle_shards
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = shuffle_shards(df, num_shards=4).select("doc_id", "shard", "pos")
+    rows = out.collect()
+    # a permutation: every doc exactly once, per-shard positions contiguous
+    assert sorted(r["doc_id"] for r in rows) == list(range(500))
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # partitioning-independent: same assignment from a different layout
+    rows2 = (
+        shuffle_shards(df.repartition(13), num_shards=4)
+        .select("doc_id", "shard", "pos")
+        .collect()
+    )
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in rows2} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in rows
+    }
+    # salt re-rolls: some docs move shards
+    rerolled = shuffle_shards(df, num_shards=4, salt="v2").collect()
+    moved = sum(
+        1
+        for a, b in zip(
+            sorted(rows, key=lambda r: r["doc_id"]),
+            sorted(rerolled, key=lambda r: r["doc_id"]),
+        )
+        if a["shard"] != b["shard"]
+    )
+    assert moved > 100
+    # scale shape: ONE hash exchange (on shard) feeds the window sort —
+    # no global single-partition ORDER BY anywhere in the plan
+    plan = (
+        shuffle_shards(df, num_shards=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan

@@ -40,6 +40,7 @@ from .corpus import (
     decontaminate,
     repetition_stats,
     sample_mixture,
+    shuffle_shards,
     split_corpus,
     word_ngrams,
 )
@@ -79,6 +80,7 @@ __all__ = [
     "doc_fingerprint",
     "rolling_fingerprint",
     "sample_mixture",
+    "shuffle_shards",
     "split_corpus",
     "decontaminate",
     "repetition_stats",

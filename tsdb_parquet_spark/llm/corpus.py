@@ -255,3 +255,46 @@ def sample_mixture(
         F.array().cast("array<int>")
     )
     return df.withColumn(epoch_col, F.explode(epochs))
+
+
+def shuffle_shards(
+    df: DataFrame,
+    num_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic global training shuffle: assign each document a
+    shard and a within-shard position from ``md5(id || ':' || salt)`` —
+    the shuffle-before-training step of a pre-training data pipeline
+    (documents must reach the trainer in an order uncorrelated with
+    crawl/source order, yet reproducible for restarts and ablations).
+
+    The permutation is a pure function of (id, salt): independent of
+    input partitioning, re-rolled by changing ``salt``, and stable under
+    re-runs — no RNG state, unlike ``df.orderBy(rand())``.  Shard = the
+    key's first 8 hex chars mod ``num_shards`` (uniform); position =
+    rank of the full hex key within the shard.
+
+    Scale shape: one hash-partition exchange on ``shard`` + an in-
+    partition sort — NEVER a global single-partition ``ORDER BY``.  At
+    100 TB ``num_shards`` is the output-file count (thousands), so the
+    per-shard window parallelizes across the cluster; writing with
+    ``partitionBy(shard)`` after this is a straight map of the same
+    partitioning.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.lit(salt))
+    )
+    # first 8 hex chars -> long (max 0xffffffff, always positive)
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+        % F.lit(num_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        df.withColumn("shuffle_key", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", (F.row_number().over(w) - F.lit(1)).cast("int"))
+    )
