@@ -655,3 +655,39 @@ def test_shuffle_shards_permutation_properties(spark):
     )
     assert plan.count("Exchange") == 1
     assert "SinglePartition" not in plan
+
+
+def test_components_star_chain_and_equivalence(spark):
+    # the O(log n) claim, concretely: a 200-node chain (diameter 199)
+    # converges within connected_components_star's 30-round cap, where
+    # min-label propagation would need 199 rounds and trips its guard
+    import random
+
+    import pytest as _pytest
+
+    from tsdb_parquet_spark.llm.dedup import (
+        connected_components_star,
+        neardup_clusters,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    out = connected_components_star(chain).collect()
+    assert len(out) == 200
+    assert {r["comp"] for r in out} == {0}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(chain, max_iter=20)
+
+    # random-graph equivalence: same (node, comp) set as propagation
+    rng = random.Random(42)
+    edges = [(rng.randint(0, 300), rng.randint(0, 300)) for _ in range(250)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    star = {(r["node"], r["comp"]) for r in neardup_clusters(df, method="star").collect()}
+    prop = {(r["node"], r["comp"]) for r in neardup_clusters(df, max_iter=50).collect()}
+    assert star == prop
+    # empty edge set: no pairs -> no rows, not an error
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(empty).count() == 0

@@ -17,6 +17,7 @@ from .dedup import (
     simhash_signatures,
     simhash_neardup_pairs,
     embedding_neardup_pairs,
+    connected_components_star,
     neardup_clusters,
     keep_one_per_cluster,
 )
@@ -65,6 +66,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",
+    "connected_components_star",
     "neardup_clusters",
     "keep_one_per_cluster",
     "cosine_cols",
