@@ -691,3 +691,38 @@ def test_components_star_chain_and_equivalence(spark):
     # empty edge set: no pairs -> no rows, not an error
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components_star(empty).count() == 0
+
+
+def test_chunk_documents_overlap_and_plan(spark):
+    from tsdb_parquet_spark.llm.text import chunk_documents
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "a" * 500), (2, "xy"), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_chars=200, overlap=50).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 1,151,301,451 -> 4 chunks; last is the 50-char tail
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_start"] for r in c1] == [1, 151, 301, 451]
+    assert [r["chunk_len"] for r in c1] == [200, 200, 200, 50]
+    # consecutive chunks share exactly `overlap` characters
+    assert c1[0]["chunk_text"][150:] == c1[1]["chunk_text"][:50]
+    # short doc: one whole-text chunk; empty doc: no chunks
+    assert [r["chunk_text"] for r in by_doc[2]] == ["xy"]
+    assert 3 not in by_doc
+    # every input character is covered by some chunk
+    covered = set()
+    for r in c1:
+        covered.update(range(r["chunk_start"], r["chunk_start"] + r["chunk_len"]))
+    assert covered == set(range(1, 501))
+    # map stage: no exchange anywhere in the plan
+    plan = (
+        chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_chars=100, overlap=100)

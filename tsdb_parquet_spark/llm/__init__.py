@@ -29,6 +29,7 @@ from .similarity import (
     vector_lit,
 )
 from .text import (
+    chunk_documents,
     doc_fingerprint,
     rolling_fingerprint,
     language_id,
@@ -75,6 +76,7 @@ __all__ = [
     "lsh_bucketed_ann",
     "vector_lit",
     "tokenize_counts",
+    "chunk_documents",
     "tokens_col",
     "token_count",
     "text_quality",

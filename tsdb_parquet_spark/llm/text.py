@@ -233,3 +233,50 @@ def url_domains(
     )
     doms = F.array_sort(F.array_distinct(F.transform(urls, F.lower)))
     return df.select(F.col(id_col), doms.alias("domains"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 200,
+    overlap: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping character chunks — the
+    context-window chunking step of a RAG / long-document training
+    pipeline (each chunk carries ``overlap`` chars of its predecessor so
+    no span is lost at a boundary).
+
+    Chunk starts are ``1, 1+stride, 1+2*stride, ... <= length`` with
+    ``stride = chunk_chars - overlap`` (1-based, both engines' substring
+    convention); ``chunk_id = (start-1)/stride`` so the id needs no
+    ordinality bookkeeping.  Empty documents produce no chunks.
+
+    Scale shape: ``sequence`` + ``explode`` + ``substr`` — pure JVM
+    codegen map stage, zero shuffle, zero Python; output size is
+    input * (1 + overlap/stride), the explicit duplication cost of
+    overlap.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_chars ({chunk_chars})"
+        )
+    stride = chunk_chars - overlap
+    starts = F.sequence(F.lit(1), F.length(text_col), F.lit(stride))
+    return (
+        df.filter(F.length(text_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(starts).alias("chunk_start"),
+        )
+        .select(
+            id_col,
+            ((F.col("chunk_start") - 1) / stride).cast("int").alias("chunk_id"),
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.col(text_col)
+            .substr(F.col("chunk_start"), F.lit(chunk_chars))
+            .alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("int"))
+    )
