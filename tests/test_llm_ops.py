@@ -726,3 +726,63 @@ def test_chunk_documents_overlap_and_plan(spark):
     assert "Exchange" not in plan
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_chars=100, overlap=100)
+
+
+def test_frame_sample_real_container(spark, docs):
+    # VID0 round-trip + sampled frames are themselves valid PNGs whose
+    # dims match the generated per-item dimensions
+    from tsdb_parquet_spark.llm.multimodal import (
+        frame_sample,
+        make_video_payload_table,
+        png_decode,
+        video_decode_frames,
+        video_encode,
+    )
+
+    # pure round-trip
+    fr = [b"frame-one", b"f2", b""]
+    assert video_decode_frames(video_encode(fr)) == fr
+
+    vids = make_video_payload_table(spark, docs, n_frames=5)
+    out = frame_sample(vids, every_k=2).collect()
+    by_item: dict[int, list] = {}
+    for r in out:
+        by_item.setdefault(r["item_id"], []).append(r)
+    assert set(by_item) == {0, 1, 2, 3, 4}
+    for iid, rows in by_item.items():
+        # frames 0, 2, 4 of 5
+        assert sorted(r["frame_idx"] for r in rows) == [0, 2, 4]
+        for r in rows:
+            w, h, ch, _ = png_decode(bytes(r["frame"]))
+            assert (w, h) == (r["width"], r["height"]) and ch == 3
+            assert 4 <= w <= 16 and 4 <= h <= 14
+    # frames differ across frame_idx (pixel formula varies per frame)
+    r0, r2 = sorted(by_item[0], key=lambda r: r["frame_idx"])[:2]
+    assert bytes(r0["frame"]) != bytes(r2["frame"])
+
+
+def test_decode_audio_real_wav(spark, docs):
+    from tsdb_parquet_spark.llm.multimodal import (
+        decode_audio,
+        make_audio_payload_table,
+        wav_decode_meta,
+        wav_encode,
+    )
+
+    # pure round-trip: stdlib WAV encode -> RIFF chunk-walk decode
+    rate, n, sa = wav_decode_meta(wav_encode([0, 100, -200, 32767, -32768]))
+    assert (rate, n, sa) == (8000, 5, 100 + 200 + 32767 + 32768)
+
+    out = {r["item_id"]: r for r in
+           decode_audio(make_audio_payload_table(spark, docs)).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    for iid, r in out.items():
+        assert r["sample_rate"] == 8000
+        assert 50 <= r["n_samples"] <= 449
+        assert r["duration_ms"] == r["n_samples"] * 1000 // 8000
+        # exact loudness digest reproducible from the generation formula
+        want = sum(abs(((iid * 31 + i * 97) % 4001) - 2000)
+                   for i in range(r["n_samples"]))
+        assert r["sum_abs"] == want
+    # docs 0 and 1 are exact duplicates -> identical payload length
+    assert out[0]["n_samples"] == out[1]["n_samples"]

@@ -47,10 +47,14 @@ from .corpus import (
     word_ngrams,
 )
 from .multimodal import (
+    decode_audio,
     decode_images,
     extract_features,
     frame_sample_plan,
+    frame_sample,
+    make_audio_payload_table,
     make_image_payload_table,
+    make_video_payload_table,
     make_multimodal_table,
     png_decode,
     png_encode,
@@ -95,6 +99,10 @@ __all__ = [
     "frame_sample_plan",
     "make_multimodal_table",
     "make_image_payload_table",
+    "make_video_payload_table",
+    "make_audio_payload_table",
+    "decode_audio",
+    "frame_sample",
     "png_decode",
     "png_encode",
     "png_resize_nearest",
