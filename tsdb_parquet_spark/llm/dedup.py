@@ -542,11 +542,14 @@ def keep_one_per_cluster(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    method: str = "propagate",
 ) -> DataFrame:
     """End-to-end near-dedup: resolve pairs to clusters, keep the minimum
     id of each cluster, drop every other member.  Documents in no pair
-    pass through untouched (they never join the removal set)."""
-    clusters = neardup_clusters(pairs, id_a, id_b)
+    pass through untouched (they never join the removal set).
+    ``method`` forwards to :func:`neardup_clusters` ("star" for
+    diameter-independent O(log n) resolution on billion-node graphs)."""
+    clusters = neardup_clusters(pairs, id_a, id_b, method=method)
     removals = clusters.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias(id_col)
     )
