@@ -786,3 +786,53 @@ def test_decode_audio_real_wav(spark, docs):
         assert r["sum_abs"] == want
     # docs 0 and 1 are exact duplicates -> identical payload length
     assert out[0]["n_samples"] == out[1]["n_samples"]
+
+
+def test_components_agree_with_union_find(spark):
+    # engine-independent reference: pure-Python union-find cross-checks
+    # BOTH distributed algorithms on graphs of varied shape — empty,
+    # self-loops, duplicate edges, dense blobs, forests of chains
+    import random
+
+    from tsdb_parquet_spark.llm.dedup import (
+        connected_components_star,
+        neardup_clusters,
+    )
+
+    def union_find(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical min-id component per node
+        comp = {}
+        for n in nodes:
+            r = find(n)
+            comp.setdefault(r, []).append(n)
+        return {n: min(members) for r, members in comp.items() for n in members}
+
+    cases = []
+    rng = random.Random(7)
+    cases.append([(i, i) for i in range(5)])                       # self-loops only
+    cases.append([(0, 1), (0, 1), (1, 0)])                         # duplicates both ways
+    cases.append([(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(120)])  # dense blob
+    cases.append([(10 * c + i, 10 * c + i + 1)                     # forest of 6 chains
+                  for c in range(6) for i in range(9)])
+    cases.append([(rng.randint(0, 500), rng.randint(0, 500)) for _ in range(80)])  # sparse
+
+    for edges in cases:
+        nodes = sorted({x for e in edges for x in e})
+        want = union_find(edges, nodes)
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        star = {r["node"]: r["comp"] for r in connected_components_star(df).collect()}
+        prop = {r["node"]: r["comp"] for r in neardup_clusters(df, max_iter=60).collect()}
+        assert star == want, f"star mismatch on {len(edges)}-edge case"
+        assert prop == want, f"propagate mismatch on {len(edges)}-edge case"
