@@ -836,3 +836,49 @@ def test_components_agree_with_union_find(spark):
         prop = {r["node"]: r["comp"] for r in neardup_clusters(df, max_iter=60).collect()}
         assert star == want, f"star mismatch on {len(edges)}-edge case"
         assert prop == want, f"propagate mismatch on {len(edges)}-edge case"
+
+
+def test_bm25_matches_python_reference(spark):
+    from tsdb_parquet_spark.llm.ranking import bm25_rank
+
+    corpus = [
+        (0, "spark join window join join"),
+        (1, "window window hash table scan"),
+        (2, "hash hash hash hash hash hash"),
+        (3, "completely unrelated words here"),
+        (4, "join window hash"),
+    ]
+    terms, k1, b = ["join", "window", "hash"], 1.2, 0.75
+    toks = {i: t.lower().split() for i, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+
+    def ref_score(doc):
+        s = 0.0
+        for t in terms:
+            tf = toks[doc].count(t)
+            if tf == 0:
+                continue
+            idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(toks[doc]) / avgdl)
+            )
+        return s
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: r["bm25"] for r in bm25_rank(df, terms, k1=k1, b=b).collect()}
+    assert 3 not in got  # no query term -> no row
+    for doc in (0, 1, 2, 4):
+        assert got[doc] == pytest.approx(ref_score(doc), abs=1e-6)
+
+
+def test_bm25_rarer_term_outranks_common_at_equal_tf(spark):
+    from tsdb_parquet_spark.llm.ranking import bm25_rank
+
+    # 'rare' appears in 1 doc, 'common' in 9 -> idf(rare) >> idf(common);
+    # equal tf and equal length isolates the idf effect
+    rows = [(0, "rare pad pad")] + [(i, "common pad pad") for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_rank(df, ["rare", "common"], top_k=10).collect()
+    assert out[0]["doc_id"] == 0 and out[0]["bm25"] > out[1]["bm25"]

@@ -151,3 +151,42 @@ def test_cli_rollup_refresh(spark, tmp_path, capsys):
     assert "(series, bucket) rows" in capsys.readouterr().out
     got = read_rollup(spark, rdir)
     assert got.count() == 8  # 2 series x 4 buckets
+
+
+def test_time_weighted_avg_trapezoid(spark):
+    from tsdb_parquet_spark.timeseries import time_weighted_avg
+
+    # series a: value 1.0 for 10s then jumps to 3.0 for 10s ->
+    # trapezoid TWA = (avg(1,1)*10 + avg(1,3)*10) / 20 = 1.5
+    # series b: constant 5.0 -> TWA exactly 5.0 regardless of spacing
+    # series c: single sample -> dropped (no span)
+    rows = [
+        ("a", 0, 1.0), ("a", 10_000, 1.0), ("a", 20_000, 3.0),
+        ("b", 0, 5.0), ("b", 3_000, 5.0), ("b", 40_000, 5.0),
+        ("c", 0, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "label_s string, time long, value double")
+    out = {r["label_s"]: r for r in
+           time_weighted_avg(df, labels=["label_s"]).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["twa"] == pytest.approx(1.5, abs=1e-6)
+    assert out["a"]["span"] == 20_000 and out["a"]["n"] == 3
+    assert out["b"]["twa"] == pytest.approx(5.0, abs=1e-6)
+
+
+def test_ohlc_bars_invariants(spark):
+    from tsdb_parquet_spark.timeseries import ohlc_bars
+
+    rows = [("s", t, v) for t, v in
+            [(0, 2.0), (100, 9.0), (200, 1.0), (300, 4.0),   # bucket 0
+             (1_000, 7.0), (1_100, 7.5)]]                     # bucket 1
+    df = spark.createDataFrame(rows, "label_s string, time long, value double")
+    out = {r["bucket"]: r for r in
+           ohlc_bars(df, step_ms=1_000, labels=["label_s"]).collect()}
+    b0, b1 = out[0], out[1]
+    assert (b0["open_v"], b0["high_v"], b0["low_v"], b0["close_v"]) == (2.0, 9.0, 1.0, 4.0)
+    assert b0["n"] == 4
+    assert (b1["open_v"], b1["close_v"]) == (7.0, 7.5)
+    for r in out.values():  # low <= open/close <= high always
+        assert r["low_v"] <= r["open_v"] <= r["high_v"]
+        assert r["low_v"] <= r["close_v"] <= r["high_v"]

@@ -1,0 +1,111 @@
+"""Lexical relevance ranking (BM25) over a document corpus.
+
+The retrieval complement to ``llm/similarity.py``'s embedding ANN: a
+production RAG pipeline retrieves hybrid — BM25 posting lists for exact
+lexical recall, ANN for semantic recall — so the engine needs both
+halves.  Not in the reference (which stops at TSDB scans); this is part
+of the SURVEY.md §2.2 LLM-data extension surface.
+
+100 TB shape: the only per-document work is tokenize + explode, and the
+exploded stream is filtered to the query's terms BEFORE any shuffle —
+what reaches the (doc, term) aggregate is the postings of |Q| terms, not
+the corpus.  Corpus stats (N, total token count) are a one-row
+aggregate; per-term document frequencies are a |Q|-row broadcast.  The
+final ranking is top-k (TakeOrderedAndProject), never a full sort.  For
+repeated querying at rest, materialize the (doc_id, term, tf, dl)
+postings table once via ``sources.ensure_table`` and skip the tokenize
+pass entirely — this function computes it inline so a single call is
+self-contained.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Explicit whitespace class, not \s: Java's \s includes vertical tab
+# while RE2's (the DuckDB oracle's engine) does not (see
+# llm/text.bpe_ish_tokens) — the explicit class tokenizes identically
+# in both engines.
+_WS = "[ \\t\\n\\r\\f]+"
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_k`` documents by BM25 score against ``query_terms``.
+
+    Okapi BM25 with the standard smoothed idf
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)`` (Robertson/Sparck Jones; the
+    +1 keeps idf positive for terms in >half the corpus, as in Lucene).
+
+    Determinism (the oracle hash-compares doubles): the per-document sum
+    over query terms is assembled as one fixed-order expression
+    ``c0 + c1 + ...`` — each ``ci`` is a conditional aggregate over at
+    most one row, so no float addition depends on partitioning or row
+    order; ``avgdl`` is an exact integer sum divided once; the only
+    libm call is ``ln`` (engines may differ in the last ulp, absorbed by
+    ``round(score, 6)``).  Ties broken by ``doc_id``.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), _WS), lambda w: w != ""
+    )
+    d = docs.select(F.col(doc_id), toks.alias("toks")).select(
+        doc_id, F.size("toks").alias("dl"), "toks"
+    )
+    # one-row corpus stats; exact integer sum, one division
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    # postings restricted to the query terms before the shuffle
+    tf = (
+        d.select(doc_id, "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy(doc_id, "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    # |Q|-row document frequencies, broadcast back onto the postings
+    dft = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("dfreq")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+        + 1.0
+    )
+    contrib = idf * (
+        (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(F.broadcast(stats))
+        .withColumn("contrib", contrib)
+    )
+    # fixed-order assembly: one conditional aggregate per query term,
+    # then a literal left-to-right sum — float order is plan-determined,
+    # not data-determined
+    per_term = [
+        F.sum(F.when(F.col("term") == t, F.col("contrib"))).alias(f"c{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = scored.groupBy(doc_id).agg(*per_term)
+    score = F.coalesce(F.col("c0"), F.lit(0.0))
+    for i in range(1, len(query_terms)):
+        score = score + F.coalesce(F.col(f"c{i}"), F.lit(0.0))
+    return (
+        per_doc.select(doc_id, F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), doc_id)
+        .limit(top_k)
+    )

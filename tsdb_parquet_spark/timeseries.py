@@ -487,6 +487,86 @@ def downsample(
     )
 
 
+def ohlc_bars(
+    df: DataFrame,
+    step_ms: int,
+    labels: list[str] | None = None,
+) -> DataFrame:
+    """Candlestick bars per series per time bucket: open (value at min
+    time), high, low, close (value at max time), sample count — the
+    financial-downsampling sibling of :func:`downsample` (TimescaleDB
+    toolkit's ``ohlc``; not in the reference, SURVEY.md §2.2 window/agg
+    category).
+
+    Same single hash aggregate as downsample — ``min_by``/``max_by``
+    keep open/close inside the agg (no window, no second pass), so the
+    plan is one shuffle on (labels, bucket) with map-side partials.
+    Deterministic given unique timestamps per (series, bucket), which
+    the sorted-write layout (writer.write_sorted) guarantees at rest."""
+    labels = labels or label_columns(df)
+    bucket = (F.col(TIME_COL) / F.lit(step_ms)).cast("bigint").alias("bucket")
+    return df.groupBy(*labels, bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min_by(VALUE_COL, F.col(TIME_COL)).alias("open_v"),
+        F.max(VALUE_COL).alias("high_v"),
+        F.min(VALUE_COL).alias("low_v"),
+        F.max_by(VALUE_COL, F.col(TIME_COL)).alias("close_v"),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    labels: list[str] | None = None,
+    unit: float = 1e-6,
+) -> DataFrame:
+    """Time-weighted average per series over its observed span —
+    trapezoid integration over irregularly-spaced samples (TimescaleDB
+    toolkit's ``time_weight('Linear')``; not in the reference).  A plain
+    ``avg`` over-weights densely-sampled stretches; the trapezoid
+    integral ``Σ (vᵢ+vᵢ₊₁)/2·Δtᵢ / span`` is the honest mean of an
+    irregular series.
+
+    Exactness (the q90 pattern): values pre-scale to integer ``unit``
+    steps (``floor(v/unit + 0.5)``), so every trapezoid area
+    ``(uᵢ+uᵢ₊₁)·Δtᵢ`` is an integer and the per-series sum is exact and
+    order-independent (decimal accumulator — no int64 overflow at any
+    scale); the /2 and unit rescale fold into ONE final double division
+    sequence, identical in the DuckDB oracle.  Series with <2 samples
+    have no span and are dropped (matching the oracle's inner-LAG
+    semantics).
+
+    Plan: one exchange on labels + per-series sort feeding a lag window,
+    then a hash agg reusing the window's partitioning — the
+    counter-rate family's shape (operators/windows.py); at rest the
+    sorted layout makes the sort a no-op."""
+    from pyspark.sql import Window
+
+    labels = labels or label_columns(df)
+    w = Window.partitionBy(*labels).orderBy(TIME_COL)
+    u = F.floor(F.col(VALUE_COL) / F.lit(unit) + F.lit(0.5))
+    seg = (u + F.lag(u).over(w)) * (
+        F.col(TIME_COL) - F.lag(TIME_COL).over(w)
+    )
+    per = df.select(
+        *labels,
+        F.col(TIME_COL),
+        seg.cast("decimal(38,0)").alias("seg"),
+    )
+    out = per.groupBy(*labels).agg(
+        F.sum("seg").alias("seg_sum"),
+        (F.max(TIME_COL) - F.min(TIME_COL)).alias("span"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # (sum/span)/2*unit — each step is one IEEE op on the same operands
+    # in both engines (2.0/unit pre-folded would not be an exact double)
+    twa = (
+        F.col("seg_sum").cast("double") / F.col("span").cast("double")
+    ) / F.lit(2.0) * F.lit(unit)
+    return out.filter(F.col("n") >= 2).select(
+        *labels, "n", "span", F.round(twa, 6).alias("twa")
+    )
+
+
 def table_meta(df: DataFrame) -> DataFrame:
     """Row-count + time-span summary (the oracle-checkable half of the
     reference's metadata inspection, R22/Q8; per-row-group footer details
