@@ -882,3 +882,46 @@ def test_bm25_rarer_term_outranks_common_at_equal_tf(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = bm25_rank(df, ["rare", "common"], top_k=10).collect()
     assert out[0]["doc_id"] == 0 and out[0]["bm25"] > out[1]["bm25"]
+
+
+def test_ivf_at_rest_layout_prunes_partitions(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((120, 8)).astype(np.float32)
+    src = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(src)
+    build = lambda: spark.read.parquet(src)
+    qvec = [float(x) for x in vecs[0]]
+
+    tbl = llm.ensure_ivf_layout(spark, "ann_ivf_test", build, dim=8,
+                                num_centroids=4, source_paths=src)
+    # every vector lands in exactly one cell; all cells within range
+    assert tbl.count() == 120
+    cells = [r["cell"] for r in tbl.select("cell").distinct().collect()]
+    assert all(0 <= c <= 3 for c in cells) and len(cells) >= 2
+
+    out = llm.ivf_topk_at_rest(spark, "ann_ivf_test", qvec, k=3, nprobe=2,
+                               source_paths=src)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # planning-time pruning: the cell filter reaches PartitionFilters,
+    # not a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    got = [r["vec_id"] for r in out.collect()]
+    assert got[0] == 0  # the query vector itself is its own top-1
+
+    # second call must reuse the persisted layout (no rebuild): drop the
+    # catalog entries to force the on-disk DDL re-registration path
+    from tsdb_parquet_spark.sources import source_fingerprint
+    fp = source_fingerprint(src)
+    spark.sql(f"DROP TABLE IF EXISTS `ann_ivf_test_{fp}`")
+    tbl2 = llm.ensure_ivf_layout(spark, "ann_ivf_test", build, dim=8,
+                                 num_centroids=4, source_paths=src)
+    assert tbl2.count() == 120
+    out2 = [r["vec_id"] for r in
+            llm.ivf_topk_at_rest(spark, "ann_ivf_test", qvec, k=3, nprobe=2,
+                                 source_paths=src).collect()]
+    assert out2 == got  # identical probe across sessions/registrations

@@ -24,7 +24,9 @@ from .dedup import (
 from .similarity import (
     cosine_cols,
     cosine_topk_exact,
+    ensure_ivf_layout,
     ivf_topk,
+    ivf_topk_at_rest,
     lsh_bucketed_ann,
     vector_lit,
 )
@@ -76,7 +78,9 @@ __all__ = [
     "keep_one_per_cluster",
     "cosine_cols",
     "cosine_topk_exact",
+    "ensure_ivf_layout",
     "ivf_topk",
+    "ivf_topk_at_rest",
     "lsh_bucketed_ann",
     "vector_lit",
     "tokenize_counts",

@@ -204,6 +204,46 @@ def lsh_bucketed_ann(
     )
 
 
+def _train_centroids(
+    df: DataFrame,
+    dim: int,
+    num_centroids: int,
+    emb_col: str,
+    seed: int,
+    sample_fraction: float,
+) -> np.ndarray:
+    """Lloyd k-means on a bounded driver-side sample (capped at
+    ``num_centroids * 64`` rows — a metadata-sized hop at any data
+    scale).  The operator contract is the partition layout, not cluster
+    quality; swap in pyspark.ml KMeans for production centroids."""
+    sample = np.array(
+        df.select(emb_col).sample(fraction=min(1.0, sample_fraction), seed=seed)
+        .limit(num_centroids * 64).collect()
+    ).reshape(-1, dim).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(num_centroids, len(sample)), replace=False)
+    centroids = sample[idx]
+    for _ in range(5):  # a few Lloyd iterations on the sample
+        d = sample @ centroids.T
+        assign = d.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _cell_assignment(centroids: np.ndarray, emb_col: str) -> Column:
+    """Nearest-cell id as one JVM expression: argmax over centroid dots —
+    the assignment stays in whole-stage codegen, no Python per row."""
+    cells = F.array(*[
+        F.struct(dot_cols(F.col(emb_col), vector_lit(c)).alias("d"),
+                 F.lit(i).alias("cell"))
+        for i, c in enumerate(centroids)
+    ])
+    return F.array_max(cells)["cell"]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -223,32 +263,15 @@ def ivf_topk(
     → exact cosine rerank within probed cells.
 
     At scale the assignment is written once (``partitionBy(cell)``) and
-    queries prune to nprobe cells.  The k-means here is deliberately simple
-    (Lloyd on a driver sample) — the operator's contract is the *layout*,
-    not the clustering quality.
+    queries prune to nprobe cells — :func:`ensure_ivf_layout` /
+    :func:`ivf_topk_at_rest` are that persisted form.  The k-means here
+    is deliberately simple (Lloyd on a driver sample) — the operator's
+    contract is the *layout*, not the clustering quality.
     """
-    sample = np.array(
-        df.select(emb_col).sample(fraction=min(1.0, sample_fraction), seed=seed)
-        .limit(num_centroids * 64).collect()
-    ).reshape(-1, len(query_vec)).astype(np.float64)
-    rng = np.random.RandomState(seed)
-    idx = rng.choice(len(sample), size=min(num_centroids, len(sample)), replace=False)
-    centroids = sample[idx]
-    for _ in range(5):  # a few Lloyd iterations on the sample
-        d = sample @ centroids.T
-        assign = d.argmax(axis=1)
-        for c in range(len(centroids)):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-
-    # nearest-cell assignment as one JVM expression: argmax over centroid dots
-    cells = F.array(*[
-        F.struct(dot_cols(F.col(emb_col), vector_lit(c)).alias("d"),
-                 F.lit(i).alias("cell"))
-        for i, c in enumerate(centroids)
-    ])
-    best = F.array_max(cells)["cell"]
+    centroids = _train_centroids(
+        df, len(query_vec), num_centroids, emb_col, seed, sample_fraction
+    )
+    best = _cell_assignment(centroids, emb_col)
 
     qv = np.asarray(query_vec, dtype=np.float64)
     order = np.argsort([-float(np.dot(c, qv)) for c in centroids])
@@ -258,6 +281,97 @@ def ivf_topk(
     return (
         df.withColumn("_cell", best)
         .filter(F.col("_cell").isin(probe_cells))
+        .select(F.col(id_col), sim.alias(sim_alias))
+        .orderBy(F.desc(sim_alias), id_col)
+        .limit(k)
+    )
+
+
+def ensure_ivf_layout(
+    spark,
+    name: str,
+    build_df,
+    dim: int,
+    num_centroids: int = 16,
+    emb_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float = 0.1,
+    source_paths: str | list[str] | None = None,
+) -> DataFrame:
+    """The PERSISTED form of :func:`ivf_topk`'s cell layout: assign every
+    vector to its nearest centroid once, write hive-partitioned by
+    ``cell`` (``sources.ensure_table(partition_by=["cell"])`` — same
+    fingerprint staleness, catalog/DDL/write resolution), and store the
+    trained centroids alongside as a ``{name}_centroids`` table so a
+    cold session probes the SAME cells (retraining on a resampled
+    driver sample would silently move cell boundaries between sessions).
+
+    At 100 TB this is the difference between ANN as a full scan with a
+    cheap filter and ANN as planning-time partition pruning: a probe of
+    ``nprobe`` of ``num_centroids`` cells reads ~nprobe/num_centroids of
+    the bytes, verified by ``PartitionFilters`` in the scan node
+    (tests/test_llm_ops.py plan assertion)."""
+    from ..sources import _drop_stale_siblings, ensure_table, source_fingerprint
+
+    fp = source_fingerprint(source_paths) if source_paths is not None else None
+    cname = f"{name}_centroids" if fp is None else f"{name}_centroids_{fp}"
+    if fp is not None:
+        _drop_stale_siblings(spark, f"{name}_centroids", keep=cname)
+    if spark.catalog.tableExists(cname):
+        rows = spark.table(cname).orderBy("cell").collect()
+        centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    else:
+        centroids = _train_centroids(
+            build_df(), dim, num_centroids, emb_col, seed, sample_fraction
+        )
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        ).write.mode("overwrite").format("parquet").saveAsTable(cname)
+
+    def _assigned():
+        return build_df().withColumn(
+            "cell", _cell_assignment(centroids, emb_col)
+        )
+
+    return ensure_table(
+        spark, name, _assigned,
+        source_paths=source_paths, partition_by="cell",
+    )
+
+
+def ivf_topk_at_rest(
+    spark,
+    name: str,
+    query_vec: Sequence[float],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    source_paths: str | list[str] | None = None,
+    sim_alias: str = "sim",
+    round_dp: int = 4,
+) -> DataFrame:
+    """ANN probe against an :func:`ensure_ivf_layout` table: rank the
+    persisted centroids by query dot (a ≤num_centroids-row driver hop),
+    read ONLY the ``nprobe`` nearest cell partitions (planning-time
+    pruning — the scan never opens the other directories), exact cosine
+    rerank within them, TakeOrderedAndProject top-k."""
+    from ..sources import source_fingerprint
+
+    fp = source_fingerprint(source_paths) if source_paths is not None else None
+    tname = name if fp is None else f"{name}_{fp}"
+    cname = f"{name}_centroids" if fp is None else f"{name}_centroids_{fp}"
+    rows = spark.table(cname).orderBy("cell").collect()
+    centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort([-float(np.dot(c, qv)) for c in centroids])
+    probe_cells = [int(c) for c in order[:nprobe]]
+
+    sim = F.round(cosine_cols(F.col(emb_col), vector_lit(query_vec)), round_dp)
+    return (
+        spark.table(tname)
+        .filter(F.col("cell").isin(probe_cells))
         .select(F.col(id_col), sim.alias(sim_alias))
         .orderBy(F.desc(sim_alias), id_col)
         .limit(k)

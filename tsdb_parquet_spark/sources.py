@@ -228,16 +228,24 @@ def ensure_table(
     table_name: str,
     build_df,
     source_paths: str | list[str] | None = None,
+    partition_by: str | list[str] | None = None,
 ) -> DataFrame:
     """Idempotent UNBUCKETED managed parquet table — the plain-layout
     sibling of :func:`ensure_bucketed_table` (same catalog → disk →
     write resolution order, same source fingerprint in the name, same
     stale-sibling cleanup).  For small derived dimensions (e.g. the
     series dictionary of :func:`~tsdb_parquet_spark.timeseries.
-    ensure_series_dim_layout`) where bucket metadata buys nothing."""
+    ensure_series_dim_layout`) where bucket metadata buys nothing.
+
+    ``partition_by``: hive-partition the layout on these columns —
+    queries filtering on them prune whole directories at planning time
+    (the ANN cell layout of ``llm/similarity.ensure_ivf_layout``).  A
+    partitioned write still commits a root ``_SUCCESS``, so the on-disk
+    re-registration path only additionally needs partition recovery."""
     import os
     import shutil
 
+    pcols = _as_cols(partition_by)
     if source_paths is not None:
         base = table_name
         table_name = f"{base}_{source_fingerprint(source_paths)}"
@@ -255,14 +263,24 @@ def ensure_table(
         schema_ddl = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
         )
+        part = (
+            "PARTITIONED BY (" + ", ".join(f"`{c}`" for c in pcols) + ") "
+            if pcols
+            else ""
+        )
         spark.sql(
             f"CREATE TABLE `{table_name}` ({schema_ddl}) USING parquet "
-            f"LOCATION '{loc}'"
+            f"{part}LOCATION '{loc}'"
         )
+        if pcols:
+            spark.sql(f"ALTER TABLE `{table_name}` RECOVER PARTITIONS")
         return spark.table(table_name)
     if os.path.exists(loc):
         shutil.rmtree(loc)
-    build_df().write.mode("overwrite").format("parquet").saveAsTable(table_name)
+    writer = build_df().write.mode("overwrite").format("parquet")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.saveAsTable(table_name)
     return spark.table(table_name)
 
 
