@@ -925,3 +925,24 @@ def test_ivf_at_rest_layout_prunes_partitions(spark, tmp_path):
             llm.ivf_topk_at_rest(spark, "ann_ivf_test", qvec, k=3, nprobe=2,
                                  source_paths=src).collect()]
     assert out2 == got  # identical probe across sessions/registrations
+
+
+def test_bm25_indexed_matches_inline_and_prunes_buckets(spark, tmp_path):
+    from tsdb_parquet_spark.llm.ranking import bm25_rank, bm25_rank_indexed
+
+    rows = [(i, f"alpha beta gamma term{i % 7} alpha") for i in range(40)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    build = lambda: spark.read.parquet(src)
+    terms = ["alpha", "term3"]
+
+    inline = bm25_rank(build(), terms, top_k=10).collect()
+    idx = bm25_rank_indexed(spark, "bm25_idx_test", build, terms, top_k=10,
+                            source_paths=src)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    # the term filter prunes buckets at planning time — the scan opens
+    # only the buckets holding the query terms, not all 16
+    import re
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2))
+    assert idx.collect() == inline  # identical scores, identical order

@@ -55,24 +55,52 @@ def bm25_rank(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    d = _tokenized(docs, doc_id, text_col)
+    # one-row corpus stats; exact integer sum, one division
+    stats = _corpus_stats(d)
+    # postings restricted to the query terms before the shuffle
+    tf = _postings(d, doc_id).filter(
+        F.col("term").isin(list(query_terms))
+    )
+    return _score_topk(tf, stats, query_terms, k1, b, top_k, doc_id)
+
+
+def _tokenized(docs: DataFrame, doc_id: str, text_col: str) -> DataFrame:
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), _WS), lambda w: w != ""
     )
-    d = docs.select(F.col(doc_id), toks.alias("toks")).select(
+    return docs.select(F.col(doc_id), toks.alias("toks")).select(
         doc_id, F.size("toks").alias("dl"), "toks"
     )
-    # one-row corpus stats; exact integer sum, one division
-    stats = d.agg(
+
+
+def _corpus_stats(d: DataFrame) -> DataFrame:
+    return d.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    # postings restricted to the query terms before the shuffle
-    tf = (
+
+
+def _postings(d: DataFrame, doc_id: str) -> DataFrame:
+    return (
         d.select(doc_id, "dl", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(list(query_terms)))
         .groupBy(doc_id, "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
+
+
+def _score_topk(
+    tf: DataFrame,
+    stats: DataFrame,
+    query_terms: list[str],
+    k1: float,
+    b: float,
+    top_k: int,
+    doc_id: str,
+) -> DataFrame:
+    """Shared scoring tail: per-term document frequencies from the (already
+    query-term-restricted) postings, smoothed-idf contributions, fixed-order
+    per-document assembly, top-k."""
     # |Q|-row document frequencies, broadcast back onto the postings
     dft = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("dfreq")
@@ -109,3 +137,46 @@ def bm25_rank(
         .orderBy(F.desc("bm25"), doc_id)
         .limit(top_k)
     )
+
+
+def bm25_rank_indexed(
+    spark,
+    name: str,
+    build_docs,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    num_buckets: int = 16,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    source_paths: str | list[str] | None = None,
+) -> DataFrame:
+    """:func:`bm25_rank` served from a PERSISTED inverted index — the
+    at-rest rung of the lexical-ranking ladder, exactly q09_mv's pattern
+    applied to retrieval: tokenize the corpus ONCE into a
+    (doc_id, dl, term, tf) postings table bucketed+sorted by ``term``
+    (``sources.ensure_bucketed_table`` — fingerprint staleness, cheap
+    no-op when current), with the one-row corpus stats stored alongside;
+    every query then reads only the buckets holding its terms (bucket
+    pruning: ``SelectedBucketsCount`` in the scan, plan-asserted in
+    tests) — at 100 TB the per-query cost is O(postings of |Q| terms),
+    independent of corpus size, and no tokenization happens at query
+    time.  Identical arithmetic to :func:`bm25_rank` (same oracle)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    from ..sources import ensure_bucketed_table, ensure_table
+
+    post = ensure_bucketed_table(
+        spark, name,
+        lambda: _postings(_tokenized(build_docs(), doc_id, text_col), doc_id),
+        bucket_col="term", num_buckets=num_buckets, sort_col="term",
+        source_paths=source_paths,
+    )
+    stats = ensure_table(
+        spark, f"{name}_stats",
+        lambda: _corpus_stats(_tokenized(build_docs(), doc_id, text_col)),
+        source_paths=source_paths,
+    )
+    tf = post.filter(F.col("term").isin(list(query_terms)))
+    return _score_topk(tf, stats, query_terms, k1, b, top_k, doc_id)
