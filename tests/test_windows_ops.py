@@ -198,3 +198,15 @@ def test_distributed_cumsum_matches_single_window(spark):
     # empty input doesn't crash the bounds probe
     empty = spark.createDataFrame([], "k long, v int")
     assert distributed_cumsum(empty, "k", "v").count() == 0
+
+
+def test_interval_concurrency_sweep(spark):
+    from tsdb_parquet_spark.operators.prefix import interval_concurrency
+
+    # [0,10) [5,15) [10,20): at t=10 the first ends as the third starts
+    # (end-exclusive -> no double count); plus an instant-tie pair
+    iv = [(0, 10), (5, 15), (10, 20), (30, 40), (30, 35)]
+    df = spark.createDataFrame(iv, "s long, e long")
+    got = {r["t"]: r["concurrent"] for r in
+           interval_concurrency(df, "s", "e", num_buckets=3).collect()}
+    assert got == {0: 1, 5: 2, 10: 2, 15: 1, 20: 0, 30: 2, 35: 1, 40: 0}

@@ -12,10 +12,11 @@ from .aggregates import grouped_agg, rollup_agg
 from .windows import top_k_per_group, lag_moving_avg, sessionize
 from .setops import intersect_sorted, except_sorted, union_distinct_sorted
 from .sort import global_top_k
-from .prefix import distributed_cumsum, packed_sequences
+from .prefix import distributed_cumsum, interval_concurrency, packed_sequences
 
 __all__ = [
     "distributed_cumsum",
+    "interval_concurrency",
     "packed_sequences",
     "broadcast_join",
     "equi_join",

@@ -93,6 +93,44 @@ def distributed_cumsum(
     ).drop("_pfx_bucket")
 
 
+def interval_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    t_alias: str = "t",
+    alias: str = "concurrent",
+    **cumsum_opts,
+) -> DataFrame:
+    """How many intervals are active at each boundary instant — the
+    sweep-line aggregation (active sessions / concurrent requests /
+    resource occupancy over time) that plain SQL needs a window over a
+    TOTAL order for, and that naive Spark therefore executes in one
+    task.
+
+    Classic sweep-line, distributed: each interval emits (+1 at start,
+    −1 at end) — end-exclusive, so an interval ending exactly when
+    another starts never double-counts — boundary deltas pre-aggregate
+    per instant (making the order key unique and shrinking the stream
+    to distinct boundaries), then :func:`distributed_cumsum` produces
+    the running active count fully in parallel.  Output: one row per
+    distinct boundary ``t`` with the count active on [t, next boundary).
+
+    100 TB shape: two map stages + one hash agg + the prefix machinery's
+    single bucketed window — no single-partition window anywhere.
+    """
+    starts = df.select(F.col(start_col).alias(t_alias), F.lit(1).alias("_d"))
+    ends = df.select(F.col(end_col).alias(t_alias), F.lit(-1).alias("_d"))
+    deltas = (
+        starts.unionAll(ends)
+        .groupBy(t_alias)
+        .agg(F.sum("_d").alias("_d"))
+    )
+    out = distributed_cumsum(
+        deltas, t_alias, "_d", alias=alias, **cumsum_opts
+    )
+    return out.select(t_alias, F.col(alias).cast("long").alias(alias))
+
+
 def packed_sequences(
     df: DataFrame,
     order_col: str,
