@@ -190,3 +190,51 @@ def test_ohlc_bars_invariants(spark):
     for r in out.values():  # low <= open/close <= high always
         assert r["low_v"] <= r["open_v"] <= r["high_v"]
         assert r["low_v"] <= r["close_v"] <= r["high_v"]
+
+
+def test_lttb_matches_python_reference(spark):
+    import numpy as np
+
+    from tsdb_parquet_spark.timeseries import lttb_downsample
+
+    rng = np.random.RandomState(5)
+    n, n_out = 200, 12
+    t = np.arange(n) * 1000
+    v = np.cumsum(rng.standard_normal(n))
+    rows = [("s", int(ti), float(vi)) for ti, vi in zip(t, v)]
+    df = spark.createDataFrame(rows, "label_s string, time long, value double")
+    got = [(r["time"], r["value"]) for r in
+           lttb_downsample(df, n_out, labels=["label_s"])
+           .orderBy("time").collect()]
+
+    # independent scalar-loop reference (Steinarsson 2013 pseudocode)
+    def ref(t, v, n_out):
+        n = len(t)
+        every = (n - 2) / (n_out - 2)
+        sel, a = [0], 0
+        for i in range(n_out - 2):
+            lo = int(i * every) + 1
+            hi = min(int((i + 1) * every) + 1, n - 1)
+            nlo, nhi = hi, min(int((i + 2) * every) + 1, n)
+            if nhi > nlo:
+                avg_t = sum(t[nlo:nhi]) / (nhi - nlo)
+                avg_v = sum(v[nlo:nhi]) / (nhi - nlo)
+            else:
+                avg_t, avg_v = t[n - 1], v[n - 1]
+            best, best_area = lo, -1.0
+            for j in range(lo, hi):
+                area = abs((t[a] - avg_t) * (v[j] - v[a])
+                           - (t[a] - t[j]) * (v[a] - avg_v))
+                if area > best_area:
+                    best, best_area = j, area
+            sel.append(best)
+            a = best
+        sel.append(n - 1)
+        return sel
+
+    want = [(int(t[i]), float(v[i])) for i in ref(list(t), list(v), n_out)]
+    assert got == want
+    assert got[0][0] == 0 and got[-1][0] == (n - 1) * 1000  # endpoints kept
+    # short series pass through untouched
+    short = spark.createDataFrame(rows[:5], "label_s string, time long, value double")
+    assert lttb_downsample(short, n_out, labels=["label_s"]).count() == 5

@@ -514,6 +514,72 @@ def ohlc_bars(
     )
 
 
+def lttb_downsample(
+    df: DataFrame,
+    n_out: int,
+    labels: list[str] | None = None,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per series
+    (Steinarsson 2013; TimescaleDB toolkit ``lttb`` / Grafana) — pick
+    ``n_out`` visually-representative points: first and last always
+    kept, each middle bucket contributes the point maximizing the
+    triangle area with the previously SELECTED point and the next
+    bucket's centroid.
+
+    The previously-selected-point dependency makes this a per-series
+    sequential recurrence — the designated ``applyInPandas`` family
+    (SURVEY.md §7.2, same class as promql.holt_winters): one Arrow
+    group per series, numpy-vectorized per bucket inside the group,
+    series-parallel across executors; one shuffle on labels.
+    Deterministic: ties take the earliest point (np.argmax).  Memory
+    bound = one series per task, the family's documented constraint —
+    for unbounded retention, pre-downsample with :func:`downsample`
+    first (LTTB composes: it is itself a downsampler).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_out < 3:
+        raise ValueError("n_out must be >= 3 (first + last + one bucket)")
+    labels = labels or label_columns(df)
+    out_schema = ", ".join(
+        [f"`{c}` string" for c in labels]
+        + [f"`{TIME_COL}` bigint", f"`{VALUE_COL}` double"]
+    )
+    cols = [*labels, TIME_COL, VALUE_COL]
+
+    def _select(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(TIME_COL)
+        n = len(pdf)
+        if n <= n_out:
+            return pdf[cols]
+        t = pdf[TIME_COL].to_numpy(dtype=np.float64)
+        v = pdf[VALUE_COL].to_numpy(dtype=np.float64)
+        every = (n - 2) / (n_out - 2)
+        sel = [0]
+        a = 0
+        for i in range(n_out - 2):
+            lo = int(i * every) + 1
+            hi = min(int((i + 1) * every) + 1, n - 1)
+            nlo, nhi = hi, min(int((i + 2) * every) + 1, n)
+            avg_t = t[nlo:nhi].mean() if nhi > nlo else t[n - 1]
+            avg_v = v[nlo:nhi].mean() if nhi > nlo else v[n - 1]
+            area = np.abs(
+                (t[a] - avg_t) * (v[lo:hi] - v[a])
+                - (t[a] - t[lo:hi]) * (v[a] - avg_v)
+            )
+            a = lo + int(np.argmax(area))
+            sel.append(a)
+        sel.append(n - 1)
+        return pdf.iloc[sel][cols]
+
+    return (
+        df.select(*cols)
+        .groupBy(*labels)
+        .applyInPandas(_select, out_schema)
+    )
+
+
 def time_weighted_avg(
     df: DataFrame,
     labels: list[str] | None = None,
