@@ -523,3 +523,85 @@ def test_absent_over_time_range(spark, mini):
     absent_steps = sorted(r["step_ts"] for r in out)
     assert all(r["value"] == 1.0 for r in out)
     assert absent_steps == [4000, 5000, 6000, 7000, 8000, 9000, 10000]
+
+
+def test_arithmetic_precedence_property():
+    """The parse TREE must encode PromQL operator precedence: folding the
+    AST of a random scalar expression equals Python's evaluation of the
+    same string.  (Pure parser property — no Spark session involved.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def fold(n):
+        if isinstance(n, Scalar):
+            return n.value
+        assert isinstance(n, BinOp), type(n)
+        a, b = fold(n.left), fold(n.right)
+        return {
+            "+": lambda: a + b,
+            "-": lambda: a - b,
+            "*": lambda: a * b,
+            "/": lambda: a / b,
+        }[n.op]()
+
+    # positive decimal literals keep / and - unambiguous with signs
+    lit = st.integers(1, 99).map(lambda i: f"{i}.5")
+    expr = st.recursive(
+        lit,
+        lambda kids: st.tuples(
+            kids, st.sampled_from("+-*/"), kids, st.booleans()
+        ).map(lambda t: (f"({t[0]} {t[1]} {t[2]})" if t[3]
+                         else f"{t[0]} {t[1]} {t[2]}")),
+        max_leaves=12,
+    )
+
+    @given(expr)
+    @settings(max_examples=200, deadline=None)
+    def check(s):
+        from hypothesis import assume
+
+        try:
+            want = eval(s)  # Python shares precedence for + - * / and parens
+        except ZeroDivisionError:
+            assume(False)  # a subexpression folded to a zero divisor
+        got = fold(parse_expr(s))
+        assert got == pytest.approx(want, rel=1e-12)
+
+    check()
+
+
+def test_duration_property_all_units():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    units = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+             "d": 86_400_000, "w": 604_800_000}
+
+    @given(st.integers(1, 10_000), st.sampled_from(sorted(units)))
+    @settings(max_examples=100, deadline=None)
+    def check(n, u):
+        assert parse_duration_ms(f"{n}{u}") == n * units[u]
+
+    check()
+
+
+def test_parser_fuzz_raises_cleanly():
+    """Random token soup must either parse or raise ValueError — never a
+    hang, never an internal exception type leaking to the caller."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    token = st.sampled_from(
+        ["sum", "rate", "(", ")", "[", "]", "{", "}", ",", "+", "*",
+         "by", "m", "5m", "1.5", "handler", '"x"', "=", "!=", "offset", "@"]
+    )
+
+    @given(st.lists(token, min_size=1, max_size=12).map(" ".join))
+    @settings(max_examples=300, deadline=None)
+    def check(s):
+        try:
+            parse_expr(s)
+        except ValueError:
+            pass
+
+    check()
