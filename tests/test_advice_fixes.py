@@ -208,3 +208,35 @@ def test_sessionize_and_rate_pin_escape_hatch(spark):
     c = counter_rate_agg(ts, ["label_name"], pin=False).collect()
     assert a[0]["increase"] == b[0]["increase"] == 4.0
     assert c[0]["increase"] == 4.0
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    from tsdb_parquet_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 25), ("k", 40), ("k", 100)], "key string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("k", 20, 2.0), ("k", 30, 3.0)], "key string, ts long, value double"
+    )
+
+    def run(**kw):
+        return {r["ts"]: r["v"] for r in
+                asof_join(left, right, "key", "ts", "value", alias="v",
+                          **kw).collect()}
+
+    # backward: latest right at ts<=left
+    assert run() == {10: None, 25: 2.0, 40: 3.0, 100: 3.0}
+    # forward: earliest right at ts>=left
+    assert run(direction="forward") == {10: 2.0, 25: 3.0, 40: None, 100: None}
+    # nearest: closest either side; 25 is equidistant (5 vs 5) -> backward
+    assert run(direction="nearest") == {10: 2.0, 25: 2.0, 40: 3.0, 100: 3.0}
+    # tolerance in the ts column's unit: 100 is 70 away -> NULLed
+    assert run(direction="nearest", tolerance=15) == {
+        10: 2.0, 25: 2.0, 40: 3.0, 100: None}
+    # inclusive on exact ties in every direction
+    exact = spark.createDataFrame([("k", 20)], "key string, ts long")
+    for d in ("backward", "forward", "nearest"):
+        got = asof_join(exact, right, "key", "ts", "value", alias="v",
+                        direction=d).first()["v"]
+        assert got == 2.0, d

@@ -77,50 +77,97 @@ def asof_join(
     ts_col: str,
     right_value_col: str,
     alias: str = "asof_val",
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the value of the latest
-    right row with ``right.ts <= left.ts`` and the same ``key`` (left rows
-    with no prior right row keep NULL) — the time-series join Spark lacks
-    as a built-in (SURVEY.md §2.2 "Joins": as-of via window over unioned
+    """As-of join with pandas ``merge_asof`` direction semantics: for
+    each left row, the value of the matched right row with the same
+    ``key`` (NULL when none) — the time-series join Spark lacks as a
+    built-in (SURVEY.md §2.2 "Joins": as-of via window over unioned
     keys).
 
+    ``direction``: ``"backward"`` (default) matches the latest right row
+    with ``right.ts <= left.ts``; ``"forward"`` the earliest with
+    ``right.ts >= left.ts``; ``"nearest"`` whichever of the two is
+    closer in time, ties to backward (pandas resolves nearest-ties to
+    the prior row).  ``tolerance`` NULLs any match farther than the
+    tolerance — late-joining reference data past its validity window;
+    its unit is ``ts_col``'s own unit for numeric ts columns and
+    MICROSECONDS for timestamp columns (distances are computed on
+    ``unix_micros``).
+
     Implementation: union-tag-window.  Tag right rows 0 / left rows 1,
-    sort within each key by (ts, tag) — right-before-left on ties makes the
-    join inclusive — and carry the *matched right row* forward with
-    ``last(ignorenulls)`` over an unbounded-preceding frame, then keep the
-    left rows.  The carried payload is a struct (non-null for every right
-    row, null for left rows), so a matched right row whose VALUE is NULL
-    still wins the carry and the join returns that NULL — matching DuckDB
-    ASOF semantics — instead of skipping back to an older non-null value
-    (round-3 advisor finding).
+    sort within each key by (ts, tag) — right-before-left on ties makes
+    the join inclusive — and carry the *matched right row* with
+    ``last(ignorenulls)`` over an unbounded-preceding frame (the
+    forward carry is the same frame over the DESCENDING sort), then
+    keep the left rows.  The carried payload is a struct holding both
+    the value and the matched ts (non-null for every right row, null
+    for left rows), so a matched right row whose VALUE is NULL still
+    wins the carry and the join returns that NULL — matching DuckDB
+    ASOF semantics — instead of skipping back to an older non-null
+    value (round-3 advisor finding).
 
     Scale notes: ONE shuffle on ``key`` (the window partition), no join
     node at all — this beats the naive per-left-row range join (which
     explodes to per-key cross products) and is the classic distributed
-    as-of plan.  Right rows should be unique per (key, ts); pre-aggregate
-    if not.
+    as-of plan; ``nearest`` re-sorts the same partitioning for the
+    second carry but never re-shuffles.  Right rows should be unique
+    per (key, ts); pre-aggregate if not.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"bad direction {direction!r}")
+    vtype = dict(right.dtypes)[right_value_col]
+    ttype = dict(right.dtypes)[ts_col]
     l_tagged = left.withColumn("_is_left", F.lit(1)).withColumn(
-        "_r", F.lit(None).cast(f"struct<v:{dict(right.dtypes)[right_value_col]}>")
+        "_r", F.lit(None).cast(f"struct<v:{vtype},t:{ttype}>")
     )
     r_tagged = right.select(
         F.col(key),
         F.col(ts_col),
-        F.struct(F.col(right_value_col).alias("v")).alias("_r"),
+        F.struct(
+            F.col(right_value_col).alias("v"), F.col(ts_col).alias("t")
+        ).alias("_r"),
     ).withColumn("_is_left", F.lit(0))
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col(ts_col).asc(), F.col("_is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    def _carry(desc: bool):
+        order = F.col(ts_col).desc() if desc else F.col(ts_col).asc()
+        w = (
+            Window.partitionBy(key)
+            .orderBy(order, F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("_r", ignorenulls=True).over(w)
+
+    def _num(c):
+        # numeric time axis for distance arithmetic (intervals from raw
+        # timestamp subtraction don't support abs/threshold comparison)
+        return F.unix_micros(c) if ttype.startswith("timestamp") else c
+
+    if direction == "backward":
+        m = _carry(desc=False)
+    elif direction == "forward":
+        m = _carry(desc=True)
+    else:
+        b, f = _carry(desc=False), _carry(desc=True)
+        bd = _num(F.col(ts_col)) - _num(b["t"])
+        fd = _num(f["t"]) - _num(F.col(ts_col))
+        m = F.when(b.isNull(), f).when(f.isNull(), b).otherwise(
+            F.when(bd <= fd, b).otherwise(f)  # ties to backward
+        )
+    out = u.withColumn("_m", m)
+    if tolerance is not None:
+        dist = F.abs(_num(F.col(ts_col)) - _num(F.col("_m")["t"]))
+        out = out.withColumn(
+            "_m", F.when(dist <= tolerance, F.col("_m"))
+        )
     return (
-        u.withColumn(alias, F.last("_r", ignorenulls=True).over(w)["v"])
+        out.withColumn(alias, F.col("_m")["v"])
         .filter(F.col("_is_left") == 1)
-        .drop("_is_left", "_r")
+        .drop("_is_left", "_r", "_m")
     )
 
 
