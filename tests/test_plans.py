@@ -264,3 +264,41 @@ def test_sample_mixture_pure_map_stage(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Generate explode" in plan  # the epoch fan-out is the only blowup
+
+
+def test_q91_bm25_takeordered_broadcast_no_smj(entry, spark):
+    plan = plan_of(entry.q91_bm25_rank(spark, SF))
+    assert "TakeOrderedAndProject" in plan   # top-k, never a global sort
+    assert "BroadcastHashJoin" in plan       # |Q|-row dfreq broadcast
+    assert "SortMergeJoin" not in plan       # nothing shuffles to join
+    assert "CartesianProduct" not in plan    # 1-row stats is a broadcast NLJ
+
+
+def test_q92_twa_agg_reuses_window_partitioning(entry, spark):
+    # lag window on labels + final agg on labels: the agg must reuse the
+    # window's exchange — one data shuffle, plus only the output sort
+    plan = plan_of(entry.q92_time_weighted_avg(spark, SF))
+    hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert hash_exchanges == 1, plan[:800]
+
+
+def test_q94_concurrency_no_single_partition_window(entry, spark):
+    # the sweep-line must never fall into the global-order trap: every
+    # window is partitioned by the prefix bucket, none runs unpartitioned
+    plan = plan_of(entry.q94_concurrency(spark, SF))
+    import re
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pfx_bucket" in spec, f"unpartitioned window: {spec}"
+
+
+def test_asof_direction_plans_single_shuffle(spark):
+    from tsdb_parquet_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([("k", 1)], "key string, ts long")
+    right = spark.createDataFrame([("k", 1, 1.0)],
+                                  "key string, ts long, value double")
+    for d in ("backward", "forward", "nearest"):
+        plan = plan_of(asof_join(left, right, "key", "ts", "value",
+                                 direction=d))
+        assert "Join" not in plan, d         # no join node at all
+        assert plan.count("Exchange hashpartitioning") <= 2, d
