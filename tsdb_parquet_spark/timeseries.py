@@ -584,6 +584,7 @@ def time_weighted_avg(
     df: DataFrame,
     labels: list[str] | None = None,
     unit: float = 1e-6,
+    step_ms: int | None = None,
 ) -> DataFrame:
     """Time-weighted average per series over its observed span —
     trapezoid integration over irregularly-spaced samples (TimescaleDB
@@ -601,6 +602,15 @@ def time_weighted_avg(
     have no span and are dropped (matching the oracle's inner-LAG
     semantics).
 
+    ``step_ms``: the CONTINUOUS-AGGREGATE form — one TWA row per
+    (series, time bucket) instead of per series.  Each inter-sample
+    segment is credited to the bucket its LEFT endpoint falls in (no
+    boundary splitting: exact splitting needs interpolated boundary
+    values, which breaks integer exactness; at scrape intervals ≪ step
+    the approximation is one segment per boundary).  Per bucket the
+    divisor is the sum of credited segment widths, so a bucket's TWA is
+    exact over the time it actually covers.
+
     Plan: one exchange on labels + per-series sort feeding a lag window,
     then a hash agg reusing the window's partitioning — the
     counter-rate family's shape (operators/windows.py); at rest the
@@ -610,26 +620,50 @@ def time_weighted_avg(
     labels = labels or label_columns(df)
     w = Window.partitionBy(*labels).orderBy(TIME_COL)
     u = F.floor(F.col(VALUE_COL) / F.lit(unit) + F.lit(0.5))
-    seg = (u + F.lag(u).over(w)) * (
-        F.col(TIME_COL) - F.lag(TIME_COL).over(w)
-    )
+    prev_t = F.lag(TIME_COL).over(w)
+    dt = F.col(TIME_COL) - prev_t
+    seg = (u + F.lag(u).over(w)) * dt
+    # (sum/width)/2*unit — each step is one IEEE op on the same operands
+    # in both engines (2.0/unit pre-folded would not be an exact double).
+    # NO rounding: the operands are exact integers, so the division
+    # sequence is bit-identical cross-engine, while ROUND(double) itself
+    # diverges at .5 boundaries (DuckDB multiplies by 1e6 first, Spark
+    # rounds the exact decimal expansion — the downsample avg_v lesson,
+    # re-learned here on a real q92b hash mismatch)
+    def _twa(width):
+        return (
+            F.col("seg_sum").cast("double") / width.cast("double")
+        ) / F.lit(2.0) * F.lit(unit)
+
+    if step_ms is None:
+        per = df.select(
+            *labels,
+            F.col(TIME_COL),
+            seg.cast("decimal(38,0)").alias("seg"),
+        )
+        out = per.groupBy(*labels).agg(
+            F.sum("seg").alias("seg_sum"),
+            (F.max(TIME_COL) - F.min(TIME_COL)).alias("span"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        return out.filter(F.col("n") >= 2).select(
+            *labels, "n", "span", _twa(F.col("span")).alias("twa")
+        )
+    bucket = (prev_t / F.lit(step_ms)).cast("bigint")
     per = df.select(
         *labels,
-        F.col(TIME_COL),
+        bucket.alias("bucket"),
         seg.cast("decimal(38,0)").alias("seg"),
-    )
-    out = per.groupBy(*labels).agg(
+        dt.alias("dt"),
+    ).filter(F.col("bucket").isNotNull())
+    out = per.groupBy(*labels, "bucket").agg(
         F.sum("seg").alias("seg_sum"),
-        (F.max(TIME_COL) - F.min(TIME_COL)).alias("span"),
-        F.count(F.lit(1)).alias("n"),
+        F.sum("dt").alias("width"),
+        F.count(F.lit(1)).alias("n_segs"),
     )
-    # (sum/span)/2*unit — each step is one IEEE op on the same operands
-    # in both engines (2.0/unit pre-folded would not be an exact double)
-    twa = (
-        F.col("seg_sum").cast("double") / F.col("span").cast("double")
-    ) / F.lit(2.0) * F.lit(unit)
-    return out.filter(F.col("n") >= 2).select(
-        *labels, "n", "span", F.round(twa, 6).alias("twa")
+    return out.filter(F.col("width") > 0).select(
+        *labels, "bucket", "n_segs", "width",
+        _twa(F.col("width")).alias("twa"),
     )
 
 
