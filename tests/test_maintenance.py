@@ -190,3 +190,25 @@ def test_cli_vacuum(spark, tmp_path, capsys):
     assert "vacuumed 1 item(s)" in capsys.readouterr().out
     main(["vacuum", path])
     assert "vacuumed 0 item(s)" in capsys.readouterr().out
+
+
+def test_cli_bm25_and_lttb(spark, tmp_path, capsys):
+    from tsdb_parquet_spark.cli import main
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "alpha beta alpha"), (1, "beta gamma"), (2, "alpha")],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    main(["bm25", docs, "alpha", "--topk", "2"])
+    out = capsys.readouterr().out
+    assert "bm25" in out and "doc_id" in out
+
+    ts = str(tmp_path / "ts")
+    spark.createDataFrame(
+        [("a", t * 1000, float(t % 7)) for t in range(50)],
+        "label_s string, time long, value double",
+    ).write.parquet(ts)
+    main(["lttb", ts, "--n-out", "10", "--labels", "label_s"])
+    out = capsys.readouterr().out
+    assert "(10 rows)" in out

@@ -104,6 +104,27 @@ def main(argv: list[str] | None = None) -> None:
     )
     p_v.add_argument("table")
 
+    p_b = sub.add_parser(
+        "bm25",
+        help="BM25-rank documents for query terms, served from a "
+        "persisted inverted index (built on first use, fingerprint-cached)",
+    )
+    p_b.add_argument("docs", help="documents parquet (doc_id, text)")
+    p_b.add_argument("terms", nargs="+")
+    p_b.add_argument("--name", default=None, help="index table base name")
+    p_b.add_argument("--topk", type=int, default=10)
+
+    p_l = sub.add_parser(
+        "lttb", help="LTTB visualization downsample per series"
+    )
+    p_l.add_argument("table")
+    p_l.add_argument("--n-out", type=int, default=100)
+    p_l.add_argument(
+        "--labels", default=None,
+        help="comma-separated series label columns (default: all label_*)",
+    )
+    p_l.add_argument("--limit", type=int, default=20)
+
     p_e = sub.add_parser("explain", help="plan audit for a matcher query (plans/audit.py)")
     p_e.add_argument("table")
     p_e.add_argument("-m", "--matcher", action="append", default=[])
@@ -193,6 +214,32 @@ def main(argv: list[str] | None = None) -> None:
 
         removed = vacuum(spark, args.table)
         print(f"vacuumed {len(removed)} item(s): {removed}")
+        return
+
+    if args.cmd == "bm25":
+        import re
+
+        from .llm.ranking import bm25_rank_indexed
+
+        name = args.name or "bm25_idx_cli_" + re.sub(
+            r"[^0-9A-Za-z]+", "_", args.docs.rstrip("/").rsplit("/", 1)[-1]
+        )
+        out = bm25_rank_indexed(
+            spark, name, lambda: spark.read.parquet(args.docs),
+            args.terms, top_k=args.topk, source_paths=args.docs,
+        )
+        out.show(args.topk, truncate=False)
+        return
+
+    if args.cmd == "lttb":
+        from .timeseries import lttb_downsample
+
+        labels = args.labels.split(",") if args.labels else None
+        out = lttb_downsample(
+            spark.read.parquet(args.table), args.n_out, labels=labels
+        )
+        out.show(args.limit, truncate=False)
+        print(f"({out.count()} rows)")
         return
 
     matchers = [parse_matcher(s) for s in args.matcher]
