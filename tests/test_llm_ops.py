@@ -946,3 +946,22 @@ def test_bm25_indexed_matches_inline_and_prunes_buckets(spark, tmp_path):
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m and int(m.group(1)) < int(m.group(2))
     assert idx.collect() == inline  # identical scores, identical order
+
+
+def test_stratified_sample_exact_quota_and_nesting(spark):
+    rows = [(i, f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def ids(n):
+        return {r["doc_id"] for r in
+                llm.stratified_sample(df, "source", n).collect()}
+
+    s5, s10 = ids(5), ids(10)
+    assert len(s5) == 15 and len(s10) == 30   # exactly n per stratum
+    assert s5 < s10                            # quotas nest
+    # partitioning-independent: repartitioned input picks the same set
+    assert {r["doc_id"] for r in
+            llm.stratified_sample(df.repartition(7), "source", 5).collect()} == s5
+    # small stratum: fewer rows, never an error
+    tiny = spark.createDataFrame([(0, "only")], "doc_id long, source string")
+    assert llm.stratified_sample(tiny, "source", 10).count() == 1

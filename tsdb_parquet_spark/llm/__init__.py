@@ -44,6 +44,7 @@ from .corpus import (
     decontaminate,
     repetition_stats,
     sample_mixture,
+    stratified_sample,
     shuffle_shards,
     split_corpus,
     word_ngrams,
@@ -92,6 +93,7 @@ __all__ = [
     "doc_fingerprint",
     "rolling_fingerprint",
     "sample_mixture",
+    "stratified_sample",
     "shuffle_shards",
     "split_corpus",
     "decontaminate",

@@ -78,6 +78,41 @@ def split_corpus(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """EXACT-quota stratified sample: precisely ``n_per_stratum`` rows
+    per stratum (fewer only when the stratum is smaller) — the balanced-
+    subset step (per-source eval slices, per-language calibration sets)
+    that :func:`sample_mixture`'s Bernoulli fractions can't guarantee.
+
+    Deterministic and engine-portable via the :func:`split_corpus`
+    convention: rank rows inside each stratum by ``md5(id || salt)``
+    (ties impossible for distinct ids) and keep rank ≤ n.  The kept SET
+    is a pure function of (ids, salt, n) — independent of partitioning,
+    row order, and engine — and quotas NEST: the n=100 sample contains
+    the n=50 one, so growing a slice never resamples it.
+
+    100 TB shape: one shuffle on the stratum (the window partition);
+    ``row_number`` needs no global sort.  Skewed strata sort only their
+    own partition; for a pathological mega-stratum, pre-filter with a
+    Bernoulli pass at ~4·n/|stratum| before ranking (hash-prefix
+    monotone, so the pre-filter provably keeps the final sample)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
