@@ -4,6 +4,7 @@ text analysis, multimodal plumbing (SURVEY.md §2.2 north star)."""
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pytest
@@ -913,11 +914,25 @@ def test_ivf_at_rest_layout_prunes_partitions(spark, tmp_path):
     got = [r["vec_id"] for r in out.collect()]
     assert got[0] == 0  # the query vector itself is its own top-1
 
-    # second call must reuse the persisted layout (no rebuild): drop the
-    # catalog entries to force the on-disk DDL re-registration path
+    # cross-session cold start: the in-memory catalog forgets BOTH
+    # tables while the warehouse dirs persist.  DROP TABLE on a managed
+    # table deletes its files, so simulate by copying the committed
+    # dirs aside, dropping, and restoring — ensure_ivf_layout must then
+    # take the DDL re-registration path (no retrain, no
+    # LOCATION_ALREADY_EXISTS crash) for main AND centroids tables.
+    import shutil
+
     from tsdb_parquet_spark.sources import source_fingerprint
     fp = source_fingerprint(src)
-    spark.sql(f"DROP TABLE IF EXISTS `ann_ivf_test_{fp}`")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for pre in ("file://", "file:"):
+        if wh.startswith(pre):
+            wh = wh[len(pre):]
+            break
+    for t in (f"ann_ivf_test_{fp}", f"ann_ivf_test_centroids_{fp}"):
+        shutil.copytree(os.path.join(wh, t), str(tmp_path / t))
+        spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+        shutil.copytree(str(tmp_path / t), os.path.join(wh, t))
     tbl2 = llm.ensure_ivf_layout(spark, "ann_ivf_test", build, dim=8,
                                  num_centroids=4, source_paths=src)
     assert tbl2.count() == 120

@@ -313,14 +313,39 @@ def ensure_ivf_layout(
     (tests/test_llm_ops.py plan assertion)."""
     from ..sources import _drop_stale_siblings, ensure_table, source_fingerprint
 
+    import os
+    import shutil
+
     fp = source_fingerprint(source_paths) if source_paths is not None else None
     cname = f"{name}_centroids" if fp is None else f"{name}_centroids_{fp}"
     if fp is not None:
         _drop_stale_siblings(spark, f"{name}_centroids", keep=cname)
+    # Same catalog -> committed-files-on-disk -> write resolution as
+    # sources.ensure_table: the in-memory catalog forgets tables across
+    # sessions while the warehouse dir persists, so a cold session's
+    # saveAsTable would die with LOCATION_ALREADY_EXISTS — and
+    # retraining here would be worse than the crash: a new driver
+    # sample moves the cell boundaries the persisted layout was
+    # assigned under.
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for pre in ("file://", "file:"):
+        if wh.startswith(pre):
+            wh = wh[len(pre):]
+            break
+    cloc = os.path.join(wh, cname)
     if spark.catalog.tableExists(cname):
         rows = spark.table(cname).orderBy("cell").collect()
         centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    elif os.path.exists(os.path.join(cloc, "_SUCCESS")):
+        spark.sql(
+            f"CREATE TABLE `{cname}` (cell int, centroid array<double>) "
+            f"USING parquet LOCATION '{cloc}'"
+        )
+        rows = spark.table(cname).orderBy("cell").collect()
+        centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
     else:
+        if os.path.exists(cloc):
+            shutil.rmtree(cloc)
         centroids = _train_centroids(
             build_df(), dim, num_centroids, emb_col, seed, sample_fraction
         )
