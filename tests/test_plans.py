@@ -302,3 +302,17 @@ def test_asof_direction_plans_single_shuffle(spark):
                                  direction=d))
         assert "Join" not in plan, d         # no join node at all
         assert plan.count("Exchange hashpartitioning") <= 2, d
+
+
+def test_q97_budget_select_partitioned_window_broadcast_offsets(entry, spark):
+    # the budget fill must never fall into the global-order trap: every
+    # window partitions by the prefix bucket (+group), the per-(bucket,
+    # group) offsets come back as a BroadcastHashJoin (never a shuffle
+    # join), and the data pays exactly one hash exchange (the window's)
+    plan = plan_of(entry.q97_budget_select(spark, SF))
+    import re
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_bs_bucket" in spec, f"unpartitioned window: {spec}"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

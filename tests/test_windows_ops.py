@@ -210,3 +210,75 @@ def test_interval_concurrency_sweep(spark):
     got = {r["t"]: r["concurrent"] for r in
            interval_concurrency(df, "s", "e", num_buckets=3).collect()}
     assert got == {0: 1, 5: 2, 10: 2, 15: 1, 20: 0, 30: 2, 35: 1, 40: 0}
+
+
+def test_budget_select_matches_single_window(spark):
+    # greedy per-group budget fill == the single-window SQL form, with
+    # priority ties (broken by id), bucket-boundary straddles, a budget
+    # dict, and both overfill conventions
+    import random
+
+    from pyspark.sql import Window
+
+    from tsdb_parquet_spark.operators.prefix import budget_select
+
+    rng = random.Random(11)
+    rows = [
+        (i, f"g{i % 3}", rng.randint(1, 9), rng.randint(0, 5))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, sz int, prio int")
+    w = Window.partitionBy("g").orderBy(F.asc("prio"), F.asc("id"))
+    ref = df.withColumn("cum_size", F.sum(F.col("sz").cast("long")).over(w))
+
+    for nb in (1, 4, 64):
+        got = {
+            (r.id, r.cum_size)
+            for r in budget_select(
+                df, 100, "sz", "prio", id_col="id", group_col="g",
+                num_buckets=nb,
+            ).collect()
+        }
+        want = {
+            (r.id, r.cum_size)
+            for r in ref.filter(
+                F.col("cum_size") - F.col("sz") < 100
+            ).collect()
+        }
+        assert got == want, f"num_buckets={nb}"
+
+    # overfill=False never exceeds the budget; overfill=True reaches it
+    fit = budget_select(df, 100, "sz", "prio", id_col="id", group_col="g",
+                        overfill=False)
+    assert fit.groupBy("g").agg(F.max("cum_size").alias("m")) \
+              .filter(F.col("m") > 100).count() == 0
+    reach = budget_select(df, 100, "sz", "prio", id_col="id", group_col="g")
+    assert reach.groupBy("g").agg(F.max("cum_size").alias("m")) \
+                .filter(F.col("m") < 100).count() == 0
+
+    # budget dict: per-group caps, absent group falls to default_budget
+    bd = budget_select(df, {"g0": 20, "g1": 50}, "sz", "prio", id_col="id",
+                       group_col="g", default_budget=0)
+    per_g = {r.g: r.m for r in
+             bd.groupBy("g").agg(F.max("cum_size").alias("m")).collect()}
+    assert "g2" not in per_g and per_g["g0"] >= 20 and per_g["g1"] >= 50
+
+    # global (no group), string priority via a monotone numeric bucket key
+    prio = F.md5(F.concat(F.col("id").cast("string"), F.lit("s")))
+    bkey = F.conv(F.substring(prio, 1, 15), 16, 10).cast("bigint")
+    got_g = {r.id for r in budget_select(
+        df, 60, "sz", prio, id_col="id", bucket_key=bkey).collect()}
+    wg = Window.orderBy(prio.asc(), F.asc("id"))
+    want_g = {r.id for r in df.withColumn(
+        "c", F.sum(F.col("sz").cast("long")).over(wg))
+        .filter(F.col("c") - F.col("sz") < 60).collect()}
+    assert got_g == want_g
+
+    # non-numeric priority without a bucket_key is an explicit error;
+    # empty input keeps the schema contract
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        budget_select(df, 10, "sz", prio, id_col="id")
+    empty = spark.createDataFrame([], "id long, g string, sz int, prio int")
+    out = budget_select(empty, 10, "sz", "prio", id_col="id")
+    assert out.count() == 0 and "cum_size" in out.columns

@@ -28,7 +28,7 @@ map-stage JVM expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -157,3 +157,135 @@ def packed_sequences(
     return d.withColumn(
         pack_alias, F.floor(start / F.lit(seq_len)).cast("long")
     ).drop("_pfx_cum")
+
+
+def budget_select(
+    df: DataFrame,
+    budget: int | dict,
+    size_col: str,
+    priority_col: Column | str,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    bucket_key: Column | None = None,
+    num_buckets: int | None = None,
+    overfill: bool = True,
+    default_budget: int = 0,
+    cum_alias: str = "cum_size",
+) -> DataFrame:
+    """Greedy budget-capped selection: take rows in ``priority_col``
+    order (ties broken by ``id_col``) until the running ``size_col``
+    total reaches ``budget`` — per ``group_col`` when given.  The
+    data-recipe step that turns a quality- or hash-ranked pool into a
+    fixed token budget ("best/first N-billion tokens per source"),
+    which Bernoulli sampling (``sample_mixture``) can only hit in
+    expectation and a LIMIT can't express at all (the cap is on the
+    SUM of sizes, not the row count).
+
+    ``overfill=True`` (default) keeps the row that crosses the budget
+    boundary — the greedy fill always reaches the budget when enough
+    data exists (truncate downstream); ``overfill=False`` keeps only
+    rows that fit entirely (never exceeds, may underfill).  ``budget``
+    may be a ``{group: budget}`` dict (missing groups get
+    ``default_budget``).  Output = input rows selected, plus the
+    running total as ``cum_alias`` — so the cut is auditable.
+
+    Exactness is SQL-window semantics: identical to
+    ``SUM(size) OVER (PARTITION BY group ORDER BY priority, id)``
+    filtered against the budget, but executed as the module's
+    two-phase prefix sum, never a single-partition window.  The bucket
+    split follows the module's determinism rule (NOT
+    ``repartitionByRange`` — sampled boundaries can disagree between
+    the offsets job and the main job): equal-width ranges over a
+    numeric ``bucket_key`` that must be monotone non-decreasing in the
+    priority order with equal keys for equal priorities — rows of one
+    group in an earlier bucket then always precede its rows in later
+    buckets, so per-(bucket, group) offsets reconstruct the exact
+    per-group running total.  ``bucket_key`` defaults to the priority
+    itself when numeric; for string priorities (e.g. an md5 rank) pass
+    e.g. ``F.conv(F.substring(prio, 1, 15), 16, 10).cast("bigint")``
+    (15 hex chars = 60 bits, exact in a bigint; fixed-length hex
+    compares lexicographically = numerically, so the prefix value is
+    monotone in the full string).
+
+    100 TB shape: one min/max probe, one scan-shaped hash agg whose
+    (bucket x groups-per-bucket) result is a driver hop bounded by
+    ``num_buckets + |groups|`` rows (contiguous groups span few
+    buckets), broadcast back — and ONE full-data exchange (the
+    per-bucket window).  Sizes and priorities must be non-null.
+    """
+    from pyspark.sql.types import LongType, NumericType, StructField, StructType
+
+    spark = df.sparkSession
+    prio = F.col(priority_col) if isinstance(priority_col, str) else priority_col
+    if num_buckets is None:
+        try:
+            num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:
+            num_buckets = spark.sparkContext.defaultParallelism
+    if bucket_key is None:
+        dt = df.select(prio.alias("_p")).schema[0].dataType
+        if not isinstance(dt, NumericType):
+            raise TypeError(
+                f"priority dtype {dt.simpleString()} is not numeric: pass an "
+                "explicit monotone numeric bucket_key (see docstring)"
+            )
+        bucket_key = prio
+    bk = bucket_key.cast("double")
+    row = df.agg(F.min(bk).alias("lo"), F.max(bk).alias("hi")).first()
+    gcols = [group_col] if group_col else []
+    if isinstance(budget, dict):
+        if not group_col:
+            raise ValueError("a budget dict requires group_col")
+        items = [F.lit(x) for kv in sorted(budget.items()) for x in kv]
+        bexpr = F.coalesce(
+            F.create_map(*items)[F.col(group_col)], F.lit(int(default_budget))
+        )
+    else:
+        bexpr = F.lit(int(budget))
+    if row.lo is None:  # empty input: keep the output schema contract
+        return df.withColumn(cum_alias, F.lit(None).cast("long")).filter(
+            F.lit(False)
+        )
+    lo, hi = float(row.lo), float(row.hi)
+    span = (hi - lo) / num_buckets or 1.0
+    bucket = F.least(
+        F.floor((bk - F.lit(lo)) / F.lit(span)), F.lit(num_buckets - 1)
+    ).cast("int")
+
+    d = df.withColumn("_bs_bucket", bucket)
+    totals = (
+        d.groupBy("_bs_bucket", *gcols)
+        .agg(F.sum(F.col(size_col).cast("long")).alias("_tot"))
+        .collect()
+    )
+    run: dict = {}
+    pairs = []
+    key = (lambda r: (r[group_col], r["_bs_bucket"])) if group_col else (
+        lambda r: r["_bs_bucket"]
+    )
+    for r in sorted(totals, key=key):
+        g = r[group_col] if group_col else None
+        pairs.append(
+            ((r["_bs_bucket"], r[group_col], run.get(g, 0)) if group_col
+             else (r["_bs_bucket"], run.get(g, 0)))
+        )
+        run[g] = run.get(g, 0) + (r["_tot"] or 0)
+    fields = [StructField("_bs_bucket", d.schema["_bs_bucket"].dataType)]
+    if group_col:
+        fields.append(StructField(group_col, df.schema[group_col].dataType))
+    fields.append(StructField("_bs_off", LongType()))
+    off = spark.createDataFrame(pairs, StructType(fields))
+
+    w = Window.partitionBy("_bs_bucket", *gcols).orderBy(
+        prio.asc(), F.col(id_col).asc()
+    )
+    cum = F.sum(F.col(size_col).cast("long")).over(w) + F.col("_bs_off")
+    joined = d.join(F.broadcast(off), ["_bs_bucket"] + gcols, "left").withColumn(
+        cum_alias, cum
+    )
+    crossed = (
+        F.col(cum_alias) - F.col(size_col) < bexpr
+        if overfill
+        else F.col(cum_alias) <= bexpr
+    )
+    return joined.filter(crossed).drop("_bs_bucket", "_bs_off")
