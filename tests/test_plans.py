@@ -316,3 +316,21 @@ def test_q97_budget_select_partitioned_window_broadcast_offsets(entry, spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q98_funnel_pushdown_one_user_shuffle(entry, spark):
+    # funnel events only leave the scan (the step IN-filter is pushed),
+    # the fold happens inside ONE user-keyed aggregate, and the final
+    # per-step rollup is the only single-partition hop (3-row stack)
+    plan = plan_of(entry.q98_funnel(spark, SF))
+    assert "PushedFilters" in plan and "In(event_type" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan  # the oracle's join cascade stays oracle-only
+
+
+def test_q99_cohort_retention_one_full_shuffle(entry, spark):
+    # per-user collect_set is the only full-data exchange; the
+    # (cohort, offset) count re-shuffles already-tiny exploded sets
+    plan = plan_of(entry.q99_cohort_retention(spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan  # never a user x period self-join

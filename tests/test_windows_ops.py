@@ -282,3 +282,76 @@ def test_budget_select_matches_single_window(spark):
     empty = spark.createDataFrame([], "id long, g string, sz int, prio int")
     out = budget_select(empty, 10, "sz", "prio", id_col="id")
     assert out.count() == 0 and "cum_size" in out.columns
+
+
+def test_funnel_counts_strict_order_and_window(spark):
+    from datetime import datetime
+
+    from tsdb_parquet_spark.operators.funnel import funnel_counts
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # u1: clean a->b->c inside 30 min
+        (1, t(0), "a"), (1, t(5), "b"), (1, t(10), "c"),
+        # u2: b BEFORE its a, then c -> stops at step 1 (order is strict)
+        (2, t(0), "b"), (2, t(5), "a"), (2, t(6), "c"),
+        # u3: first anchor's window misses b; the SECOND anchor converts
+        (3, t(0), "a"), (3, t(40), "b"),
+        (3, t(35), "a"), (3, t(50), "c"),
+        # u4: simultaneous a and b -> the later step needs STRICTLY
+        # greater ts, so u4 stops at step 1
+        (4, t(0), "a"), (4, t(0), "b"),
+        # u5: never does a at all -> reaches nothing
+        (5, t(0), "b"), (5, t(1), "c"),
+        # noise event type outside the funnel
+        (1, t(2), "zz"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+    got = {r.step: r.users for r in
+           funnel_counts(df, ["a", "b", "c"], within_ms=30 * 60000).collect()}
+    assert got == {1: 4, 2: 2, 3: 2}
+
+    # unwindowed: u3 converts via plain order too (a@0 b@40 c@50)
+    got2 = {r.step: r.users for r in
+            funnel_counts(df, ["a", "b", "c"]).collect()}
+    assert got2 == {1: 4, 2: 2, 3: 2}
+
+    # a tight window breaks u3's chain between b@40 and c@50
+    got3 = {r.step: r.users for r in
+            funnel_counts(df, ["a", "b", "c"], within_ms=14 * 60000).collect()}
+    assert got3 == {1: 4, 2: 2, 3: 1}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        funnel_counts(df, [])
+    with _pytest.raises(ValueError):
+        funnel_counts(df, ["a", "a"])
+
+
+def test_cohort_retention_offsets(spark):
+    from datetime import datetime
+
+    from tsdb_parquet_spark.operators.funnel import cohort_retention
+
+    rows = [
+        # u1: first active Mon Jan 1 week, returns weeks +1 and +3
+        (1, datetime(2024, 1, 2)), (1, datetime(2024, 1, 10)),
+        (1, datetime(2024, 1, 24)),
+        # u2: same cohort, week 0 only (two events, ONE active week)
+        (2, datetime(2024, 1, 3)), (2, datetime(2024, 1, 4)),
+        # u3: cohort of Jan 8, returns week +1
+        (3, datetime(2024, 1, 9)), (3, datetime(2024, 1, 15)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(str(r.cohort), r.offset_periods): r.users
+           for r in cohort_retention(df).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 3): 1,
+        ("2024-01-08", 0): 1, ("2024-01-08", 1): 1,
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cohort_retention(df, period="month")

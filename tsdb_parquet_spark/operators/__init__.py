@@ -12,7 +12,8 @@ from .aggregates import grouped_agg, rollup_agg
 from .windows import top_k_per_group, lag_moving_avg, sessionize
 from .setops import intersect_sorted, except_sorted, union_distinct_sorted
 from .sort import global_top_k
-from .prefix import distributed_cumsum, interval_concurrency, packed_sequences
+from .prefix import budget_select, distributed_cumsum, interval_concurrency, packed_sequences
+from .funnel import cohort_retention, funnel_counts
 
 __all__ = [
     "distributed_cumsum",
@@ -30,4 +31,7 @@ __all__ = [
     "except_sorted",
     "union_distinct_sorted",
     "global_top_k",
+    "budget_select",
+    "funnel_counts",
+    "cohort_retention",
 ]

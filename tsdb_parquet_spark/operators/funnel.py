@@ -1,0 +1,204 @@
+"""Event-sequence analytics: funnels and cohort retention.
+
+The product-analytics pair every event store grows (Amplitude/Mixpanel
+class, `SELECT ... MATCH_RECOGNIZE` territory in ANSI): how many users
+progress through an ORDERED sequence of event types, and how cohorts
+(users grouped by first-activity period) stay active over subsequent
+periods.  Neither is a plain windowed aggregate — the funnel's "step i
+strictly after step i-1" recurrence and retention's self-relative
+offsets both tempt row-at-a-time code; here both stay JVM-side.
+
+100 TB shapes:
+
+- ``funnel_counts``: one hash aggregate keyed by user (the scan filter
+  ``event_type IN steps`` is pushed down, so only funnel events move),
+  a higher-order-function fold over each user's time-sorted step
+  events, and a metadata-sized final rollup.  Per-user state is two
+  scalars; the collected list is bounded by that user's FUNNEL events
+  — for adversarial per-user skew (bot traffic), pre-dedupe
+  ``(user, step, ts)`` or fall back to the k-aggregate min-cascade the
+  oracle uses (k shuffles, no lists).
+- ``cohort_retention``: ONE full-data shuffle (the per-user
+  ``collect_set`` of active periods — bounded by the number of
+  periods, i.e. tiny), then explode + a count-shaped aggregate over
+  (cohort, offset) — never a user x period join.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    within_ms: int | None = None,
+) -> DataFrame:
+    """Strict-order funnel: a user reaches step ``i`` iff events of
+    types ``steps[0..i]`` occur in strictly increasing timestamp order
+    — and, when ``within_ms`` is given, all within that conversion
+    window of the step-1 event that anchors the sequence (the
+    Amplitude/Mixpanel "conversion window" semantics: ANY step-1 event
+    may anchor; a user converts if at least one anchor's window
+    contains a full chain).  Output: one row per step with the number
+    of users reaching it (monotone non-increasing).
+
+    Unwindowed, the earliest valid completion is taken at every step —
+    greedy is optimal (taking the earliest valid timestamp never
+    forecloses a later step) and one O(events) fold suffices.
+    Windowed, greedy-per-anchor is optimal for a FIXED anchor, so the
+    expression tries every anchor: per-step sorted timestamp arrays,
+    and for each anchor an unrolled earliest-next-within-window chain
+    (null propagates through ``filter``/``array_min``, so a broken
+    chain scores where it broke).  Per-user cost is
+    O(|anchors| * events) — funnel events only; for adversarial
+    per-user skew pre-dedupe (user, step, ts) or use the oracle's
+    k-aggregate join cascade.
+
+    Events of types outside ``steps`` never leave the scan, and
+    simultaneous-timestamp events tie-break by step order (the earlier
+    step consumes the instant; the later step needs a strictly greater
+    timestamp — the same convention as the oracle's ``ts > t_prev``
+    join cascade).
+    """
+    if len(steps) == 0:
+        raise ValueError("funnel needs at least one step")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    idx = F.create_map(
+        *[F.lit(x) for i, s in enumerate(steps) for x in (s, i)]
+    )
+    ev = (
+        df.filter(F.col(event_col).isin(list(steps)))
+        .select(
+            F.col(user_col).alias("_u"),
+            F.unix_micros(F.col(ts_col)).alias("_t"),
+            idx[F.col(event_col)].alias("_s"),
+        )
+    )
+    if within_ms is None:
+        # per user: fold the (ts, step)-sorted funnel events through the
+        # reached/last-time recurrence — struct sort orders by ts first,
+        # then step index (the tie-break documented above)
+        per_user = ev.groupBy("_u").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_t", "_s"))),
+                F.struct(
+                    F.lit(0).alias("reached"),
+                    F.lit(None).cast("long").alias("last"),
+                ),
+                lambda acc, e: F.when(
+                    (e["_s"] == acc["reached"])
+                    & (acc["last"].isNull() | (e["_t"] > acc["last"])),
+                    F.struct(
+                        (acc["reached"] + F.lit(1)).alias("reached"),
+                        e["_t"].alias("last"),
+                    ),
+                ).otherwise(acc),
+            )["reached"].alias("_reached")
+        )
+    else:
+        w_us = int(within_ms) * 1000
+        arrs = [
+            F.array_sort(
+                F.collect_list(F.when(F.col("_s") == i, F.col("_t")))
+            ).alias(f"_a{i}")
+            for i in range(len(steps))
+        ]
+        per_user = ev.groupBy("_u").agg(*arrs)
+
+        def _after(prev, t1):
+            # one-arg lambda via a binding factory: a default-arg capture
+            # (lambda x, p=prev) would change the HOF's ARITY and make
+            # Spark pass the element INDEX as p
+            return lambda x: (x > prev) & (x <= t1 + F.lit(w_us))
+
+        def _chain_reach(t1):
+            # unrolled earliest-next-within-window chain from anchor t1;
+            # a null prev empties every later filter, so array_min stays
+            # null past the break
+            prev = t1
+            reach = F.lit(1)
+            for i in range(1, len(steps)):
+                prev = F.array_min(F.filter(F.col(f"_a{i}"), _after(prev, t1)))
+                reach = reach + F.when(prev.isNotNull(), 1).otherwise(0)
+            return reach
+
+        per_user = per_user.select(
+            "_u",
+            F.coalesce(
+                F.aggregate(
+                    F.col("_a0"),
+                    F.lit(0),
+                    lambda best, t1: F.greatest(best, _chain_reach(t1)),
+                ),
+                F.lit(0),
+            ).alias("_reached"),
+        )
+    counts = per_user.agg(
+        *[
+            F.sum(F.when(F.col("_reached") >= i + 1, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_c{i}")
+            for i in range(len(steps))
+        ]
+    )
+    pairs = ", ".join(
+        f"{i + 1}, '{s}', _c{i}" for i, s in enumerate(steps)
+    )
+    return (
+        counts.selectExpr(
+            f"stack({len(steps)}, {pairs}) as (step, event_type, users)"
+        )
+        .select(
+            F.col("step").cast("int").alias("step"), "event_type", "users"
+        )
+        .orderBy("step")
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first active
+    period (the cohort), counted in every period they return —
+    ``(cohort, offset_periods, users)`` with offset 0 = the cohort
+    period itself (so offset-0 users = cohort size).
+
+    One full shuffle: per-user ``collect_set`` of active periods (set
+    size bounded by the calendar, not the data), cohort =
+    ``array_min``, explode, count.  ``period``: "week" or "day"
+    (date_trunc units — weeks start Monday in both Spark and DuckDB).
+    """
+    days = {"week": 7, "day": 1}
+    if period not in days:
+        raise ValueError(f"period must be one of {sorted(days)}")
+    per_user = (
+        df.select(
+            F.col(user_col).alias("_u"),
+            F.date_trunc(period, F.col(ts_col)).cast("date").alias("_w"),
+        )
+        .groupBy("_u")
+        .agg(F.collect_set("_w").alias("_ws"))
+        .select(F.array_min("_ws").alias("cohort"), F.explode("_ws").alias("_w"))
+    )
+    return (
+        per_user.select(
+            "cohort",
+            (F.datediff(F.col("_w"), F.col("cohort")) / days[period])
+            .cast("int")
+            .alias("offset_periods"),
+        )
+        .groupBy("cohort", "offset_periods")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy("cohort", "offset_periods")
+    )
