@@ -284,3 +284,21 @@ def test_q86_entry_equals_batch_group_by(spark):
         .collect()
     }
     assert got == batch
+
+
+def test_session_window_boundary_merges_at_exact_gap(spark):
+    # pins the boundary convention the q100 oracle encodes: an event at
+    # EXACTLY prev_ts + gap still merges (break is strictly >), and
+    # session_end = last event + gap
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0)),
+        (1, datetime(2024, 1, 1, 0, 30, 0)),   # exactly +gap -> merges
+        (1, datetime(2024, 1, 1, 1, 0, 0, 1)), # +gap+1us -> new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = [(r.session_start, r.session_end, r.n_events)
+           for r in session_counts_batch(df).orderBy("session_start").collect()]
+    t0 = 1704067200
+    assert got == [(t0, t0 + 3600, 2), (t0 + 3600, t0 + 5400, 1)]
