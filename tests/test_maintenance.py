@@ -212,3 +212,35 @@ def test_cli_bm25_and_lttb(spark, tmp_path, capsys):
     main(["lttb", ts, "--n-out", "10", "--labels", "label_s"])
     out = capsys.readouterr().out
     assert "(10 rows)" in out
+
+
+def test_cli_funnel_cohort_budget(spark, tmp_path, capsys):
+    from datetime import datetime
+
+    from tsdb_parquet_spark.cli import main
+
+    ev = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0), "a"),
+            (1, datetime(2024, 1, 1, 0, 5), "b"),
+            (2, datetime(2024, 1, 9, 0, 0), "a"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    ).write.parquet(ev)
+    main(["funnel", ev, "a", "b", "--within-min", "30"])
+    out = capsys.readouterr().out
+    assert "|1   |a         |2    |" in out and "|2   |b         |1    |" in out
+
+    main(["cohort", ev, "--period", "week"])
+    out = capsys.readouterr().out
+    assert "2024-01-01" in out and "2024-01-08" in out and "(2 rows)" in out
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "g", 10) for i in range(6)],
+        "doc_id long, source string, n_chars int",
+    ).write.parquet(docs)
+    main(["budget-select", docs, "25", "--group-col", "source"])
+    out = capsys.readouterr().out
+    assert "(3 rows selected)" in out  # 10+10 < 25, third crosses, fourth not

@@ -125,6 +125,37 @@ def main(argv: list[str] | None = None) -> None:
     )
     p_l.add_argument("--limit", type=int, default=20)
 
+    p_f = sub.add_parser(
+        "funnel",
+        help="conversion funnel over an events table "
+        "(strict order; optional conversion window)",
+    )
+    p_f.add_argument("events", help="events parquet (user_id, ts, event_type)")
+    p_f.add_argument("steps", nargs="+", help="event types in funnel order")
+    p_f.add_argument("--within-min", type=int, default=None,
+                     help="conversion window in minutes (default: none)")
+
+    p_co = sub.add_parser(
+        "cohort", help="cohort retention matrix over an events table"
+    )
+    p_co.add_argument("events")
+    p_co.add_argument("--period", default="week", choices=["week", "day"])
+    p_co.add_argument("--limit", type=int, default=30)
+
+    p_bs = sub.add_parser(
+        "budget-select",
+        help="greedy size-budget selection: rows in priority order "
+        "until the running size reaches the budget (per group)",
+    )
+    p_bs.add_argument("docs", help="parquet with id/size columns")
+    p_bs.add_argument("budget", type=int)
+    p_bs.add_argument("--size-col", default="n_chars")
+    p_bs.add_argument("--id-col", default="doc_id")
+    p_bs.add_argument("--group-col", default=None)
+    p_bs.add_argument("--salt", default="cli",
+                      help="md5 rank salt (priority = deterministic hash order)")
+    p_bs.add_argument("--limit", type=int, default=20)
+
     p_e = sub.add_parser("explain", help="plan audit for a matcher query (plans/audit.py)")
     p_e.add_argument("table")
     p_e.add_argument("-m", "--matcher", action="append", default=[])
@@ -240,6 +271,44 @@ def main(argv: list[str] | None = None) -> None:
         )
         out.show(args.limit, truncate=False)
         print(f"({out.count()} rows)")
+        return
+
+    if args.cmd == "funnel":
+        from .operators.funnel import funnel_counts
+
+        out = funnel_counts(
+            spark.read.parquet(args.events), args.steps,
+            within_ms=args.within_min * 60000 if args.within_min else None,
+        )
+        out.show(truncate=False)
+        return
+
+    if args.cmd == "cohort":
+        from .operators.funnel import cohort_retention
+
+        out = cohort_retention(spark.read.parquet(args.events),
+                               period=args.period)
+        out.show(args.limit, truncate=False)
+        print(f"({out.count()} rows)")
+        return
+
+    if args.cmd == "budget-select":
+        from pyspark.sql import functions as _F
+
+        from .operators.prefix import budget_select
+
+        prio = _F.substring(
+            _F.md5(_F.concat(_F.col(args.id_col).cast("string"),
+                             _F.lit(args.salt))), 1, 15
+        )
+        bkey = _F.conv(prio, 16, 10).cast("bigint")
+        out = budget_select(
+            spark.read.parquet(args.docs), args.budget, args.size_col,
+            prio, id_col=args.id_col, group_col=args.group_col,
+            bucket_key=bkey,
+        )
+        out.show(args.limit, truncate=False)
+        print(f"({out.count()} rows selected)")
         return
 
     matchers = [parse_matcher(s) for s in args.matcher]

@@ -78,7 +78,9 @@ def funnel_counts(
         df.filter(F.col(event_col).isin(list(steps)))
         .select(
             F.col(user_col).alias("_u"),
-            F.unix_micros(F.col(ts_col)).alias("_t"),
+            # cast is a no-op for TIMESTAMP and makes TIMESTAMP_NTZ
+            # sources (bare parquet reads) resolve under unix_micros
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
             idx[F.col(event_col)].alias("_s"),
         )
     )
