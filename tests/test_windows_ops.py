@@ -355,3 +355,45 @@ def test_cohort_retention_offsets(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         cohort_retention(df, period="month")
+
+
+def test_budget_select_property_random_inputs(spark):
+    # hypothesis sweep: for any sizes/priorities (ties included), any
+    # group shape, any budget and bucket count, the two-phase fill
+    # equals the single-window reference — inner loop drives ONE Spark
+    # job per example, so examples are kept small and few
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import Window
+
+    from tsdb_parquet_spark.operators.prefix import budget_select
+
+    rows_st = st.lists(
+        st.tuples(
+            st.integers(0, 5),      # group id
+            st.integers(0, 20),     # size (0 allowed)
+            st.integers(0, 3),      # priority (heavy ties)
+        ),
+        min_size=1, max_size=40,
+    )
+
+    @given(rows_st, st.integers(0, 60), st.sampled_from([1, 3, 17]),
+           st.booleans())
+    @settings(max_examples=12, deadline=None)
+    def check(rows, budget, nb, overfill):
+        data = [(i, f"g{g}", sz, pr) for i, (g, sz, pr) in enumerate(rows)]
+        df = spark.createDataFrame(data, "id long, g string, sz int, prio int")
+        w = Window.partitionBy("g").orderBy(F.asc("prio"), F.asc("id"))
+        cum = F.sum(F.col("sz").cast("long")).over(w)
+        c = F.col("c")
+        cond = (c - F.col("sz") < budget) if overfill else (c <= budget)
+        want = {(r.id, r.c) for r in
+                df.withColumn("c", cum).filter(cond).collect()}
+        got = {(r.id, r.cum_size) for r in
+               budget_select(df, budget, "sz", "prio", id_col="id",
+                             group_col="g", num_buckets=nb,
+                             overfill=overfill).collect()}
+        assert got == want
+
+    check()
