@@ -980,3 +980,52 @@ def test_stratified_sample_exact_quota_and_nesting(spark):
     # small stratum: fewer rows, never an error
     tiny = spark.createDataFrame([(0, "only")], "doc_id long, source string")
     assert llm.stratified_sample(tiny, "source", 10).count() == 1
+
+
+def test_weighted_sample_es_reference_nesting_and_bias(spark):
+    import hashlib
+
+    rows = [(i, f"g{i % 2}", (i % 7) + 1) for i in range(200)] + [(200, "g0", 0)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w int")
+
+    # pure-Python reference of the exact same formula
+    def key(i, w, salt="ws1"):
+        u = (int(hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:15], 16) + 1) / (1 << 60)
+        return round(math.log(u) / w, 9)
+
+    want = sorted(((key(i, w), -i) for i, _, w in rows if w > 0), reverse=True)
+    want_ids = [-ni for _, ni in want[:10]]
+    got = [r.doc_id for r in
+           llm.weighted_sample(df, 10, "w", id_col="doc_id").collect()]
+    assert got == want_ids
+    assert 200 not in {r.doc_id for r in
+                       llm.weighted_sample(df, 201, "w").collect()}  # w=0 out
+
+    # nesting: top-5 is a prefix of top-10 (keys are per-row constants)
+    top5 = [r.doc_id for r in llm.weighted_sample(df, 5, "w").collect()]
+    assert top5 == got[:5]
+
+    # grouped form: exactly k per group, each group's picks = that
+    # group's global key order
+    per_g = llm.weighted_sample(df, 4, "w", group_col="g").collect()
+    by_g = {}
+    for r in per_g:
+        by_g.setdefault(r.g, []).append(r.doc_id)
+    assert all(len(v) == 4 for v in by_g.values())
+    for g, ids in by_g.items():
+        ref = [-ni for kk, ni in
+               sorted(((key(i, w), -i) for i, gg, w in rows
+                       if gg == g and w > 0), reverse=True)[:4]]
+        assert sorted(ids) == sorted(ref)
+
+    # weight bias: across salts, weight-7 rows are picked far more often
+    # than weight-1 rows (expectation ratio ~7)
+    heavy = light = 0
+    wmap = {i: w for i, _, w in rows}
+    for s in range(30):
+        for r in llm.weighted_sample(df, 20, "w", salt=f"s{s}").collect():
+            if wmap[r.doc_id] == 7:
+                heavy += 1
+            elif wmap[r.doc_id] == 1:
+                light += 1
+    assert heavy > 3 * max(light, 1)

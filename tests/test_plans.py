@@ -334,3 +334,11 @@ def test_q99_cohort_retention_one_full_shuffle(entry, spark):
     plan = plan_of(entry.q99_cohort_retention(spark, SF))
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Join" not in plan  # never a user x period self-join
+
+
+def test_q102_weighted_sample_is_take_ordered_no_shuffle(entry, spark):
+    # the global E-S sample is a map stage into TakeOrderedAndProject —
+    # the key is a per-row expression, so no exchange is ever justified
+    plan = plan_of(entry.q102_weighted_sample(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan

@@ -45,6 +45,7 @@ from .corpus import (
     repetition_stats,
     sample_mixture,
     stratified_sample,
+    weighted_sample,
     shuffle_shards,
     split_corpus,
     word_ngrams,
@@ -94,6 +95,7 @@ __all__ = [
     "rolling_fingerprint",
     "sample_mixture",
     "stratified_sample",
+    "weighted_sample",
     "shuffle_shards",
     "split_corpus",
     "decontaminate",

@@ -333,3 +333,62 @@ def shuffle_shards(
         .withColumn("shard", shard)
         .withColumn("pos", (F.row_number().over(w) - F.lit(1)).cast("int"))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ws1",
+    group_col: str | None = None,
+    key_alias: str = "sample_key",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 A-Res): each row gets rank key ``u^(1/w)`` for a
+    uniform ``u`` — the top-k keys are exactly a weight-proportional
+    sample without replacement.  The corpus-curation step between
+    ``sample_mixture`` (expected-count Bernoulli, WITH replacement
+    semantics) and ``stratified_sample`` (uniform within strata): "pick
+    k docs, longer/higher-quality ones proportionally likelier, no
+    duplicates".
+
+    Engine-portable determinism (the split_corpus hash device): ``u`` =
+    the md5(id||salt) 60-bit prefix scaled to (0, 1] — an exact dyadic
+    whose int64->double rounding is IEEE-identical everywhere — and the
+    rank compares ``round(ln(u)/w, round_dp)`` (monotone transform of
+    ``u^(1/w)``; the round absorbs cross-libm ln ulps, the Q91 BM25
+    device) with ``id`` as tiebreak.  Keys are a pure per-row function,
+    so samples NEST (top-5 of the same salt is a subset of top-10) and
+    re-roll by salt, like ``stratified_sample``'s quotas.
+
+    Rows with weight <= 0 are never selected (filtered; ln needs w > 0
+    to order correctly).  100 TB shape: global form is a map stage into
+    ``TakeOrderedAndProject`` (no shuffle); per-``group_col`` form is
+    one hash-partition exchange + per-group row_number.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint")
+        + F.lit(1)
+    ) / F.lit(float(1 << 60))
+    key = F.round(F.log(u) / F.col(weight_col), round_dp)
+    d = df.filter(F.col(weight_col) > 0).withColumn(key_alias, key)
+    if group_col is None:
+        return d.orderBy(F.desc(key_alias), F.col(id_col)).limit(k)
+    w = Window.partitionBy(group_col).orderBy(F.desc(key_alias), F.col(id_col))
+    return (
+        d.withColumn("_ws_rn", F.row_number().over(w))
+        .filter(F.col("_ws_rn") <= k)
+        .drop("_ws_rn")
+    )
