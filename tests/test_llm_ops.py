@@ -1029,3 +1029,41 @@ def test_weighted_sample_es_reference_nesting_and_bias(spark):
             elif wmap[r.doc_id] == 1:
                 light += 1
     assert heavy > 3 * max(light, 1)
+
+
+def test_extract_features_real_pixel_grid(spark):
+    from tsdb_parquet_spark.llm.multimodal import (
+        extract_features,
+        png_encode,
+        png_grid_features,
+    )
+
+    # solid black, solid white, and a left-black/right-white split
+    black = png_encode(8, 8, 3, [bytes(24)] * 8)
+    white = png_encode(8, 8, 3, [b"\xff" * 24] * 8)
+    split = png_encode(8, 8, 3, [bytes(12) + b"\xff" * 12] * 8)
+    df = spark.createDataFrame(
+        [(0, black), (1, white), (2, split)], "item_id long, content binary"
+    )
+    out = {r.item_id: r.embedding for r in
+           extract_features(df, dim=16, fake=False).collect()}
+    assert out[0] == [0.0] * 16 and out[1] == [1.0] * 16
+    # split image: left grid columns black, right white, row-major 4x4
+    assert out[2] == [0.0, 0.0, 1.0, 1.0] * 4
+    # distributed result == the pure function
+    assert out[2] == png_grid_features(split, 4, 4)
+
+    # near-dup pixels -> near vectors; unrelated -> far (the aHash point)
+    near = png_encode(8, 8, 3, [bytes(12) + b"\xfe" * 12] * 8)
+    df2 = spark.createDataFrame([(3, near)], "item_id long, content binary")
+    v3 = extract_features(df2, dim=16, fake=False).first().embedding
+    d_near = sum((a - b) ** 2 for a, b in zip(v3, out[2]))
+    d_far = sum((a - b) ** 2 for a, b in zip(v3, out[1]))
+    assert d_near < 0.001 < d_far
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        extract_features(df, dim=7, fake=False)
+    with _pytest.raises(Exception):  # non-PNG payload raises in the task
+        bad = spark.createDataFrame([(9, b"JUNK")], "item_id long, content binary")
+        extract_features(bad, dim=16, fake=False).collect()

@@ -224,6 +224,25 @@ def png_resize_nearest(b: bytes, max_dim: int) -> tuple[bytes, int, int]:
     return png_encode(nw, nh, ch, out), nw, nh
 
 
+def png_grid_features(b: bytes, grid_w: int, grid_h: int) -> list[float]:
+    """Average-hash-style REAL visual feature: nearest-neighbor sample
+    the decoded PNG onto a ``grid_h x grid_w`` grid, emit mean grayscale
+    (channel average, alpha ignored) per cell in [0, 1], row-major —
+    the classic model-free baseline embedding for near-dup image
+    detection (aHash family): deterministic, pure stdlib, pixel-real."""
+    w, h, ch, rows = png_decode(b)
+    cch = 3 if ch == 4 else ch  # ignore alpha
+    vec: list[float] = []
+    for gy in range(grid_h):
+        sy = min(h - 1, gy * h // grid_h)
+        src = rows[sy]
+        for gx in range(grid_w):
+            sx = min(w - 1, gx * w // grid_w)
+            px = src[sx * ch : sx * ch + cch]
+            vec.append(round(sum(px) / cch / 255.0, 6))
+    return vec
+
+
 def make_image_payload_table(spark, docs: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text") -> DataFrame:
     """REAL-payload multimodal table: each document becomes a small but
@@ -445,16 +464,40 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
     embedding hop of a multimodal pipeline.  Fake mode derives a
     deterministic pseudo-embedding from a rolling byte hash so downstream
     similarity plumbing (llm/similarity.py) is exercisable end-to-end;
-    ``fake=False`` is where a vision model would run (batch inference per
-    Arrow batch — exactly this mapInPandas shape, which is why the stub
-    keeps it)."""
+    ``fake=False`` extracts the REAL aHash-family pixel-grid feature
+    (:func:`png_grid_features`): mean grayscale over a
+    ``isqrt(dim) x (dim // isqrt(dim))`` nearest-neighbor grid of the
+    decoded PNG — the standard model-free near-dup baseline, so the
+    whole decode -> embed -> ANN chain runs on real pixels in-container
+    (a vision model slots into the same Arrow-batched mapInPandas shape;
+    non-PNG payloads raise, the resize_images convention)."""
+    import math as _math
+
+    s = max(1, _math.isqrt(dim))
+    t = dim // s
+    if not fake and s * t != dim:
+        raise ValueError(
+            f"dim={dim} must factor as isqrt(dim) * (dim // isqrt(dim)) "
+            "for the real grid feature (e.g. 16=4x4, 12=3x4)"
+        )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real feature extraction requires a vision model — not in this container"
+                feats = []
+                for b in pdf["content"]:
+                    bb = bytes(b)
+                    if bb[:8] != b"\x89PNG\r\n\x1a\n":
+                        raise NotImplementedError(
+                            "real feature extraction covers PNG payloads "
+                            "(stdlib pixel-grid aHash) — plug a vision "
+                            "model into this mapInPandas for the rest"
+                        )
+                    feats.append(png_grid_features(bb, t, s))
+                yield pd.DataFrame(
+                    {"item_id": pdf["item_id"], "embedding": feats}
                 )
+                continue
             feats = []
             for b in pdf["content"]:
                 bb = bytes(b)
