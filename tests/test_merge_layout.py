@@ -141,3 +141,47 @@ def test_counter_rate_single_sample_has_null_rate(spark):
 
     r = counter_rate(df, ["label_name"]).collect()[0]
     assert r["increase"] == 0.0 and r["rate"] is None  # zero span -> no rate
+
+
+def test_label_schema_evolution_reads_merged_with_prom_null_matchers(spark, tmp_path):
+    # the layout's normal mode: a later ingest adds a NEW label column.
+    # load_tsdb must see the union schema regardless of which footer
+    # Spark would sample, and matchers on the new label must treat
+    # pre-evolution rows as absent-label (Prometheus-null semantics)
+    from tsdb_parquet_spark.matchers import Matcher
+    from tsdb_parquet_spark.timeseries import load_tsdb, select_series
+    from tsdb_parquet_spark.writer import write_sorted
+
+    d = str(tmp_path / "evolving")
+    write_sorted(
+        spark.createDataFrame(
+            [(1000, 1.0, "up", "api")],
+            "time long, value double, label_name string, label_job string",
+        ),
+        d,
+    )
+    write_sorted(
+        spark.createDataFrame(
+            [(2000, 2.0, "up", "api", "eu-1")],
+            "time long, value double, label_name string, label_job string, "
+            "label_zone string",
+        ),
+        d,
+        mode="append",
+    )
+    df = load_tsdb(spark, d)
+    assert "label_zone" in df.columns
+
+    eq = [r.time for r in select_series(
+        df, [Matcher("=", "zone", "eu-1")],
+        null_semantics="prometheus").collect()]
+    assert eq == [2000]
+    # absent label matches the EMPTY value under Prometheus semantics
+    empty = [r.time for r in select_series(
+        df, [Matcher("=", "zone", "")],
+        null_semantics="prometheus").collect()]
+    assert empty == [1000]
+    neq = [r.time for r in select_series(
+        df, [Matcher("!=", "zone", "eu-1")],
+        null_semantics="prometheus").collect()]
+    assert neq == [1000]

@@ -732,11 +732,28 @@ def wide_from_long(df_long: DataFrame, names: list[str] | None = None) -> DataFr
     return df_long.select(TIME_COL, VALUE_COL, *cols)
 
 
-def load_tsdb(spark: SparkSession, path: str | None = None) -> DataFrame:
-    """Scan the tsdb table (R7)."""
+def load_tsdb(
+    spark: SparkSession, path: str | None = None, merge_schema: bool = True
+) -> DataFrame:
+    """Scan the tsdb table (R7).
+
+    ``merge_schema=True`` (default) because label-set evolution IS this
+    layout's normal mode (the reference's dynamic columns,
+    ``hello.go:120-157``): a later ingest may add ``label_*`` columns,
+    and a plain read would take ONE file's footer — whichever Spark
+    samples — silently dropping new labels (or old rows' absence of
+    them) depending on file order.  Merged, pre-evolution rows read the
+    new labels as NULL, which the matcher layer already treats with
+    Prometheus-null semantics (absent label = empty).  Cost: a
+    parallel footer-merge pass at planning; for a 100 TB layout with
+    very many files, pin the schema instead (catalog table or a
+    maintained common-metadata file) and pass ``merge_schema=False``."""
     from .tables import TSDB_PATH
 
-    return spark.read.parquet(path or TSDB_PATH)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path or TSDB_PATH)
 
 
 def gap_fill(
