@@ -302,3 +302,44 @@ def test_session_window_boundary_merges_at_exact_gap(spark):
            for r in session_counts_batch(df).orderBy("session_start").collect()]
     t0 = 1704067200
     assert got == [(t0, t0 + 3600, 2), (t0 + 3600, t0 + 5400, 1)]
+
+
+def test_stream_outer_join_finality_strict_watermark_cutoff(spark, tmp_path):
+    # pins the left_outer finality rule the q103 oracle encodes: matches
+    # emit eagerly; an unmatched left emits ONLY once the watermark
+    # STRICTLY passes l.ts + interval.  On this bounded replay the final
+    # watermark is min(max_a, max_b) - 10s = 00:30, so: left@0 matched,
+    # left@10 (bound 15 < 30) emits null-padded, left@25 (bound 30 ==
+    # 30, NOT strictly past) withheld, left@29/left@40 withheld.
+    from datetime import datetime
+
+    from tsdb_parquet_spark.streaming.windows import stream_interval_join
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        (1, 100, t(0), "a"), (1, 101, t(3), "b"),
+        (1, 102, t(10), "a"),
+        (1, 103, t(25), "a"),
+        (1, 104, t(29), "a"),
+        (1, 105, t(40), "a"),
+        (2, 106, t(50), "b"),
+    ]
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = stream_interval_join(
+        stream.filter(F.col("event_type") == "a"),
+        stream.filter(F.col("event_type") == "b"),
+        interval="5 seconds", watermark="10 seconds", how="left_outer",
+    )
+    q = (out.writeStream.format("memory").queryName("t_louter_syn")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r.l_event, r.r_event) for r in
+                 spark.table("t_louter_syn").collect())
+    assert got == [(100, 101), (102, None)]

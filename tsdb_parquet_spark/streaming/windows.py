@@ -232,6 +232,7 @@ def stream_interval_join(
     right_ts: str = "ts",
     interval: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream INTERVAL join: pair each left event with the right
     events for the same key within ``(left_ts, left_ts + interval]`` — the
@@ -244,6 +245,15 @@ def stream_interval_join(
     finalizes.  An equi key plus a range condition keeps this a streaming
     symmetric hash join keyed on ``key_col`` — never a cartesian — exactly
     the batch operator's scale posture, plus bounded state.
+
+    ``how="left_outer"``: matches still emit eagerly, but an UNMATCHED
+    left row emits its null-padded result only once the global watermark
+    strictly passes ``left_ts + interval`` (measured, strict inequality
+    at the boundary — tests/test_streaming.py pins it).  On a bounded
+    replay the watermark ends at ``min(max left_ts, max right_ts) -
+    watermark_delay``, so the TAIL's unmatched rows are withheld forever
+    — a production outer stream join needs either a continuing stream or
+    a watermark-advancing heartbeat to flush them (SCALE.md §5h).
     """
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
@@ -252,7 +262,7 @@ def stream_interval_join(
         & (F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {interval}"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         F.col(f"l.{key_col}").alias(key_col),
         F.col(f"l.{left_ts}").alias("l_ts"),
         F.col(f"r.{right_ts}").alias("r_ts"),
