@@ -397,3 +397,61 @@ def test_budget_select_property_random_inputs(spark):
         assert got == want
 
     check()
+
+
+def test_funnel_property_matches_python_reference(spark):
+    # hypothesis sweep of the anchored conversion-window recurrence:
+    # random small event streams vs a brute-force reference that tries
+    # every anchor and greedily chains earliest-next-within-window
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tsdb_parquet_spark.operators.funnel import funnel_counts
+
+    STEPS = ["a", "b", "c"]
+
+    def ref_reached(events, within):
+        # events: [(ts, step_idx)] for ONE user; returns max step reached
+        by_step = {i: sorted(t for t, s in events if s == i) for i in range(3)}
+        best = 1 if by_step[0] else 0
+        for t1 in by_step[0]:
+            prev, reach = t1, 1
+            for i in (1, 2):
+                nxt = [x for x in by_step[i]
+                       if x > prev and (within is None or x <= t1 + within)]
+                if not nxt:
+                    break
+                prev = min(nxt)
+                reach += 1
+            best = max(best, reach)
+        return best
+
+    ev_st = st.lists(
+        st.tuples(st.integers(0, 2),            # user
+                  st.integers(0, 30),           # ts (seconds; ties likely)
+                  st.integers(0, 2)),           # step idx
+        min_size=1, max_size=25,
+    )
+
+    @given(ev_st, st.sampled_from([None, 5, 12]))
+    @settings(max_examples=10, deadline=None)
+    def check(events, within):
+        from datetime import datetime, timedelta
+
+        base = datetime(2024, 1, 1)
+        rows = [(u, base + timedelta(seconds=t), STEPS[s])
+                for u, t, s in events]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string")
+        got = {r.step: r.users for r in funnel_counts(
+            df, STEPS,
+            within_ms=None if within is None else within * 1000).collect()}
+        per_user = {}
+        for u, t, s in events:
+            per_user.setdefault(u, []).append((t, s))
+        want = {i: sum(1 for evs in per_user.values()
+                       if ref_reached(evs, within) >= i)
+                for i in (1, 2, 3)}
+        assert got == want
+
+    check()
