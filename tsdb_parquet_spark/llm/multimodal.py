@@ -27,7 +27,9 @@ no PIL/cv2/imageio and installs are disallowed):
 Pixel-level resize without Pillow is covered for PNG by a pure-stdlib
 codec (``png_decode``/``png_encode``/``png_resize_nearest`` — bounded,
 per-pixel Python, intended for small fixtures; a real cluster installs
-Pillow).  Real feature extraction genuinely needs a model and raises.
+Pillow).  Feature extraction's real path is the model-free aHash-family
+pixel grid (``png_grid_features``) — a MODEL embedding still needs one
+(plug batch inference into the same mapInPandas; non-PNG raises).
 
 Scale notes: ``mapInPandas`` streams Arrow batches (bounded memory per
 task); binary payloads make *rows* huge, so cap
