@@ -605,3 +605,46 @@ def test_parser_fuzz_raises_cleanly():
             pass
 
     check()
+
+
+def test_promql_api_response_shapes(spark):
+    # the Prometheus HTTP-API envelope: vector/matrix shapes, __name__
+    # mapping, absent labels omitted, Go-style value strings, unix-sec
+    # timestamps, deterministic series order, and the sample-limit guard
+    import pytest as _pytest
+
+    from tsdb_parquet_spark.promql_api import (
+        instant_response,
+        query_range_response,
+    )
+
+    df = spark.createDataFrame(
+        [("up", "api", None, 1.0), ("up", "db", "eu", 0.5),
+         ("up", "api", "us", float("inf"))],
+        "label_name string, label_job string, label_zone string, value double",
+    )
+    r = instant_response(df, 1_700_000_000_123)
+    assert r["status"] == "success"
+    assert r["data"]["resultType"] == "vector"
+    by_job = {e["metric"]["job"]: e for e in r["data"]["result"]}
+    assert by_job["db"]["metric"] == {
+        "__name__": "up", "job": "db", "zone": "eu"}
+    assert "zone" not in by_job["api"]["metric"] or \
+        by_job["api"]["metric"].get("zone") == "us"
+    assert by_job["db"]["value"] == [1_700_000_000.123, "0.5"]
+    # integral floats print bare, infinities Prometheus-style
+    vals = {e["value"][1] for e in r["data"]["result"]}
+    assert "1" in vals and "+Inf" in vals
+
+    with _pytest.raises(ValueError):
+        instant_response(df, 0, max_samples=2)
+
+    # end-to-end range over the reference block
+    block = spark.read.parquet("data/tsdb_block")
+    tmin = block.selectExpr("min(time)").first()[0]
+    m = query_range_response(block, "up", tmin, tmin + 120_000, 60_000)
+    assert m["data"]["resultType"] == "matrix"
+    s = m["data"]["result"][0]
+    assert s["metric"]["__name__"] == "up"
+    ts = [t for t, _ in s["values"]]
+    assert ts == sorted(ts) and len(ts) >= 2

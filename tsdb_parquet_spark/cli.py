@@ -156,6 +156,18 @@ def main(argv: list[str] | None = None) -> None:
                       help="md5 rank salt (priority = deterministic hash order)")
     p_bs.add_argument("--limit", type=int, default=20)
 
+    p_pq = sub.add_parser(
+        "promql",
+        help="PromQL query -> Prometheus HTTP-API JSON "
+        "(instant with --at, range with --start/--end/--step)",
+    )
+    p_pq.add_argument("table", help="wide tsdb parquet layout")
+    p_pq.add_argument("expr")
+    p_pq.add_argument("--at", type=int, default=None, help="instant ms")
+    p_pq.add_argument("--start", type=int, default=None)
+    p_pq.add_argument("--end", type=int, default=None)
+    p_pq.add_argument("--step", type=int, default=60000, help="step ms")
+
     p_e = sub.add_parser("explain", help="plan audit for a matcher query (plans/audit.py)")
     p_e.add_argument("table")
     p_e.add_argument("-m", "--matcher", action="append", default=[])
@@ -271,6 +283,25 @@ def main(argv: list[str] | None = None) -> None:
         )
         out.show(args.limit, truncate=False)
         print(f"({out.count()} rows)")
+        return
+
+    if args.cmd == "promql":
+        import json as _json
+
+        from .promql_api import query_instant_response, query_range_response
+
+        df = spark.read.option("mergeSchema", "true").parquet(args.table)
+        if args.at is not None:
+            resp = query_instant_response(df, args.expr, args.at)
+        else:
+            if args.start is None or args.end is None:
+                tmin, tmax = df.selectExpr("min(time)", "max(time)").first()
+                start = args.start if args.start is not None else tmin
+                end = args.end if args.end is not None else tmax
+            else:
+                start, end = args.start, args.end
+            resp = query_range_response(df, args.expr, start, end, args.step)
+        print(_json.dumps(resp))
         return
 
     if args.cmd == "funnel":

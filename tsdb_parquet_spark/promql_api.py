@@ -1,0 +1,148 @@
+"""Prometheus HTTP-API response shapes for PromQL results.
+
+The reference's end goal is PromQL over Parquet (its README's north
+star); real PromQL consumers — Grafana, alerting, `promtool` — read the
+Prometheus HTTP API's JSON envelope, not a DataFrame.  This module is
+that last mile: `instant_response` / `range_response` turn the engine's
+result DataFrames (promql_expr.query_instant / query_range) into the
+documented `/api/v1/query` and `/api/v1/query_range` bodies:
+
+    {"status": "success",
+     "data": {"resultType": "vector" | "matrix",
+              "result": [{"metric": {"__name__": ..., "job": ...},
+                          "value":  [unix_sec, "v"]          # vector
+                          "values": [[unix_sec, "v"], ...]}]}}  # matrix
+
+Conventions matched to Prometheus:
+
+- sample values are STRINGS in shortest round-trip decimal form
+  (Go's ``FormatFloat(v, 'f'/'g', -1, 64)`` ≙ Python ``repr(float)``),
+  with ``+Inf`` / ``-Inf`` / ``NaN`` spelled Prometheus-style;
+- timestamps are unix SECONDS with millisecond decimals;
+- absent labels are omitted from the ``metric`` map (never ``""``),
+  and the engine's ``label_name`` column becomes ``__name__``.
+
+Scale note: an API response is driver-sized BY CONTRACT (a dashboard
+panel reads hundreds of series x hundreds of points, not a table scan)
+— the ``collect()`` here is the API boundary, guarded by
+``max_samples`` exactly like Prometheus's own query sample limit.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+
+LABEL_PREFIX = "label_"
+
+
+def _fmt_value(v: float) -> str:
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "+Inf" if v > 0 else "-Inf"
+    s = repr(float(v))
+    # Go's FormatFloat(v, 'f', -1, 64) prints integral floats bare ("1");
+    # extreme magnitudes keep Python's shortest repr (documented delta)
+    return s[:-2] if s.endswith(".0") else s
+
+
+def _metric_map(row, label_cols: list[str], metric_label: str) -> dict:
+    m = {}
+    for c in label_cols:
+        v = row[c]
+        if v is not None:
+            name = c[len(LABEL_PREFIX):]
+            m["__name__" if name == metric_label else name] = v
+    return m
+
+
+def _label_cols(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if c.startswith(LABEL_PREFIX)]
+
+
+def _guard(df: DataFrame, max_samples: int) -> list:
+    rows = df.limit(max_samples + 1).collect()
+    if len(rows) > max_samples:
+        raise ValueError(
+            f"query would return more than max_samples={max_samples} "
+            "samples — narrow the selector/range or raise the limit "
+            "(Prometheus's own query.max-samples contract)"
+        )
+    return rows
+
+
+def instant_response(
+    df: DataFrame,
+    at_ms: int,
+    metric_label: str = "name",
+    max_samples: int = 50_000,
+) -> dict:
+    """``/api/v1/query`` body (resultType ``vector``) from an instant
+    result (promql_expr.query_instant output: label_* + value)."""
+    labels = _label_cols(df)
+    ts = at_ms / 1000.0
+    result = [
+        {
+            "metric": _metric_map(r, labels, metric_label),
+            "value": [ts, _fmt_value(r["value"])],
+        }
+        for r in _guard(df, max_samples)
+    ]
+    result.sort(key=lambda e: sorted(e["metric"].items()))
+    return {"status": "success",
+            "data": {"resultType": "vector", "result": result}}
+
+
+def range_response(
+    df: DataFrame,
+    metric_label: str = "name",
+    ts_col: str = "step_ts",
+    max_samples: int = 500_000,
+) -> dict:
+    """``/api/v1/query_range`` body (resultType ``matrix``) from a range
+    result (promql_expr.query_range output: label_* + step_ts + value),
+    one entry per series with its time-ordered ``values``."""
+    labels = _label_cols(df)
+    series: dict[tuple, dict] = {}
+    for r in _guard(df, max_samples):
+        m = _metric_map(r, labels, metric_label)
+        key = tuple(sorted(m.items()))
+        entry = series.setdefault(key, {"metric": m, "values": []})
+        entry["values"].append((r[ts_col], _fmt_value(r["value"])))
+    for entry in series.values():
+        entry["values"] = [
+            [t / 1000.0, v] for t, v in sorted(entry["values"])
+        ]
+    result = [series[k] for k in sorted(series)]
+    return {"status": "success",
+            "data": {"resultType": "matrix", "result": result}}
+
+
+def query_instant_response(
+    spark_df: DataFrame, expr: str, at_ms: int,
+    metric_label: str = "name", max_samples: int = 50_000,
+) -> dict:
+    """Parse + evaluate + format in one call — the ``/api/v1/query``
+    handler body."""
+    from .promql_expr import query_instant
+
+    return instant_response(
+        query_instant(spark_df, expr, at_ms, metric_label),
+        at_ms, metric_label, max_samples,
+    )
+
+
+def query_range_response(
+    spark_df: DataFrame, expr: str, start_ms: int, end_ms: int,
+    step_ms: int, metric_label: str = "name", max_samples: int = 500_000,
+) -> dict:
+    """Parse + evaluate + format — the ``/api/v1/query_range`` handler
+    body."""
+    from .promql_expr import query_range
+
+    return range_response(
+        query_range(spark_df, expr, start_ms, end_ms, step_ms, metric_label),
+        metric_label, max_samples=max_samples,
+    )
