@@ -244,3 +244,37 @@ def test_cli_funnel_cohort_budget(spark, tmp_path, capsys):
     main(["budget-select", docs, "25", "--group-col", "source"])
     out = capsys.readouterr().out
     assert "(3 rows selected)" in out  # 10+10 < 25, third crosses, fourth not
+
+
+def test_tiered_retention_frontier_gates_raw_drop(spark, tmp_path):
+    # the hypertable lifecycle: raw partitions drop ONLY once every
+    # rollup's ingest frontier has passed the cutoff — a lagging rollup
+    # aborts the whole drop (partial tiering = silent data loss)
+    from tsdb_parquet_spark.maintenance import tiered_retention
+    from tsdb_parquet_spark.rollup import refresh_rollup
+
+    step = 3_600_000
+    raw = str(tmp_path / "raw")
+    rows = [(d, t + d * 86_400_000, float(t % 7), "up")
+            for d in range(3) for t in range(0, 4 * step, step // 4)]
+    df = spark.createDataFrame(
+        rows, "day int, time long, value double, label_name string")
+    df.withColumn("dt", F.concat(F.lit("2024-01-0"), (F.col("day") + 1))) \
+      .drop("day").write.partitionBy("dt").parquet(raw)
+
+    ru = str(tmp_path / "rollup_1h")
+    # roll up only days 1-2: frontier stops before day 3
+    refresh_rollup(
+        spark, spark.read.parquet(raw).filter("time < 2 * 86400000"), ru, step)
+
+    cutoff = 86_400_000  # drop raw below day 2
+    out = tiered_retention(spark, raw, "2024-01-02", cutoff, [ru])
+    assert out["dropped"] == ["dt=2024-01-01"]
+    assert out["frontiers"][ru] >= cutoff
+
+    # a cutoff past the rollup frontier refuses and drops nothing
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="frontier"):
+        tiered_retention(spark, raw, "2024-01-03", 3 * 86_400_000, [ru])
+    left = {str(r.dt) for r in spark.read.parquet(raw).select("dt").distinct().collect()}
+    assert left == {"2024-01-02", "2024-01-03"}

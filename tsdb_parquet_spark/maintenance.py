@@ -235,3 +235,50 @@ def vacuum(spark: SparkSession, path: str) -> list[str]:
             fs.delete(p, True)
             removed.append(p.getName())
     return sorted(removed)
+
+
+def tiered_retention(
+    spark: SparkSession,
+    raw_path: str,
+    keep_from: str,
+    cutoff_ms: int,
+    rollup_paths: list[str],
+    partition_col: str | None = None,
+) -> dict:
+    """Tiered retention — the hypertable data-lifecycle policy (raw
+    samples short-lived, continuous-aggregate rollups long-lived): drop
+    raw partitions below ``keep_from`` ONLY after verifying that every
+    rollup's ingest frontier (``max(last_t)`` over its state — a
+    metadata-sized aggregate on the already-small state table) has
+    passed ``cutoff_ms``.  ``keep_from`` and ``cutoff_ms`` express the
+    SAME instant in the partition key's units (ISO date / chunk id) and
+    the data's epoch-ms respectively — the caller owns that mapping,
+    the policy owns the safety check.
+
+    Rollup refresh is fold-in (not idempotent per row), so the policy
+    must never "re-roll just in case" — the frontier check is the
+    correct guarantee: if a rollup has folded samples up to T, every
+    raw row below T has a downsampled form, and dropping it loses no
+    queryable history at that tier.  A rollup whose frontier lags the
+    cutoff aborts the WHOLE drop (raises ``ValueError``) — partial
+    tiering is silent data loss.
+
+    Returns ``{"dropped": [...], "frontiers": {path: last_t_ms}}``.
+    """
+    from pyspark.sql import functions as F
+
+    frontiers: dict[str, int] = {}
+    for rp in rollup_paths:
+        # the raw STATE table (not read_rollup's finalized view, which
+        # projects last_t away) carries the per-bucket max sample time
+        frontier = spark.read.parquet(rp).agg(F.max("last_t")).first()[0]
+        frontiers[rp] = frontier
+        if frontier is None or frontier < cutoff_ms:
+            raise ValueError(
+                f"rollup {rp} ingest frontier {frontier} has not passed "
+                f"cutoff {cutoff_ms}: dropping raw data below it would "
+                "lose samples with no rolled-up form — refresh the "
+                "rollup first"
+            )
+    dropped = retention_drop(spark, raw_path, keep_from, partition_col)
+    return {"dropped": dropped, "frontiers": frontiers}
