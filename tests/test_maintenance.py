@@ -278,3 +278,22 @@ def test_tiered_retention_frontier_gates_raw_drop(spark, tmp_path):
         tiered_retention(spark, raw, "2024-01-03", 3 * 86_400_000, [ru])
     left = {str(r.dt) for r in spark.read.parquet(raw).select("dt").distinct().collect()}
     assert left == {"2024-01-02", "2024-01-03"}
+
+
+def test_cli_tiered_retention(spark, tmp_path, capsys):
+    from tsdb_parquet_spark.cli import main
+    from tsdb_parquet_spark.rollup import refresh_rollup
+
+    raw = str(tmp_path / "raw")
+    rows = [(d, t + d * 86_400_000, float(t % 5), "up")
+            for d in range(2) for t in range(0, 7_200_000, 1_800_000)]
+    df = spark.createDataFrame(
+        rows, "day int, time long, value double, label_name string")
+    df.withColumn("dt", F.concat(F.lit("2024-01-0"), (F.col("day") + 1))) \
+      .drop("day").write.partitionBy("dt").parquet(raw)
+    ru = str(tmp_path / "ru")
+    refresh_rollup(spark, spark.read.parquet(raw), ru, 3_600_000)
+
+    main(["tiered-retention", raw, "2024-01-02", "86400000", "--rollup", ru])
+    out = capsys.readouterr().out
+    assert "dropped 1 partition(s): ['dt=2024-01-01']" in out

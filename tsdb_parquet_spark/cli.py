@@ -94,6 +94,18 @@ def main(argv: list[str] | None = None) -> None:
     p_ret.add_argument("keep_from", help="partition value cutoff (sortable)")
     p_ret.add_argument("--col", default=None, help="partition column filter")
 
+    p_tr = sub.add_parser(
+        "tiered-retention",
+        help="drop raw partitions below a cutoff ONLY if every rollup's "
+        "ingest frontier has passed it (hypertable lifecycle)",
+    )
+    p_tr.add_argument("table")
+    p_tr.add_argument("keep_from", help="partition-value cutoff (e.g. ISO date)")
+    p_tr.add_argument("cutoff_ms", type=int, help="same instant in epoch ms")
+    p_tr.add_argument("--rollup", action="append", required=True,
+                      help="rollup state path (repeatable)")
+    p_tr.add_argument("--col", default=None, help="partition column filter")
+
     p_h = sub.add_parser("health", help="partition/file stats for a table")
     p_h.add_argument("table")
 
@@ -244,6 +256,19 @@ def main(argv: list[str] | None = None) -> None:
 
         dropped = retention_drop(spark, args.table, args.keep_from, args.col)
         print(f"dropped {len(dropped)} partition(s): {dropped}")
+        return
+
+    if args.cmd == "tiered-retention":
+        from .maintenance import tiered_retention
+
+        out = tiered_retention(
+            spark, args.table, args.keep_from, args.cutoff_ms,
+            args.rollup, args.col,
+        )
+        print(
+            f"dropped {len(out['dropped'])} partition(s): {out['dropped']} "
+            f"(frontiers: {out['frontiers']})"
+        )
         return
 
     if args.cmd == "health":
