@@ -648,3 +648,26 @@ def test_promql_api_response_shapes(spark):
     assert s["metric"]["__name__"] == "up"
     ts = [t for t, _ in s["values"]]
     assert ts == sorted(ts) and len(ts) >= 2
+
+
+def test_promql_api_discovery_endpoints(spark):
+    # /api/v1/series, /labels, /label/<name>/values over the reference
+    # block: __name__ mapping in selectors and outputs, schema-only
+    # labels listing, sorted distinct values
+    from tsdb_parquet_spark.promql_api import (
+        label_values_response,
+        labels_response,
+        series_response,
+    )
+
+    block = spark.read.parquet("data/tsdb_block")
+    s = series_response(block, '{__name__="up"}')
+    assert s["data"] == [{"__name__": "up", "instance": "localhost:9090",
+                          "job": "prometheus"}]
+    names = labels_response(block)["data"]
+    assert "__name__" in names and "job" in names and "label_name" not in names
+    vals = label_values_response(block, "job")["data"]
+    assert vals == ["prometheus"]
+    metrics = label_values_response(block, "__name__")["data"]
+    assert "up" in metrics and metrics == sorted(metrics)
+    assert label_values_response(block, "nope")["data"] == []

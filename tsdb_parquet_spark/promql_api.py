@@ -146,3 +146,65 @@ def query_range_response(
         query_range(spark_df, expr, start_ms, end_ms, step_ms, metric_label),
         metric_label, max_samples=max_samples,
     )
+
+
+def series_response(
+    df: DataFrame,
+    selector: str | None = None,
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+    metric_label: str = "name",
+    max_series: int = 50_000,
+) -> dict:
+    """``/api/v1/series`` body: the distinct label sets matching a
+    selector in a time range — Grafana's series-discovery endpoint.
+    One distinct aggregate over the (pruned, matcher-filtered) scan."""
+    from .matchers import Matcher, parse_selector
+    from .timeseries import select_series
+
+    matchers = [
+        Matcher(m.op, metric_label if m.name == "__name__" else m.name,
+                m.value)
+        for m in (parse_selector(selector) if selector else [])
+    ]
+    sel = select_series(
+        df, matchers, t0=start_ms, t1=end_ms,
+        null_semantics="prometheus",
+    )
+    labels = _label_cols(sel)
+    rows = _guard(sel.select(*labels).distinct(), max_series)
+    result = sorted(
+        (_metric_map(r, labels, metric_label) for r in rows),
+        key=lambda m: sorted(m.items()),
+    )
+    return {"status": "success", "data": result}
+
+
+def labels_response(df: DataFrame, metric_label: str = "name") -> dict:
+    """``/api/v1/labels`` body: the label names present in the layout —
+    pure schema metadata (the wide layout's dynamic columns), no scan."""
+    names = sorted(
+        "__name__" if c[len(LABEL_PREFIX):] == metric_label
+        else c[len(LABEL_PREFIX):]
+        for c in _label_cols(df)
+    )
+    return {"status": "success", "data": names}
+
+
+def label_values_response(
+    df: DataFrame,
+    label: str,
+    metric_label: str = "name",
+    max_values: int = 50_000,
+) -> dict:
+    """``/api/v1/label/<name>/values`` body: distinct non-null values of
+    one label — a single-column distinct over the pruned scan (column
+    pruning reaches the parquet reader; dictionary-encoded label
+    columns answer this from dictionary pages)."""
+    col = LABEL_PREFIX + (metric_label if label == "__name__" else label)
+    if col not in df.columns:
+        return {"status": "success", "data": []}
+    rows = _guard(
+        df.select(col).filter(f"`{col}` IS NOT NULL").distinct(), max_values
+    )
+    return {"status": "success", "data": sorted(r[col] for r in rows)}
