@@ -1067,3 +1067,49 @@ def test_extract_features_real_pixel_grid(spark):
     with _pytest.raises(Exception):  # non-PNG payload raises in the task
         bad = spark.createDataFrame([(9, b"JUNK")], "item_id long, content binary")
         extract_features(bad, dim=16, fake=False).collect()
+
+
+def test_unigram_logprob_hand_corpus_and_cap(spark):
+    # corpus: "a a b" + "a c" -> counts a=3, b=1, c=1, total=5
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a C"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_tokens, r.sum_llu, r.lp_tok) for r in
+           llm.unigram_logprob(df, vocab_size=10).collect()}
+
+    li = {w: round(math.log(c / 5) * 1_000_000)
+          for w, c in {"a": 3, "b": 1, "c": 1}.items()}
+    # doc 0: a a b; doc 1: a c (lowercased); doc 2: no tokens -> no row
+    want0 = 2 * li["a"] + li["b"]
+    want1 = li["a"] + li["c"]
+    assert out[0] == (3, want0, round(want0 / 3 / 1_000_000, 6))
+    assert out[1] == (2, want1, round(want1 / 2 / 1_000_000, 6))
+    assert 2 not in out
+
+    # vocab cap: with vocab_size=1 only 'a' is in-vocab; b and c take
+    # the fixed OOV floor
+    capped = {r.doc_id: r.sum_llu for r in
+              llm.unigram_logprob(df, vocab_size=1, oov_lp=-15.0).collect()}
+    assert capped[0] == 2 * li["a"] + (-15_000_000)
+    assert capped[1] == li["a"] + (-15_000_000)
+
+    # higher-quality (in-distribution) text scores above gibberish when
+    # the LM comes from a reference corpus (lm_df reuse path)
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)],
+        "doc_id long, text string",
+    )
+    from tsdb_parquet_spark.llm.text import unigram_logprob as _u
+    import pyspark.sql.functions as F
+    cnt = ref.select(F.explode(F.split(F.lower("text"), "[ \\t\\n\\r\\f]+")).alias("_w")) \
+             .groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    total = cnt.agg(F.sum("_c")).first()[0]
+    lm_df = cnt.select("_w", F.round(F.log(F.col("_c").cast("double") / F.lit(float(total))) * F.lit(1_000_000)).cast("bigint").alias("_li"))
+    test = spark.createDataFrame(
+        [(0, "the quick fox"), (1, "zxqy wvut kjih")],
+        "doc_id long, text string",
+    )
+    scored = {r.doc_id: r.lp_tok for r in
+              _u(test, lm_df=lm_df).collect()}
+    assert scored[0] > scored[1]  # fluent beats gibberish

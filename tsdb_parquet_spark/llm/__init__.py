@@ -38,6 +38,7 @@ from .text import (
     text_quality,
     token_count,
     tokenize_counts,
+    unigram_logprob,
     tokens_col,
 )
 from .corpus import (
@@ -86,6 +87,7 @@ __all__ = [
     "lsh_bucketed_ann",
     "vector_lit",
     "tokenize_counts",
+    "unigram_logprob",
     "chunk_documents",
     "tokens_col",
     "token_count",

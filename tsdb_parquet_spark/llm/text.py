@@ -280,3 +280,78 @@ def chunk_documents(
         )
         .withColumn("chunk_len", F.length("chunk_text").cast("int"))
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50_000,
+    oov_lp: float = -15.0,
+    unit: int = 1_000_000,
+    lm_df: DataFrame | None = None,
+    score_alias: str = "lp_tok",
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the perplexity-proxy
+    QUALITY FILTER of a pre-training pipeline (the CCNet recipe scores
+    docs with a LM and keeps the fluent tail; a unigram LM built from
+    the corpus itself is the shuffle-cheap first rung, and a real KenLM
+    slots in by supplying ``lm_df`` = (w, _li) precomputed scores).
+
+    Exactness discipline: each DISTINCT token's log-prob is computed
+    ONCE in the vocabulary dimension and FIXED-POINTED to integer
+    ``round(ln(c/total)*unit)`` — per-document scores are then INTEGER
+    sums (order-independent, partition-independent; float summation of
+    per-token doubles would hash-differ across engines by add order),
+    with ONE final division.  OOV tokens get the fixed floor ``oov_lp``
+    (a parameter, not a derived constant — no cross-engine ln on a
+    second code path).  Vocabulary = top ``vocab_size`` tokens by
+    (count DESC, token) — deterministic at the cap boundary.
+
+    100 TB shape: one token-count aggregate, a driver-bounded top-V
+    vocabulary broadcast (~MBs), then a map-side broadcast join +
+    per-doc partial aggregate — ONE full shuffle (doc_id).  Tokens use
+    the explicit whitespace class (the q80 lesson: Java ``\\s`` includes
+    VT, RE2's does not).  Docs with zero tokens produce no output row.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
+        lambda w: w != "",
+    )
+    tok = df.select(F.col(id_col), F.explode(toks).alias("_w"))
+    if lm_df is None:
+        cnt = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+        total = cnt.agg(F.sum("_c")).first()[0]
+        if total is None:
+            return df.sparkSession.createDataFrame(
+                [], f"{id_col} long, n_tokens long, sum_llu long, "
+                    f"{score_alias} double"
+            )
+        lm_df = (
+            cnt.orderBy(F.desc("_c"), "_w")
+            .limit(vocab_size)
+            .select(
+                "_w",
+                F.round(
+                    F.log(F.col("_c").cast("double") / F.lit(float(total)))
+                    * F.lit(unit)
+                ).cast("bigint").alias("_li"),
+            )
+        )
+    oov_li = int(round(oov_lp * unit))
+    li = F.coalesce(F.col("_li"), F.lit(oov_li))
+    return (
+        tok.join(F.broadcast(lm_df), "_w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(li).alias("sum_llu"),
+        )
+        .withColumn(
+            score_alias,
+            F.round(
+                F.col("sum_llu").cast("double") / F.col("n_tokens")
+                / F.lit(unit), 6,
+            ),
+        )
+    )
