@@ -455,3 +455,29 @@ def test_funnel_property_matches_python_reference(spark):
         assert got == want
 
     check()
+
+
+def test_transition_counts_flows_and_gaps(spark):
+    from datetime import datetime
+
+    from tsdb_parquet_spark.operators.funnel import transition_counts
+
+    from datetime import timedelta
+
+    def t(s):
+        return datetime(2024, 1, 1) + timedelta(seconds=s)
+
+    rows = [
+        # u1: a -> b -> (gap 100s) -> c  => entry a, a->b, entry c
+        (1, t(0), "a"), (1, t(5), "b"), (1, t(105), "c"),
+        # u2: simultaneous a,b tie-break by name: a -> b
+        (2, t(0), "b"), (2, t(0), "a"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {(r.src, r.dst): r.n for r in
+           transition_counts(df, gap_ms=60_000).collect()}
+    assert got == {("__start__", "a"): 2, ("a", "b"): 2, ("__start__", "c"): 1}
+    # without gap, c continues u1's flow; without entries only real pairs
+    got2 = {(r.src, r.dst): r.n for r in
+            transition_counts(df, include_entry=False).collect()}
+    assert got2 == {("a", "b"): 2, ("b", "c"): 1}

@@ -204,3 +204,51 @@ def cohort_retention(
         .agg(F.count(F.lit(1)).alias("users"))
         .orderBy("cohort", "offset_periods")
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    gap_ms: int | None = None,
+    include_entry: bool = True,
+) -> DataFrame:
+    """Event-flow transition matrix: how often event B directly follows
+    event A for the same user — the user-flow / Sankey primitive next
+    to :func:`funnel_counts`'s fixed sequences.  ``gap_ms`` breaks
+    flows at inactivity gaps STRICTLY longer than it (the sessionize
+    convention); ``include_entry`` adds the per-flow entry transitions
+    from the synthetic ``__start__`` state, so entry-point counts fall
+    out of the same matrix.
+
+    Simultaneous timestamps tie-break by event name (deterministic,
+    partition-independent).  One window pass over (user)-partitioned
+    events + one count-shaped aggregate over (src, dst) pairs — the
+    result is at most |event types|^2 (+ entries) rows regardless of
+    data size.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, event_col)
+    prev_ev = F.lag(event_col).over(w)
+    prev_ts = F.lag(ts_col).over(w)
+    gap_us = None if gap_ms is None else int(gap_ms) * 1000
+    new_flow = prev_ev.isNull()
+    if gap_us is not None:
+        new_flow = new_flow | (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(prev_ts.cast("timestamp"))
+            > gap_us
+        )
+    src = F.when(new_flow, F.lit("__start__")).otherwise(prev_ev)
+    d = df.select(
+        src.alias("src"), F.col(event_col).alias("dst")
+    )
+    if not include_entry:
+        d = d.filter(F.col("src") != "__start__")
+    return (
+        d.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("src", "dst")
+    )
