@@ -481,3 +481,31 @@ def test_transition_counts_flows_and_gaps(spark):
     got2 = {(r.src, r.dst): r.n for r in
             transition_counts(df, include_entry=False).collect()}
     assert got2 == {("a", "b"): 2, ("b", "c"): 1}
+
+
+def test_funnel_conversion_times(spark):
+    from datetime import datetime, timedelta
+
+    from tsdb_parquet_spark.operators.funnel import funnel_conversion_times
+
+    def t(s):
+        return datetime(2024, 1, 1) + timedelta(seconds=s)
+
+    rows = [
+        # u1: anchors at 0 and 60; chain from 60 completes FASTER
+        (1, t(0), "a"), (1, t(100), "b"), (1, t(200), "c"),
+        (1, t(60), "a"),   # 60 -> b@100 -> c@200: duration 140 < 200
+        # u2: never completes (no c)
+        (2, t(0), "a"), (2, t(5), "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.user_id: r.duration_us for r in
+           funnel_conversion_times(df, ["a", "b", "c"]).collect()}
+    assert got == {1: 140_000_000}
+
+    # a conversion window that excludes the late c drops u1 too
+    assert funnel_conversion_times(
+        df, ["a", "b", "c"], within_ms=120_000).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        funnel_conversion_times(df, ["a"])

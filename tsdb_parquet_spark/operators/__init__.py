@@ -13,7 +13,7 @@ from .windows import top_k_per_group, lag_moving_avg, sessionize
 from .setops import intersect_sorted, except_sorted, union_distinct_sorted
 from .sort import global_top_k
 from .prefix import budget_select, distributed_cumsum, interval_concurrency, packed_sequences
-from .funnel import cohort_retention, funnel_counts
+from .funnel import cohort_retention, funnel_counts, transition_counts
 
 __all__ = [
     "distributed_cumsum",
@@ -34,4 +34,5 @@ __all__ = [
     "budget_select",
     "funnel_counts",
     "cohort_retention",
+    "transition_counts",
 ]

@@ -252,3 +252,67 @@ def transition_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("src", "dst")
     )
+
+
+def funnel_conversion_times(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    within_ms: int | None = None,
+) -> DataFrame:
+    """Time-to-convert per converted user: the EARLIEST full-chain
+    duration (last step ts − anchor ts, µs) over all step-1 anchors —
+    the funnel's natural companion metric ("how long does view →
+    purchase take?").  Same anchored greedy chains as
+    :func:`funnel_counts` (greedy per anchor is optimal, so the min
+    over anchors is the true earliest conversion); users who never
+    complete the chain produce no row.  Output: (user, duration_us).
+    """
+    if len(steps) < 2:
+        raise ValueError("conversion time needs at least two steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    idx = F.create_map(
+        *[F.lit(x) for i, s in enumerate(steps) for x in (s, i)]
+    )
+    ev = (
+        df.filter(F.col(event_col).isin(list(steps)))
+        .select(
+            F.col(user_col).alias("_u"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
+            idx[F.col(event_col)].alias("_s"),
+        )
+    )
+    w_us = None if within_ms is None else int(within_ms) * 1000
+    arrs = [
+        F.array_sort(
+            F.collect_list(F.when(F.col("_s") == i, F.col("_t")))
+        ).alias(f"_a{i}")
+        for i in range(len(steps))
+    ]
+    per_user = ev.groupBy("_u").agg(*arrs)
+
+    def _after(prev, t1):
+        if w_us is None:
+            return lambda x: x > prev
+        return lambda x: (x > prev) & (x <= t1 + F.lit(w_us))
+
+    def _chain_end(t1):
+        prev = t1
+        for i in range(1, len(steps)):
+            prev = F.array_min(F.filter(F.col(f"_a{i}"), _after(prev, t1)))
+        return prev  # null if the chain broke anywhere
+
+    durations = F.filter(
+        F.transform(F.col("_a0"), lambda t1: _chain_end(t1) - t1),
+        lambda d: d.isNotNull(),
+    )
+    return (
+        per_user.select(
+            F.col("_u").alias(user_col),
+            F.array_min(durations).alias("duration_us"),
+        )
+        .filter(F.col("duration_us").isNotNull())
+    )
