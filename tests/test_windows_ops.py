@@ -509,3 +509,22 @@ def test_funnel_conversion_times(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         funnel_conversion_times(df, ["a"])
+
+
+def test_cusum_drift_drawdown_identity(spark):
+    # hand recurrence y_i = max(0, y_{i-1} + (x - target - slack)):
+    # x = [15,7,6,12,16], target 10, slack 0 -> dev [5,-3,-4,2,6]
+    # y = [5,2,0,2,8]; threshold 1.5 alarms at t1 (5), t2 (2), t4 (2), t5 (8)
+    from tsdb_parquet_spark.timeseries import cusum_drift
+
+    rows = [("s", t, v) for t, v in
+            enumerate([15.0, 7.0, 6.0, 12.0, 16.0], start=1)]
+    df = spark.createDataFrame(rows, "label_name string, time long, value double")
+    got = {r.time: r.cusum_u for r in
+           cusum_drift(df, target=10.0, threshold=1.5).collect()}
+    assert got == {1: 5_000_000, 2: 2_000_000, 4: 2_000_000, 5: 8_000_000}
+    # slack shifts the drift allowance; higher threshold silences all
+    assert cusum_drift(df, target=10.0, threshold=9.0).count() == 0
+    got2 = {r.time: r.cusum_u for r in
+            cusum_drift(df, target=10.0, slack=1.0, threshold=1.5).collect()}
+    assert got2 == {1: 4_000_000, 5: 6_000_000}  # y=[4,0,0,1,6]

@@ -893,3 +893,59 @@ def anomaly_mad(
         F.abs(F.col(value_col) - F.col("med"))
         > F.lit(threshold) * F.lit(1.4826) * F.col("mad"),
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    target: float,
+    threshold: float,
+    slack: float = 0.0,
+    labels: list[str] | None = None,
+    time_col: str = TIME_COL,
+    value_col: str = VALUE_COL,
+    unit: float = 1e-6,
+) -> DataFrame:
+    """One-sided CUSUM drift detection (the SPC change-point chart,
+    Page 1954): per series, the recurrence ``y_i = max(0, y_{i-1} +
+    (x_i - target - slack))`` alarms when sustained upward drift
+    accumulates past ``threshold`` — the classic complement to
+    point-anomaly scoring (``anomaly_mad``): a run of small deviations
+    no single-point detector flags.
+
+    The max-0 reset LOOKS like a sequential recurrence, but the
+    drawdown identity makes it a plain window expression:
+    ``y_i = S_i - min(S_j, j <= i)`` for ``S`` the running sum of
+    deviations — cumulative sum + running min, fully parallel per
+    series, no stateful loop.  Deviations are scaled to exact integer
+    ``unit`` steps first (the time_weighted_avg FLOOR formula), so the
+    running sums are INTEGER — engines that evaluate cumulative window
+    frames with different add orders (segment trees vs sequential)
+    still agree bit-for-bit.
+
+    Returns the alarm rows: (labels..., time, cusum_u) where
+    ``cusum_u > threshold_u`` in units.  100 TB shape: one exchange on
+    the series labels feeding both window functions; alarms are the
+    only output rows.
+    """
+    from pyspark.sql import Window
+
+    labels = labels if labels is not None else label_columns(df)
+    u = F.floor(F.col(value_col) / F.lit(unit) + F.lit(0.5)).cast("long")
+    t_u = int(round(target / unit))
+    s_u = int(round(slack / unit))
+    h_u = int(round(threshold / unit))
+    dev = u - F.lit(t_u + s_u)
+    w = Window.partitionBy(*labels).orderBy(time_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        df.select(*labels, time_col, dev.alias("_dev"))
+        .withColumn("_cusum_s", F.sum("_dev").over(w))
+        .withColumn(
+            "cusum_u",
+            F.col("_cusum_s")
+            - F.least(F.min("_cusum_s").over(w), F.lit(0)),
+        )
+        .filter(F.col("cusum_u") > h_u)
+        .select(*labels, time_col, "cusum_u")
+    )
