@@ -528,3 +528,33 @@ def test_cusum_drift_drawdown_identity(spark):
     got2 = {r.time: r.cusum_u for r in
             cusum_drift(df, target=10.0, slack=1.0, threshold=1.5).collect()}
     assert got2 == {1: 4_000_000, 5: 6_000_000}  # y=[4,0,0,1,6]
+
+
+def test_autocorr_lag_exact_moments(spark):
+    import statistics
+
+    from tsdb_parquet_spark.timeseries import autocorr_lag
+
+    # smooth ramp -> r1 ~ 1; alternating -> r1 ~ -1; constant -> NULL
+    ramp = [float(i) for i in range(20)]
+    alt = [float(i % 2) for i in range(20)]
+    rows = ([("ramp", t, v) for t, v in enumerate(ramp)]
+            + [("alt", t, v) for t, v in enumerate(alt)]
+            + [("const", t, 5.0) for t in range(10)]
+            + [("tiny", 0, 1.0), ("tiny", 1, 2.0)])
+    df = spark.createDataFrame(rows, "label_name string, time long, value double")
+    got = {r.label_name: (r.n_pairs, r.autocorr)
+           for r in autocorr_lag(df, lag=1).collect()}
+
+    def ref(vals):
+        x, y = vals[:-1], vals[1:]
+        return round(statistics.correlation(x, y), 6)
+
+    assert got["ramp"] == (19, ref(ramp))
+    assert got["alt"] == (19, ref(alt)) and got["alt"][1] < -0.9
+    assert got["const"] == (9, None)          # zero variance
+    assert got["tiny"][1] is None             # below min_pairs
+    # lag-2 on the alternating series is perfectly POSITIVE
+    got2 = {r.label_name: r.autocorr for r in
+            autocorr_lag(df, lag=2).collect()}
+    assert got2["alt"] == 1.0

@@ -949,3 +949,71 @@ def cusum_drift(
         .filter(F.col("cusum_u") > h_u)
         .select(*labels, time_col, "cusum_u")
     )
+
+
+def autocorr_lag(
+    df: DataFrame,
+    lag: int = 1,
+    labels: list[str] | None = None,
+    time_col: str = TIME_COL,
+    value_col: str = VALUE_COL,
+    unit: float = 1e-6,
+    min_pairs: int = 2,
+    alias: str = "autocorr",
+) -> DataFrame:
+    """Per-series lag-``k`` autocorrelation — Pearson r between ``v_t``
+    and ``v_{t+k}`` in time order: the smoothness/seasonality statistic
+    (r1 near 1 = smooth trending series, near 0 = noise, negative =
+    alternation; at the seasonal lag a high r flags periodicity).
+
+    Exactness discipline: values scale to exact integer ``unit`` steps,
+    and ALL five moments (n, Sx, Sy, Sxx, Syy, Sxy) accumulate as
+    DECIMAL(38,0) integers — products of 1e-6-unit values overflow
+    int64, decimal does not — so the only floating-point work is the
+    ONE final expression from exact integers, identical in any engine.
+    r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2)),
+    emitted rounded to 6 dp; series with fewer than ``min_pairs``
+    lagged pairs or zero variance produce NULL.
+
+    One exchange on the series labels (the lag window), then the
+    aggregate reuses that partitioning — no second shuffle.
+    """
+    from pyspark.sql import Window
+
+    labels = labels if labels is not None else label_columns(df)
+    u = F.floor(F.col(value_col) / F.lit(unit) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    w = Window.partitionBy(*labels).orderBy(time_col)
+    d = (
+        df.select(*labels, time_col, u.alias("_x"))
+        .withColumn("_y", F.lead("_x", lag).over(w))
+        .filter(F.col("_y").isNotNull())
+    )
+    n = F.count(F.lit(1)).cast("decimal(38,0)")
+    agg = d.groupBy(*labels).agg(
+        n.alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    cov = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    )
+    vx = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    vy = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(
+        "double"
+    )
+    r = F.when(
+        (F.col("_n") >= min_pairs) & (vx > 0) & (vy > 0),
+        F.round(cov / F.sqrt(vx * vy), 6),
+    )
+    return agg.select(
+        *labels,
+        F.col("_n").cast("long").alias("n_pairs"),
+        r.alias(alias),
+    )
