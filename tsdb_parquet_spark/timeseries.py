@@ -1017,3 +1017,34 @@ def autocorr_lag(
         F.col("_n").cast("long").alias("n_pairs"),
         r.alias(alias),
     )
+
+
+def value_heatmap(
+    df: DataFrame,
+    step_ms: int,
+    value_width: float,
+    labels: list[str] | None = None,
+    time_col: str = TIME_COL,
+    value_col: str = VALUE_COL,
+    unit: float = 1e-6,
+) -> DataFrame:
+    """Time x value density grid — the Grafana HEATMAP panel's input
+    (TimescaleDB ``histogram()`` per bucket): per series, per
+    ``step_ms`` time bucket, per ``value_width`` value band, a sample
+    count.  Value banding happens on exact integer ``unit`` steps
+    (``floor(u / width_u)``) so band edges are engine-exact — never
+    ``floor(log(v))``-style banding whose boundary samples flip with
+    libm rounding.  One hash aggregate; output is bounded by
+    series x time-buckets x occupied bands, not by samples.
+    """
+    labels = labels if labels is not None else label_columns(df)
+    u = F.floor(F.col(value_col) / F.lit(unit) + F.lit(0.5)).cast("long")
+    w_u = int(round(value_width / unit))
+    if w_u <= 0:
+        raise ValueError("value_width must be positive")
+    t_b = F.floor(F.col(time_col) / F.lit(step_ms)).cast("long")
+    v_b = F.floor(u / F.lit(w_u)).cast("long")
+    return (
+        df.groupBy(*labels, t_b.alias("t_bucket"), v_b.alias("v_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
