@@ -558,3 +558,18 @@ def test_autocorr_lag_exact_moments(spark):
     got2 = {r.label_name: r.autocorr for r in
             autocorr_lag(df, lag=2).collect()}
     assert got2["alt"] == 1.0
+
+
+def test_value_heatmap_cells(spark):
+    from tsdb_parquet_spark.timeseries import value_heatmap
+
+    rows = [("s", 0, 0.01), ("s", 1, 0.019999), ("s", 2, 0.02),
+            ("s", 1_000_000, 0.05)]
+    df = spark.createDataFrame(rows, "label_name string, time long, value double")
+    got = {(r.t_bucket, r.v_bucket): r.n for r in
+           value_heatmap(df, step_ms=600_000, value_width=0.02).collect()}
+    # band edges exact: 0.019999 stays in band 0, 0.02 starts band 1
+    assert got == {(0, 0): 2, (0, 1): 1, (1, 2): 1}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        value_heatmap(df, 600_000, value_width=0.0)
