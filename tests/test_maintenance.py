@@ -297,3 +297,36 @@ def test_cli_tiered_retention(spark, tmp_path, capsys):
     main(["tiered-retention", raw, "2024-01-02", "86400000", "--rollup", ru])
     out = capsys.readouterr().out
     assert "dropped 1 partition(s): ['dt=2024-01-01']" in out
+
+
+def test_tiered_retention_per_series_frontier_catches_lagging_series(spark, tmp_path):
+    # one series refreshed through day 3, the other only day 1: the
+    # per-series frontier (default) refuses the day-2 cutoff that the
+    # overstated global max would green-light
+    from tsdb_parquet_spark.maintenance import tiered_retention
+    from tsdb_parquet_spark.rollup import refresh_rollup
+
+    step = 3_600_000
+    raw = str(tmp_path / "raw")
+    rows = [(n, t, float(t % 5)) for n in ("up", "down")
+            for t in range(0, 3 * 86_400_000, 6 * step)]
+    df = spark.createDataFrame(rows, "label_name string, time long, value double")
+    df.withColumn("dt", F.concat(F.lit("2024-01-0"),
+                                 (F.floor(F.col("time") / 86_400_000) + 1))) \
+      .write.partitionBy("dt").parquet(raw)
+
+    ru = str(tmp_path / "ru")
+    base = spark.read.parquet(raw)
+    refresh_rollup(spark, base.filter("label_name = 'up'"), ru, step)
+    refresh_rollup(
+        spark, base.filter("label_name = 'down' AND time < 86400000"),
+        ru, step)
+
+    import pytest as _pytest
+    cutoff = 2 * 86_400_000
+    with _pytest.raises(ValueError, match="frontier"):
+        tiered_retention(spark, raw, "2024-01-03", cutoff, [ru])
+    # the global mode (explicit opt-in) would have allowed it
+    out = tiered_retention(spark, raw, "2024-01-03", cutoff, [ru],
+                           frontier="global")
+    assert out["dropped"] == ["dt=2024-01-01", "dt=2024-01-02"]

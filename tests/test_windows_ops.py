@@ -573,3 +573,41 @@ def test_value_heatmap_cells(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         value_heatmap(df, 600_000, value_width=0.0)
+
+
+def test_budget_select_null_group(spark):
+    # a NULL group is a real group: it must neither crash the offsets
+    # sort (None vs str comparison) nor be silently dropped by a
+    # non-null-safe offsets join
+    from pyspark.sql import Window
+
+    from tsdb_parquet_spark.operators.prefix import budget_select
+
+    rows = [(i, None if i % 3 == 0 else f"g{i % 2}", 5, i % 4)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, g string, sz int, prio int")
+    w = Window.partitionBy("g").orderBy(F.asc("prio"), F.asc("id"))
+    want = {(r.id, r.c) for r in
+            df.withColumn("c", F.sum(F.col("sz").cast("long")).over(w))
+              .filter(F.col("c") - F.col("sz") < 30).collect()}
+    got = {(r.id, r.cum_size) for r in
+           budget_select(df, 30, "sz", "prio", id_col="id", group_col="g",
+                         num_buckets=7).collect()}
+    assert got == want
+    assert any(r.g is None for r in
+               budget_select(df, 30, "sz", "prio", id_col="id",
+                             group_col="g").collect())
+
+
+def test_funnel_step_names_with_quotes(spark):
+    # step names are data, not SQL: quotes must not break the unpivot
+    from datetime import datetime
+
+    from tsdb_parquet_spark.operators.funnel import funnel_counts
+
+    rows = [(1, datetime(2024, 1, 1, 0, 0), "o'reilly"),
+            (1, datetime(2024, 1, 1, 0, 1), 'say "hi"')]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.event_type: r.users for r in
+           funnel_counts(df, ["o'reilly", 'say "hi"']).collect()}
+    assert got == {"o'reilly": 1, 'say "hi"': 1}

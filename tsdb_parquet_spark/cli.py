@@ -321,6 +321,11 @@ def main(argv: list[str] | None = None) -> None:
         else:
             if args.start is None or args.end is None:
                 tmin, tmax = df.selectExpr("min(time)", "max(time)").first()
+                if tmin is None:
+                    raise SystemExit(
+                        "table has no samples: pass --start/--end or "
+                        "point at a non-empty layout"
+                    )
                 start = args.start if args.start is not None else tmin
                 end = args.end if args.end is not None else tmax
             else:

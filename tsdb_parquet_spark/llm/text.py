@@ -327,9 +327,10 @@ def unigram_logprob(
         try:
             total = cnt.agg(F.sum("_c")).first()[0]
             if total is None:
+                id_type = df.schema[id_col].dataType.simpleString()
                 return df.sparkSession.createDataFrame(
-                    [], f"{id_col} long, n_tokens long, sum_llu long, "
-                        f"{score_alias} double"
+                    [], f"{id_col} {id_type}, n_tokens long, "
+                        f"sum_llu long, {score_alias} double"
                 )
             top = (
                 cnt.orderBy(F.desc("_c"), "_w").limit(vocab_size)

@@ -244,6 +244,7 @@ def tiered_retention(
     cutoff_ms: int,
     rollup_paths: list[str],
     partition_col: str | None = None,
+    frontier: str = "per_series",
 ) -> dict:
     """Tiered retention — the hypertable data-lifecycle policy (raw
     samples short-lived, continuous-aggregate rollups long-lived): drop
@@ -263,19 +264,42 @@ def tiered_retention(
     cutoff aborts the WHOLE drop (raises ``ValueError``) — partial
     tiering is silent data loss.
 
-    Returns ``{"dropped": [...], "frontiers": {path: last_t_ms}}``.
+    ``frontier="per_series"`` (default) takes the MINIMUM over series
+    of each series' ``max(last_t)`` — a global max would overstate the
+    frontier when one series' refresh lags another's (per-source
+    pipelines, late raw rows), green-lighting drops that lose the
+    lagging series' unfolded samples.  The cost of the safe default:
+    a series that legitimately STOPPED (decommissioned instance) pins
+    the frontier at its last sample forever — for that fleet-churn
+    regime pass ``frontier="global"`` plus per-source cutoffs, or
+    retire dead series from the rollup first.
+
+    Returns ``{"dropped": [...], "frontiers": {path: frontier_ms}}``.
     """
     from pyspark.sql import functions as F
 
+    if frontier not in ("per_series", "global"):
+        raise ValueError("frontier must be 'per_series' or 'global'")
     frontiers: dict[str, int] = {}
     for rp in rollup_paths:
         # the raw STATE table (not read_rollup's finalized view, which
         # projects last_t away) carries the per-bucket max sample time
-        frontier = spark.read.parquet(rp).agg(F.max("last_t")).first()[0]
-        frontiers[rp] = frontier
-        if frontier is None or frontier < cutoff_ms:
+        state = spark.read.parquet(rp)
+        if frontier == "per_series":
+            labels = [
+                c for c in state.columns
+                if c not in ("bucket", "chunk", "n", "sum_u", "min_v",
+                             "max_v", "last_t", "last_v", "nd_sketch",
+                             "q_sketch")
+            ]
+            per = state.groupBy(*labels).agg(F.max("last_t").alias("_f"))
+            fval = per.agg(F.min("_f")).first()[0]
+        else:
+            fval = state.agg(F.max("last_t")).first()[0]
+        frontiers[rp] = fval
+        if fval is None or fval < cutoff_ms:
             raise ValueError(
-                f"rollup {rp} ingest frontier {frontier} has not passed "
+                f"rollup {rp} ingest frontier {fval} has not passed "
                 f"cutoff {cutoff_ms}: dropping raw data below it would "
                 "lose samples with no rolled-up form — refresh the "
                 "rollup first"

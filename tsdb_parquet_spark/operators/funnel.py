@@ -151,16 +151,21 @@ def funnel_counts(
             for i in range(len(steps))
         ]
     )
-    pairs = ", ".join(
-        f"{i + 1}, '{s}', _c{i}" for i, s in enumerate(steps)
+    # unpivot via an exploded struct array — never a SQL string, so a
+    # quote (or anything else) in an event-type name can't break parsing
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("int").alias("step"),
+                F.lit(s).alias("event_type"),
+                F.col(f"_c{i}").alias("users"),
+            )
+            for i, s in enumerate(steps)
+        ]
     )
     return (
-        counts.selectExpr(
-            f"stack({len(steps)}, {pairs}) as (step, event_type, users)"
-        )
-        .select(
-            F.col("step").cast("int").alias("step"), "event_type", "users"
-        )
+        counts.select(F.explode(rows).alias("_r"))
+        .select("_r.step", "_r.event_type", "_r.users")
         .orderBy("step")
     )
 

@@ -260,8 +260,13 @@ def budget_select(
     )
     run: dict = {}
     pairs = []
-    key = (lambda r: (r[group_col], r["_bs_bucket"])) if group_col else (
-        lambda r: r["_bs_bucket"]
+    # null-first sentinel: a NULL group must sort (Python can't compare
+    # None to str) and must still receive offsets
+    key = (
+        (lambda r: (r[group_col] is not None, r[group_col] or "",
+                    r["_bs_bucket"]))
+        if group_col
+        else (lambda r: r["_bs_bucket"])
     )
     for r in sorted(totals, key=key):
         g = r[group_col] if group_col else None
@@ -280,8 +285,17 @@ def budget_select(
         prio.asc(), F.col(id_col).asc()
     )
     cum = F.sum(F.col(size_col).cast("long")).over(w) + F.col("_bs_off")
-    joined = d.join(F.broadcast(off), ["_bs_bucket"] + gcols, "left").withColumn(
-        cum_alias, cum
+    # eqNullSafe join: a NULL group key must still match its offsets row
+    # (a name-list join drops null-keyed rows silently)
+    off_a = F.broadcast(off).alias("_off")
+    d_a = d.alias("_d")
+    jcond = F.col("_d._bs_bucket") == F.col("_off._bs_bucket")
+    for g in gcols:
+        jcond = jcond & F.col(f"_d.{g}").eqNullSafe(F.col(f"_off.{g}"))
+    joined = (
+        d_a.join(off_a, jcond, "left")
+        .select("_d.*", F.col("_off._bs_off").alias("_bs_off"))
+        .withColumn(cum_alias, cum)
     )
     crossed = (
         F.col(cum_alias) - F.col(size_col) < bexpr

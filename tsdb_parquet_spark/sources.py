@@ -151,6 +151,14 @@ def ensure_bucketed_table(
     evaluated when (re)writing or for schema DDL, never scanned in
     case 1.
 
+    LOCAL-WAREHOUSE assumption: the committed-files check walks the
+    warehouse with ``os.path`` after stripping a ``file:`` prefix — an
+    ``hdfs://``/object-store warehouse always misses it and falls to
+    the rewrite path; route the existence check through the Hadoop
+    ``FileSystem`` API (maintenance._fs) before deploying there.  The
+    same applies to :func:`ensure_table` and
+    ``llm.similarity.ensure_ivf_layout``'s centroids sidecar.
+
     ``source_paths``: when given, the bucket count and a
     :func:`source_fingerprint` of those files are appended to
     ``table_name``, so regenerating the source data under the same

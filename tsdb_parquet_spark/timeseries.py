@@ -935,9 +935,14 @@ def cusum_drift(
     s_u = int(round(slack / unit))
     h_u = int(round(threshold / unit))
     dev = u - F.lit(t_u + s_u)
-    w = Window.partitionBy(*labels).orderBy(time_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # tie-break on the deviation itself: equal timestamps within a
+    # partition would otherwise make the ROWS-frame running sum
+    # tie-order-dependent; ordering by (time, dev) makes the per-row
+    # outputs a deterministic multiset (tied rows with equal dev are
+    # interchangeable)
+    w = Window.partitionBy(*labels).orderBy(
+        F.col(time_col), F.col("_dev")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         df.select(*labels, time_col, dev.alias("_dev"))
         .withColumn("_cusum_s", F.sum("_dev").over(w))
@@ -984,7 +989,10 @@ def autocorr_lag(
     u = F.floor(F.col(value_col) / F.lit(unit) + F.lit(0.5)).cast(
         "decimal(38,0)"
     )
-    w = Window.partitionBy(*labels).orderBy(time_col)
+    # (time, value) ordering: equal timestamps would otherwise make the
+    # lead() pairing tie-order-dependent; with the value as tie-break
+    # the sequence itself is deterministic
+    w = Window.partitionBy(*labels).orderBy(F.col(time_col), F.col("_x"))
     d = (
         df.select(*labels, time_col, u.alias("_x"))
         .withColumn("_y", F.lead("_x", lag).over(w))
