@@ -611,3 +611,69 @@ def test_funnel_step_names_with_quotes(spark):
     got = {r.event_type: r.users for r in
            funnel_counts(df, ["o'reilly", 'say "hi"']).collect()}
     assert got == {"o'reilly": 1, 'say "hi"': 1}
+
+
+def test_cohort_and_transitions_property_random(spark):
+    # random event sets vs pure-Python references for cohort_retention
+    # (daily) and transition_counts (gap + entries)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tsdb_parquet_spark.operators.funnel import (
+        cohort_retention,
+        transition_counts,
+    )
+
+    ev_st = st.lists(
+        st.tuples(st.integers(0, 3),          # user
+                  st.integers(0, 20),         # day
+                  st.integers(0, 86_399),     # second within day
+                  st.sampled_from("abc")),    # event type
+        min_size=1, max_size=30, unique=True,
+    )
+
+    @given(ev_st, st.sampled_from([None, 3600_000]))
+    @settings(max_examples=8, deadline=None)
+    def check(events, gap_ms):
+        from datetime import datetime, timedelta
+
+        base = datetime(2024, 1, 1)
+        rows = [(u, base + timedelta(days=d, seconds=s), e)
+                for u, d, s, e in events]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string")
+
+        # cohort (daily)
+        got = {(str(r.cohort), r.offset_periods): r.users
+               for r in cohort_retention(df, period="day").collect()}
+        per_user_days = {}
+        for u, d, s, e in events:
+            per_user_days.setdefault(u, set()).add(d)
+        want = {}
+        for u, days in per_user_days.items():
+            c = min(days)
+            for d in days:
+                key = (str((base + timedelta(days=c)).date()), d - c)
+                want[key] = want.get(key, 0) + 1
+        assert got == want
+
+        # transitions
+        got_t = {(r.src, r.dst): r.n for r in
+                 transition_counts(df, gap_ms=gap_ms).collect()}
+        want_t = {}
+        for u in per_user_days:
+            seq = sorted(
+                ((d * 86_400 + s, e) for uu, d, s, e in events if uu == u)
+            )
+            prev = None
+            for t, e in seq:
+                broke = prev is None or (
+                    gap_ms is not None
+                    and (t - prev[0]) * 1000 > gap_ms  # seconds -> ms
+                )
+                src = "__start__" if broke else prev[1]
+                want_t[(src, e)] = want_t.get((src, e), 0) + 1
+                prev = (t, e)
+        assert got_t == want_t
+
+    check()
