@@ -342,3 +342,22 @@ def test_q102_weighted_sample_is_take_ordered_no_shuffle(entry, spark):
     plan = plan_of(entry.q102_weighted_sample(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_late_r7_ops_plan_shapes(entry, spark):
+    import re
+
+    # q106: two windows over ONE series exchange, no join
+    plan = plan_of(entry.q106_cusum_drift(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    # q107: lag window + moment aggregate reuse the same exchange
+    plan = plan_of(entry.q107_autocorr(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    # q104 (small-vocab fast path): the returned scoring plan is a PURE
+    # MAP STAGE — the LM was built eagerly; no exchange, no join, and
+    # every window the cusum family needs is absent here
+    plan = plan_of(entry.q104_unigram_logprob(spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
