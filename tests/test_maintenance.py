@@ -330,3 +330,23 @@ def test_tiered_retention_per_series_frontier_catches_lagging_series(spark, tmp_
     out = tiered_retention(spark, raw, "2024-01-03", cutoff, [ru],
                            frontier="global")
     assert out["dropped"] == ["dt=2024-01-01", "dt=2024-01-02"]
+
+
+def test_cli_cusum_autocorr_heatmap(spark, tmp_path, capsys):
+    from tsdb_parquet_spark.cli import main
+
+    path = str(tmp_path / "ts")
+    rows = [("up", t, float(v)) for t, v in
+            enumerate([1, 1, 9, 9, 9, 1, 1, 1], start=1)]
+    spark.createDataFrame(
+        rows, "label_name string, time long, value double").write.parquet(path)
+
+    main(["cusum", path, "2.0", "10.0"])
+    out = capsys.readouterr().out
+    assert "cusum_u" in out and "(5 rows)" in out  # drift alarms persist t4-t8
+    main(["autocorr", path])
+    out = capsys.readouterr().out
+    assert "autocorr" in out and "(1 rows)" in out
+    main(["heatmap", path, "--step-ms", "4", "--value-width", "5"])
+    out = capsys.readouterr().out
+    assert "v_bucket" in out and "(5 rows)" in out

@@ -180,6 +180,30 @@ def main(argv: list[str] | None = None) -> None:
     p_pq.add_argument("--end", type=int, default=None)
     p_pq.add_argument("--step", type=int, default=60000, help="step ms")
 
+    p_cu = sub.add_parser(
+        "cusum", help="one-sided CUSUM drift alarms per series (SPC chart)"
+    )
+    p_cu.add_argument("table", help="wide tsdb parquet layout")
+    p_cu.add_argument("target", type=float)
+    p_cu.add_argument("threshold", type=float)
+    p_cu.add_argument("--slack", type=float, default=0.0)
+    p_cu.add_argument("--limit", type=int, default=20)
+
+    p_ac = sub.add_parser(
+        "autocorr", help="per-series lag-k autocorrelation (exact moments)"
+    )
+    p_ac.add_argument("table")
+    p_ac.add_argument("--lag", type=int, default=1)
+    p_ac.add_argument("--limit", type=int, default=20)
+
+    p_hm = sub.add_parser(
+        "heatmap", help="time x value density grid (Grafana heatmap input)"
+    )
+    p_hm.add_argument("table")
+    p_hm.add_argument("--step-ms", type=int, default=600_000)
+    p_hm.add_argument("--value-width", type=float, default=1.0)
+    p_hm.add_argument("--limit", type=int, default=20)
+
     p_e = sub.add_parser("explain", help="plan audit for a matcher query (plans/audit.py)")
     p_e.add_argument("table")
     p_e.add_argument("-m", "--matcher", action="append", default=[])
@@ -306,6 +330,22 @@ def main(argv: list[str] | None = None) -> None:
         out = lttb_downsample(
             spark.read.parquet(args.table), args.n_out, labels=labels
         )
+        out.show(args.limit, truncate=False)
+        print(f"({out.count()} rows)")
+        return
+
+    if args.cmd in ("cusum", "autocorr", "heatmap"):
+        from .timeseries import autocorr_lag, cusum_drift, value_heatmap
+
+        df = spark.read.option("mergeSchema", "true").parquet(args.table)
+        if args.cmd == "cusum":
+            out = cusum_drift(df, target=args.target,
+                              threshold=args.threshold, slack=args.slack)
+        elif args.cmd == "autocorr":
+            out = autocorr_lag(df, lag=args.lag)
+        else:
+            out = value_heatmap(df, step_ms=args.step_ms,
+                                value_width=args.value_width)
         out.show(args.limit, truncate=False)
         print(f"({out.count()} rows)")
         return
