@@ -677,3 +677,27 @@ def test_cohort_and_transitions_property_random(spark):
         assert got_t == want_t
 
     check()
+
+
+def test_exact_moment_stats_reference(spark):
+    import statistics
+
+    from tsdb_parquet_spark.operators.aggregates import exact_moment_stats
+
+    vals = [1.0, 2.0, 2.0, 3.0, 7.0, 9.0]
+    rows = [("g", v) for v in vals] + [("const", 4.0)] * 5
+    df = spark.createDataFrame(rows, "k string, value double")
+    got = {r.k: r for r in
+           exact_moment_stats(df, ["k"], unit=1e-3).collect()}
+
+    n = len(vals)
+    m = sum(vals) / n
+    var = sum((v - m) ** 2 for v in vals) / n
+    skew = (sum((v - m) ** 3 for v in vals) / n) / var ** 1.5
+    kurt = (sum((v - m) ** 4 for v in vals) / n) / var ** 2 - 3
+    g = got["g"]
+    assert g.n == n and g.mean == round(m, 6)
+    assert abs(g.var_pop - var) < 1e-6
+    assert abs(g.skew - skew) < 1e-6 and abs(g.kurt_excess - kurt) < 1e-6
+    c = got["const"]
+    assert c.var_pop == 0.0 and c.skew is None and c.kurt_excess is None

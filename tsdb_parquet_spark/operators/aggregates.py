@@ -197,3 +197,67 @@ def rollup_agg(
         *aggs,
     )
     return out
+
+
+def exact_moment_stats(
+    df,
+    group_cols: list[str],
+    value_col: str = "value",
+    unit: float = 1e-6,
+    round_dp: int = 6,
+):
+    """Mean / population variance / skewness / excess kurtosis per group
+    from EXACT integer raw moments — the engine-portable form of the
+    built-in ``stddev``/``skewness``/``kurtosis`` aggregates, whose
+    native implementations legitimately differ across engines (one-pass
+    Welford vs two-pass vs textbook; float partial-merge order): values
+    scale to integer ``unit`` steps, the four raw power sums accumulate
+    as DECIMAL(38,0), and each statistic is ONE fixed double expression
+    over exact integers, identical everywhere.
+
+    PICK ``unit`` FOR THE 4TH POWER: the S4 sum must fit 38 digits
+    (DuckDB's HUGEINT tops out similarly), so
+    ``(max|v|/unit)^4 * rows_per_group <= ~9e37`` — e.g. values up to
+    ~500 with million-row groups need ``unit=1e-3`` (milli-steps: S4
+    ~1e29), NOT the 1e-6 default other ops use (S4 ~1e41 overflows to
+    NULL).  The unit is the value RESOLUTION; the emitted statistics
+    keep full double precision of that resolution.
+
+    Formulas (population, from raw moments): with m = S1/n,
+    var = S2/n - m^2; skew = (S3/n - 3 m S2/n + 2 m^3) / var^1.5;
+    kurt = (S4/n - 4 m S3/n + 6 m^2 S2/n - 3 m^4) / var^2 - 3.
+    Zero-variance groups emit NULL skew/kurt.  One hash aggregate.
+    """
+    from pyspark.sql import functions as F
+
+    u = F.floor(F.col(value_col) / F.lit(unit) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    d = df.select(*group_cols, u.alias("_x"))
+    agg = d.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_x").alias("_s1"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_s2"),
+        F.sum(F.col("_x") * F.col("_x") * F.col("_x")).alias("_s3"),
+        F.sum(F.col("_x") * F.col("_x") * F.col("_x") * F.col("_x")).alias("_s4"),
+    )
+    n = F.col("_n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    s3 = F.col("_s3").cast("double")
+    s4 = F.col("_s4").cast("double")
+    m = s1 / n
+    var = s2 / n - m * m
+    skew = (s3 / n - 3 * m * (s2 / n) + 2 * m * m * m) / F.pow(var, 1.5)
+    kurt = (
+        s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n) - 3 * m * m * m * m
+    ) / (var * var) - 3
+    scale = F.lit(unit)
+    return agg.select(
+        *group_cols,
+        F.col("_n").cast("long").alias("n"),
+        F.round(m * scale, round_dp).alias("mean"),
+        F.round(var * scale * scale, round_dp).alias("var_pop"),
+        F.when(var > 0, F.round(skew, round_dp)).alias("skew"),
+        F.when(var > 0, F.round(kurt, round_dp)).alias("kurt_excess"),
+    )
