@@ -240,3 +240,67 @@ def test_asof_join_directions_and_tolerance(spark):
         got = asof_join(exact, right, "key", "ts", "value", alias="v",
                         direction=d).first()["v"]
         assert got == 2.0, d
+
+
+def test_budget_select_int_group_with_falsy_zero(spark):
+    # ADVICE r7 (medium): the offset sort key coerced falsy groups to ""
+    # and raised TypeError comparing str to int for a non-string group
+    # column containing 0. Bucket-only sorting is type-safe.
+    from tsdb_parquet_spark.operators.prefix import budget_select
+
+    df = spark.createDataFrame(
+        [(1, 0, 5), (2, 7, 5), (3, 0, 5), (4, 7, 5), (5, 0, 5)],
+        "doc_id long, grp int, n int",
+    )
+    out = budget_select(
+        df, size_col="n", priority_col=F.col("doc_id").cast("double"),
+        budget=10, id_col="doc_id", group_col="grp", num_buckets=3,
+    ).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r["doc_id"])
+    assert sorted(by_grp[0]) == [1, 3]  # 2 docs of 5 fill the 10 budget
+    assert sorted(by_grp[7]) == [2, 4]
+
+
+def test_distributed_cumsum_all_null_bucket(spark):
+    # ADVICE r7 (low): a bucket whose value_col is entirely NULL yields
+    # _tot=None; the offset accumulation must not raise TypeError.
+    from tsdb_parquet_spark.operators.prefix import distributed_cumsum
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, 4.0), (4, 6.0)],
+        "k long, v double",
+    )
+    out = {r["k"]: r["cumsum"] for r in
+           distributed_cumsum(df, "k", "v", num_buckets=2).collect()}
+    assert out[3] == 4.0 and out[4] == 10.0
+    assert out[1] is None and out[2] is None  # SUM over all-null prefix
+
+
+def test_funnel_numeric_ts_rejected(spark):
+    # ADVICE r7 (low): numeric epoch-ms ts under cast('timestamp') would
+    # silently be read as SECONDS; the operators now reject numeric ts.
+    import pytest as _pytest
+    from tsdb_parquet_spark.operators.funnel import (
+        funnel_counts, funnel_conversion_times, transition_counts)
+
+    df = spark.createDataFrame(
+        [(1, 1000, "a"), (1, 2000, "b")],
+        "user_id long, ts long, event_type string",
+    )
+    with _pytest.raises(TypeError, match="MILLISECONDS"):
+        funnel_counts(df, ["a", "b"], within_ms=5000)
+    with _pytest.raises(TypeError, match="MILLISECONDS"):
+        funnel_conversion_times(df, ["a", "b"])
+    with _pytest.raises(TypeError, match="MILLISECONDS"):
+        transition_counts(df, gap_ms=1000)
+    # explicit conversion works and keeps ms semantics exact
+    fixed = df.withColumn("ts", F.timestamp_millis("ts"))
+    got = {r["event_type"]: r["users"] for r in
+           funnel_counts(fixed, ["a", "b"], within_ms=1500).collect()}
+    assert got == {"a": 1, "b": 1}
+    # 999ms window: the 1000ms gap no longer converts step b
+    got = {r["event_type"]: r["users"] for r in
+           funnel_counts(fixed, ["a", "b"], within_ms=999).collect()}
+    assert got == {"a": 1, "b": 0}

@@ -28,8 +28,35 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _ts_micros(df: DataFrame, ts_col: str) -> Column:
+    """``ts_col`` as epoch-microseconds, dtype-checked.
+
+    TIMESTAMP / TIMESTAMP_NTZ / DATE / string go through
+    ``unix_micros(cast)``; a NUMERIC column is rejected loudly — under
+    a bare ``cast("timestamp")`` Spark would read it as epoch-SECONDS,
+    silently shrinking ``within_ms``/``gap_ms`` 1000x when the source
+    follows this repo's epoch-ms ``TIME_COL`` convention.  Callers with
+    numeric timestamps convert explicitly (e.g.
+    ``timestamp_millis(ts)``) so the unit is stated, not guessed.
+    """
+    from pyspark.sql.types import NumericType
+
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, NumericType):
+        raise TypeError(
+            f"{ts_col!r} is numeric ({dt.simpleString()}): epoch unit is "
+            "ambiguous (cast('timestamp') would read it as SECONDS; this "
+            "repo's TIME_COL convention is MILLISECONDS). Convert "
+            "explicitly first, e.g. F.timestamp_millis(ts) or "
+            "F.timestamp_micros(ts)."
+        )
+    # cast is a no-op for TIMESTAMP and makes TIMESTAMP_NTZ sources
+    # (bare parquet reads) resolve under unix_micros
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
 
 
 def funnel_counts(
@@ -78,9 +105,7 @@ def funnel_counts(
         df.filter(F.col(event_col).isin(list(steps)))
         .select(
             F.col(user_col).alias("_u"),
-            # cast is a no-op for TIMESTAMP and makes TIMESTAMP_NTZ
-            # sources (bare parquet reads) resolve under unix_micros
-            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
+            _ts_micros(df, ts_col).alias("_t"),
             idx[F.col(event_col)].alias("_s"),
         )
     )
@@ -237,15 +262,11 @@ def transition_counts(
 
     w = Window.partitionBy(user_col).orderBy(ts_col, event_col)
     prev_ev = F.lag(event_col).over(w)
-    prev_ts = F.lag(ts_col).over(w)
     gap_us = None if gap_ms is None else int(gap_ms) * 1000
     new_flow = prev_ev.isNull()
     if gap_us is not None:
-        new_flow = new_flow | (
-            F.unix_micros(F.col(ts_col).cast("timestamp"))
-            - F.unix_micros(prev_ts.cast("timestamp"))
-            > gap_us
-        )
+        tmu = _ts_micros(df, ts_col)  # dtype-checked: numeric ts rejected
+        new_flow = new_flow | (tmu - F.lag(tmu).over(w) > gap_us)
     src = F.when(new_flow, F.lit("__start__")).otherwise(prev_ev)
     d = df.select(
         src.alias("src"), F.col(event_col).alias("dst")
@@ -286,7 +307,7 @@ def funnel_conversion_times(
         df.filter(F.col(event_col).isin(list(steps)))
         .select(
             F.col(user_col).alias("_u"),
-            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
+            _ts_micros(df, ts_col).alias("_t"),
             idx[F.col(event_col)].alias("_s"),
         )
     )

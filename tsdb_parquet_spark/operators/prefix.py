@@ -80,7 +80,7 @@ def distributed_cumsum(
     run = 0
     for r in sorted(totals, key=lambda r: r._pfx_bucket):
         offsets[r._pfx_bucket] = run
-        run += r._tot
+        run += r._tot or 0  # a bucket whose values are all NULL sums to None
     off_map = F.create_map(
         *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
     )
@@ -260,15 +260,11 @@ def budget_select(
     )
     run: dict = {}
     pairs = []
-    # null-first sentinel: a NULL group must sort (Python can't compare
-    # None to str) and must still receive offsets
-    key = (
-        (lambda r: (r[group_col] is not None, r[group_col] or "",
-                    r["_bs_bucket"]))
-        if group_col
-        else (lambda r: r["_bs_bucket"])
-    )
-    for r in sorted(totals, key=key):
+    # Sort by bucket ONLY: per-group offsets need just ascending buckets
+    # within each group, which a global bucket sort provides — and a
+    # bucket-only key never compares group values, so mixed/falsy/NULL
+    # group types (int 0 next to str, None) can't raise TypeError.
+    for r in sorted(totals, key=lambda r: r["_bs_bucket"]):
         g = r[group_col] if group_col else None
         pairs.append(
             ((r["_bs_bucket"], r[group_col], run.get(g, 0)) if group_col
