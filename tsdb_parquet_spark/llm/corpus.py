@@ -392,3 +392,102 @@ def weighted_sample(
         .filter(F.col("_ws_rn") <= k)
         .drop("_ws_rn")
     )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    bits_per_item: int = 12,
+    num_hashes: int = 7,
+) -> DataFrame:
+    """:func:`decontaminate` semantics (flag docs sharing a word
+    ``n``-gram with the benchmark; output is EXACT and identical) with
+    a Bloom-filter prefilter so the corpus side is cut map-side before
+    any join — the shape that survives benchmark suites too large to
+    broadcast raw.
+
+    Spark 4 does not SQL-register ``bloom_filter_agg``, so the filter
+    is built from first principles in DataFrame algebra, all JVM-side:
+    ``num_hashes`` independent 64-bit hashes per benchmark n-gram
+    (``xxhash64(ngram, i)``), positions ``pmod(h, m)``, OR-folded into
+    an ``m/64``-word bitmap by a ``bit_or`` aggregate, shipped as ONE
+    broadcast row.  Corpus n-grams probe the bitmap with the same
+    fused expression; only probe-positive n-grams (true hits + the
+    ~``2^-num_hashes``-rate false positives) reach the exact verify
+    join, so the final ``n_hits`` counts are exactly
+    :func:`decontaminate`'s — the Bloom stage only sheds join input.
+
+    100 TB shape: benchmark pass = one hash agg to ``m/64`` rows + a
+    driver hop bounded by the bitmap size; corpus pass = map-stage
+    probe (no shuffle), then a join whose left side is ~hit-sized.
+    At 1e8 benchmark 8-grams and 12 bits/item the bitmap is ~150 MB —
+    broadcastable where the raw string set is not.
+    """
+    ng = word_ngrams(text_col, n)
+    bench_ngrams = benchmark.select(F.explode(ng).alias("_ng")).distinct()
+    n_items = bench_ngrams.count()  # bounded: one agg, one scalar
+    m_bits = max(64, ((n_items * bits_per_item + 63) // 64) * 64)
+    n_words = m_bits // 64
+
+    def positions(col):
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+            for i in range(num_hashes)
+        ]
+
+    spark = docs.sparkSession
+    if n_items == 0:
+        bitmap_df = spark.range(1).select(
+            F.array_repeat(F.lit(0).cast("long"), n_words).alias("_bits")
+        )
+    else:
+        # shiftleft needs a literal shift in the Python API; the SQL
+        # form takes the column (repo gotcha: F.expr for column shifts)
+        word_bits = (
+            bench_ngrams.select(
+                F.explode(F.array(*positions(F.col("_ng")))).alias("_pos")
+            )
+            .selectExpr(
+                "cast(_pos / 64 as int) as _w",
+                "shiftleft(1L, cast(_pos % 64 as int)) as _b",
+            )
+            .groupBy("_w")
+            .agg(F.bit_or("_b").alias("_bits"))
+        )
+        dense = [0] * n_words
+        for r in word_bits.collect():
+            dense[r["_w"]] = r["_bits"]
+        bitmap_df = spark.createDataFrame([(dense,)], "_bits array<long>")
+
+    doc_ngrams = docs.select(
+        F.col(id_col), F.explode(ng).alias("_ng")
+    ).distinct()
+    d = doc_ngrams.join(F.broadcast(bitmap_df))  # one-row broadcast
+    hit_cols = []
+    for i, p in enumerate(positions(F.col("_ng"))):
+        d = d.withColumn(f"_p{i}", p)
+        d = d.withColumn(
+            f"_h{i}",
+            F.expr(
+                f"(shiftright(element_at(_bits, cast(_p{i} / 64 as int)"
+                f" + 1), cast(_p{i} % 64 as int)) & 1L) = 1L"
+            ),
+        )
+        hit_cols.append(F.col(f"_h{i}"))
+    probe = hit_cols[0]
+    for h in hit_cols[1:]:
+        probe = probe & h
+    candidates = d.filter(probe).select(id_col, "_ng")
+    hits = (
+        candidates.join(F.broadcast(bench_ngrams), "_ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )

@@ -554,3 +554,108 @@ def keep_one_per_cluster(
         F.col("node").alias(id_col)
     )
     return docs.join(removals, id_col, "left_anti")
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 16,
+    threshold: float = 0.96,
+    salt: str = "semdedup",
+) -> DataFrame:
+    """Semantic deduplication in embedding space (SemDeDup, Abbas et
+    al. 2023, arXiv:2303.09540): cluster embeddings, then inside each
+    cluster drop every item whose cosine to an EARLIER-ranked cluster
+    member reaches ``threshold`` — pairwise comparison happens only
+    within clusters, never across the corpus.
+
+    Determinism contract (this repo's oracle discipline): the ``k``
+    cluster "centroids" are the k members with the smallest
+    ``md5(id || salt)`` rank (a deterministic proxy for k-means++
+    seeding — both engines compute the identical seed set), assignment
+    is argmax cosine over those seeds with ties to the HIGHER seed
+    index, and the drop rule uses the md5 rank as the keep order.  All
+    dot products are float64 left-folds over the array order
+    (bit-identical across engines, proven by q26/q77).  "Earlier
+    member" means earlier by rank among ALL cluster members, dropped
+    or not — the one-join relaxation of sequential greedy dedup (a
+    kept-survivor recurrence needs iteration; at τ this high the two
+    differ only on chains of borderline pairs).
+
+    100 TB shape: seeds are a k-row driver hop broadcast back as plan
+    literals; assignment is a map stage (k fused JVM dot products per
+    row, zero shuffle); the pairwise stage shuffles once on cluster id
+    and compares within clusters only.  Scale k ~ n/target_cluster_size
+    to bound the quadratic term; the paper runs k in the thousands for
+    billions of points.
+
+    Output: surviving (id, cluster, rank) rows.
+    """
+    import math
+
+    rk = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_emb"),
+        rk.alias("_rk"),
+    )
+    seeds = [
+        (r["_id"], [float(x) for x in r["_emb"]])
+        for r in base.orderBy("_rk", "_id").limit(k).collect()
+    ]
+
+    def _dot(col: Column, vec: list[float]) -> Column:
+        lit_vec = F.array(*[F.lit(x) for x in vec])
+        return F.aggregate(
+            F.zip_with(col, lit_vec, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sq_norm = F.aggregate(
+        F.transform(F.col("_emb"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = base.withColumn("_norm", F.sqrt(sq_norm))
+    options = F.array(
+        *[
+            F.struct(
+                (
+                    _dot(F.col("_emb"), vec)
+                    / (F.col("_norm") * F.lit(math.sqrt(sum(x * x for x in vec))))
+                ).alias("c"),
+                F.lit(j).alias("j"),
+            )
+            for j, (_sid, vec) in enumerate(seeds)
+        ]
+    )
+    assigned = scored.withColumn("_cl", F.array_max(options)["j"]).select(
+        "_id", "_emb", "_rk", "_cl"
+    )
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    from .similarity import cosine_cols
+
+    dropped = (
+        b.join(
+            a,
+            (F.col("a._cl") == F.col("b._cl"))
+            & (
+                (F.col("a._rk") < F.col("b._rk"))
+                | ((F.col("a._rk") == F.col("b._rk")) & (F.col("a._id") < F.col("b._id")))
+            )
+            & (cosine_cols(F.col("a._emb"), F.col("b._emb")) >= F.lit(threshold)),
+            "left_semi",
+        )
+        .select(F.col("b._id").alias("_id"))
+    )
+    return (
+        assigned.join(dropped, "_id", "left_anti")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cl").alias("cluster"),
+            F.col("_rk").alias("keep_rank"),
+        )
+    )

@@ -180,3 +180,56 @@ def bm25_rank_indexed(
     )
     tf = post.filter(F.col("term").isin(list(query_terms)))
     return _score_topk(tf, stats, query_terms, k1, b, top_k, doc_id)
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009): merge N
+    ranked candidate lists — canonically BM25 lexical + ANN semantic,
+    the hybrid-retrieval join — by ``score = Σ 1/(k + rank_i)``, with
+    items absent from a list simply contributing nothing.  RRF needs no
+    score calibration between retrievers (ranks only), which is exactly
+    why it is the default hybrid fuser in production search stacks.
+
+    Determinism: the fused sum is assembled left-to-right over the
+    input lists via a full outer join cascade (fixed float order —
+    never a groupBy over unioned rows, whose partial-agg order is
+    partitioning-dependent); 1/(k+rank) in float64; ties broken by id.
+
+    Scale shape: candidate lists are top-k-sized (thousands of rows at
+    most), so every join here is broadcast-sized; the heavy lifting
+    stayed in the retrievers.  Output: (id, fused score, per-list
+    ranks), top ``top_k`` by score.
+    """
+    if not ranked_lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    fused = None
+    for i, rl in enumerate(ranked_lists):
+        part = rl.select(
+            F.col(id_col).alias("_id"),
+            F.col(rank_col).cast("long").alias(f"rank_{i}"),
+        )
+        fused = part if fused is None else fused.join(
+            part, "_id", "full_outer"
+        )
+    score = None
+    for i in range(len(ranked_lists)):
+        c = F.when(
+            F.col(f"rank_{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{i}")),
+        ).otherwise(F.lit(0.0))
+        score = c if score is None else score + c
+    return (
+        fused.select(
+            F.col("_id").alias(id_col),
+            F.round(score, 9).alias("rrf_score"),
+            *[F.col(f"rank_{i}") for i in range(len(ranked_lists))],
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(top_k)
+    )

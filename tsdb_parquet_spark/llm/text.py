@@ -388,3 +388,100 @@ def unigram_logprob(
             / F.lit(unit), 6,
         ),
     )
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1) as one map-stage expression battery: word
+    count bounds, mean word length bounds, symbol-to-word ratio
+    ('#'/'...'), bullet-started and ellipsis-ended line fractions,
+    alphabetic-word fraction, and required-stopword presence — the
+    canonical pretraining prefilter rung before model-based scoring.
+
+    Dialect discipline: words split on an explicit whitespace class
+    (never ``\\s`` — Java's includes VT, RE2's does not), ellipses
+    counted by replace-length arithmetic (no regex), bullets matched on
+    the trimmed first character — every rule evaluates identically in
+    Spark and the DuckDB oracle.  All per-row JVM expressions: zero
+    shuffle, zero Python.
+
+    Output: per-doc metrics, one boolean per rule, and ``keep`` (the
+    conjunction).  Thresholds parameterize so corpora with different
+    length profiles (or a test fixture) can move the cut lines.
+    """
+    c = F.col(text_col)
+    toks = F.filter(F.split(c, "[ \\t\\n\\r\\f]+"), lambda w: w != "")
+    n_words = F.size(toks)
+    sum_wlen = F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w))
+    mean_wlen = F.when(n_words > 0, sum_wlen.cast("double") / n_words)
+    n_sym = (
+        F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+        + F.floor(
+            (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit(""))))
+            / F.lit(3)
+        )
+    )
+    sym_ratio = F.when(n_words > 0, n_sym.cast("double") / n_words)
+    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    bullet_first = F.filter(
+        lines,
+        lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+    )
+    ellipsis_last = F.filter(
+        lines, lambda l: F.rtrim(l).endswith("...")
+    )
+    bullet_frac = F.when(n_lines > 0, F.size(bullet_first).cast("double") / n_lines)
+    ellipsis_frac = F.when(n_lines > 0, F.size(ellipsis_last).cast("double") / n_lines)
+    alpha_words = F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))
+    alpha_frac = F.when(n_words > 0, F.size(alpha_words).cast("double") / n_words)
+    lower_toks = F.transform(toks, F.lower)
+    sw_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(lower_toks, s),
+        )
+    )
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_wlen >= min_mean_word_len)
+        & (mean_wlen <= max_mean_word_len),
+        "r_symbol_ratio": sym_ratio <= max_symbol_ratio,
+        "r_bullet_lines": F.coalesce(
+            bullet_frac <= max_bullet_line_frac, F.lit(True)
+        ),
+        "r_ellipsis_lines": F.coalesce(
+            ellipsis_frac <= max_ellipsis_line_frac, F.lit(True)
+        ),
+        "r_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "r_stopwords": sw_hits >= min_stopwords,
+    }
+    keep = None
+    for flag in rules.values():
+        keep = flag if keep is None else keep & flag
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(sym_ratio, 4).alias("symbol_ratio"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        sw_hits.cast("int").alias("n_stopwords_present"),
+        *[F.coalesce(v, F.lit(False)).alias(k) for k, v in rules.items()],
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )

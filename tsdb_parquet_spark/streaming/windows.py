@@ -293,3 +293,39 @@ def stream_interval_join_batch(
         F.col("l.event_id").alias("l_event"),
         F.col("r.event_id").alias("r_event"),
     )
+
+
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    key_col: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_mktsegment",),
+    group_cols: tuple[str, ...] = ("c_mktsegment", "event_type"),
+) -> DataFrame:
+    """Stream-static broadcast enrichment + aggregate: each micro-batch
+    of the event stream joins the (slowly-changing) static dimension —
+    the canonical streaming ETL enrich step — then rolls up counts and
+    exact decimal sums per group.
+
+    Stream-static inner joins are STATELESS in Structured Streaming
+    (no watermark needed on the join itself: the static side is fixed
+    per micro-batch, re-broadcast on updates), so the only stateful
+    operator is the final aggregate.  The static side is explicitly
+    ``broadcast()``: a shuffled stream-static join would re-exchange
+    every micro-batch.
+
+    100 TB shape: dimension tables are broadcast-sized by definition
+    here; for a dimension too large to broadcast, pre-bucket BOTH
+    sides on the key (sources.ensure_bucketed_table) and let the
+    stream reuse the at-rest layout instead.
+    """
+    d = F.broadcast(dim.select(dim_key, *dim_cols))
+    joined = events.join(d, events[key_col] == d[dim_key], "inner")
+    return (
+        joined.groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            decimal_sum(F.col("value"), scale=4).alias("sv"),
+        )
+    )

@@ -1056,3 +1056,78 @@ def value_heatmap(
         df.groupBy(*labels, t_b.alias("t_bucket"), v_b.alias("v_bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def linreg_per_series(
+    df: DataFrame,
+    labels: list[str] | None = None,
+    time_col: str = TIME_COL,
+    value_col: str = VALUE_COL,
+    unit: float = 1e-6,
+    t0: int | None = None,
+    min_points: int = 2,
+    slope_per: float = 1.0,
+) -> DataFrame:
+    """Per-series ordinary-least-squares trend line: slope (value units
+    per ``slope_per`` ms — pass 3_600_000 for per-hour slopes so tiny
+    per-ms drifts survive the output rounding), intercept at ``t0``,
+    and r² — the trend/drift statistic
+    behind capacity forecasts (a global exact-fit complement to
+    PromQL's windowed ``deriv``/``predict_linear``).
+
+    Exactness discipline (the :func:`autocorr_lag` contract): values
+    scale to exact integer ``unit`` steps, times re-base to ``t0``
+    (defaults to 0; pass the series epoch to keep t² products small),
+    and all six moments (n, St, Sv, Stt, Svv, Stv) accumulate as
+    DECIMAL(38,0) integers — native ``regr_slope``/``corr`` built-ins
+    legitimately differ across engines (Welford vs two-pass, merge
+    order), exact raw moments + ONE final double expression do not.
+
+        slope_u   = (n·Stv − St·Sv) / (n·Stt − St²)        [u per ms]
+        intercept = (Sv − slope_u·St) / n                  [u at t0]
+        r²        = (n·Stv − St·Sv)² / ((n·Stt − St²)(n·Svv − Sv²))
+
+    Series with fewer than ``min_points`` samples or zero time variance
+    yield NULLs (vertical lines have no OLS fit); r² is NULL for zero
+    value variance (flat series: slope 0/0-free but r² undefined).
+    One hash aggregate, no window, no shuffle beyond it.
+    """
+    labels = labels if labels is not None else label_columns(df)
+    dec = "decimal(38,0)"
+    t = (F.col(time_col) - F.lit(t0 or 0)).cast(dec)
+    v = F.floor(F.col(value_col) / F.lit(unit) + F.lit(0.5)).cast(dec)
+    d = df.select(*labels, t.alias("_t"), v.alias("_v"))
+    n = F.count(F.lit(1)).cast(dec)
+    agg = d.groupBy(*labels).agg(
+        n.alias("_n"),
+        F.sum("_t").alias("_st"),
+        F.sum("_v").alias("_sv"),
+        F.sum(F.col("_t") * F.col("_t")).alias("_stt"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_svv"),
+        F.sum(F.col("_t") * F.col("_v")).alias("_stv"),
+    )
+    cov = (F.col("_n") * F.col("_stv") - F.col("_st") * F.col("_sv")).cast(
+        "double"
+    )
+    vt = (F.col("_n") * F.col("_stt") - F.col("_st") * F.col("_st")).cast(
+        "double"
+    )
+    vv = (F.col("_n") * F.col("_svv") - F.col("_sv") * F.col("_sv")).cast(
+        "double"
+    )
+    ok = (F.col("_n") >= min_points) & (vt > 0)
+    slope = F.when(ok, cov / vt * F.lit(unit) * F.lit(float(slope_per)))
+    intercept = F.when(
+        ok,
+        (F.col("_sv").cast("double") - cov / vt * F.col("_st").cast("double"))
+        / F.col("_n").cast("double")
+        * F.lit(unit),
+    )
+    r2 = F.when(ok & (vv > 0), cov * cov / (vt * vv))
+    return agg.select(
+        *labels,
+        F.col("_n").cast("long").alias("n"),
+        F.round(slope, 12).alias("slope"),
+        F.round(intercept, 9).alias("intercept"),
+        F.round(r2, 9).alias("r2"),
+    )
