@@ -1,0 +1,308 @@
+"""Round-8 operator tests: interval-union family, Bloom-prefiltered
+decontamination, SemDeDup, Gopher rules, RRF fusion, per-series OLS,
+stream-static enrichment."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- intervals
+
+def _islands_ref(rows, bridge_gap=0):
+    """Brute-force island reference: per key, sorted sweep."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, s, e in rows:
+        by_key[k].append((s, e))
+    out = []
+    for k, ivs in by_key.items():
+        ivs.sort()
+        cur = None
+        for s, e in ivs:
+            if cur is None or s > cur[1] + bridge_gap:
+                if cur is not None:
+                    out.append((k, cur[0], cur[1], cur[2]))
+                cur = [s, e, 1]
+            else:
+                cur[1] = max(cur[1], e)
+                cur[2] += 1
+        if cur is not None:
+            out.append((k, cur[0], cur[1], cur[2]))
+    return sorted(out)
+
+
+def test_interval_islands_matches_brute_force(spark):
+    from tsdb_parquet_spark.operators.intervals import interval_islands
+
+    rng = random.Random(8)
+    rows = [
+        (f"k{rng.randrange(4)}", s := rng.randrange(0, 1000), s + rng.randrange(0, 60))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = sorted(
+        (r["k"], r["island_start"], r["island_end"], r["n_intervals"])
+        for r in interval_islands(df, "s", "e", ["k"]).collect()
+    )
+    ref = _islands_ref(rows)
+    assert got == [tuple(r) for r in ref]
+
+
+def test_interval_islands_touch_merges_gap_splits(spark):
+    from tsdb_parquet_spark.operators.intervals import interval_islands
+
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 10, 20), ("a", 22, 30)], "k string, s long, e long"
+    )
+    out = sorted(tuple(r) for r in interval_islands(df, "s", "e", ["k"]).collect())
+    assert out == [("a", 0, 20, 2), ("a", 22, 30, 1)]
+    # bridge_gap=2 bridges the 2-unit gap
+    out2 = interval_islands(df, "s", "e", ["k"], bridge_gap=2).collect()
+    assert [tuple(r) for r in out2] == [("a", 0, 30, 3)]
+
+
+def test_interval_coverage_and_uptime(spark):
+    from tsdb_parquet_spark.operators.intervals import (
+        heartbeat_uptime, interval_coverage)
+
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 5, 15), ("a", 100, 110)], "k string, s long, e long"
+    )
+    r = interval_coverage(df, "s", "e", ["k"]).first()
+    assert (r["covered"], r["n_islands"], r["gap_time"], r["n_intervals"]) == (
+        25, 2, 85, 3)
+    hb = spark.createDataFrame([("x", 0), ("x", 5), ("x", 30)], "k string, t long")
+    u = heartbeat_uptime(hb, "t", 10, ["k"]).first()
+    assert (u["covered"], u["n_islands"]) == (25, 2)
+
+
+def test_interval_islands_single_exchange(spark):
+    # the window exchange is the ONLY shuffle: the island aggregate's
+    # grouping keys are a superset of the window partition keys
+    from tsdb_parquet_spark.operators.intervals import interval_islands
+
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("b", 5, 15)], "k string, s long, e long"
+    )
+    plan = interval_islands(df, "s", "e", ["k"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.lower().count("exchange") <= 1, plan
+
+
+# -------------------------------------------------------------------- bloom
+
+def test_bloom_decontaminate_equals_plain(spark):
+    from tsdb_parquet_spark.llm.corpus import bloom_decontaminate, decontaminate
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 30))))
+        for i in range(60)
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    for n in (3, 8):
+        a = sorted(
+            (r["doc_id"], r["n_hits"], r["contaminated"])
+            for r in bloom_decontaminate(corpus, bench, n=n).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["n_hits"], r["contaminated"])
+            for r in decontaminate(corpus, bench, n=n).collect()
+        )
+        assert a == b
+
+
+def test_bloom_decontaminate_empty_benchmark(spark):
+    from tsdb_parquet_spark.llm.corpus import bloom_decontaminate
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g h i")], "doc_id long, text string"
+    )
+    bench = d.filter(F.lit(False))
+    out = bloom_decontaminate(d, bench, n=8).collect()
+    assert [(r["n_hits"], r["contaminated"]) for r in out] == [(0, False)]
+
+
+# ----------------------------------------------------------------- semdedup
+
+def test_semdedup_drops_near_duplicates_only(spark):
+    from tsdb_parquet_spark.llm.dedup import semdedup
+
+    rng = random.Random(3)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(20)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # ids 100/101: exact copies of id 0 and 1 — must not BOTH survive
+    rows += [(100, rows[0][1]), (101, rows[1][1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup(df, k=3, threshold=0.999)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert len({0, 100} & ids) == 1  # one of each duplicate pair survives
+    assert len({1, 101} & ids) == 1
+    # all non-duplicated vectors survive at a 0.999 threshold
+    assert set(range(2, 20)) <= ids
+
+
+def test_semdedup_deterministic(spark):
+    from tsdb_parquet_spark.llm.dedup import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(tuple(r) for r in semdedup(emb, k=4, threshold=0.42).collect())
+    b = sorted(tuple(r) for r in semdedup(emb, k=4, threshold=0.42).collect())
+    assert a == b and len(a) > 0
+
+
+# ------------------------------------------------------------- gopher rules
+
+def test_gopher_rules_flags(spark):
+    from tsdb_parquet_spark.llm.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and that have "
+                "been with many other words to make this long enough for all"),
+            (2, "### #### ##### ###"),                      # symbol soup
+            (3, "- one\n- two\n- three\n- four"),           # bullet lines
+            (4, "ok then...\nand so...\nmore still..."),    # ellipsis lines
+            (5, ""),                                        # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(docs, min_words=10).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["r_symbol_ratio"] is False and out[2]["r_alpha_words"] is False
+    assert out[3]["r_bullet_lines"] is False
+    assert out[4]["r_ellipsis_lines"] is False
+    assert out[5]["keep"] is False and out[5]["n_words"] == 0
+
+
+def test_gopher_rules_word_and_stopword_bounds(spark):
+    from tsdb_parquet_spark.llm.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "the cat and the hat see saw")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           gopher_rules(docs, min_words=3, min_stopwords=2).collect()}
+    assert out[1]["r_word_count"] is True and out[1]["r_stopwords"] is False
+    assert out[2]["n_stopwords_present"] == 2 and out[2]["r_stopwords"] is True
+
+
+# ---------------------------------------------------------------------- rrf
+
+def test_rrf_fuse_math_and_absence(spark):
+    from tsdb_parquet_spark.llm.ranking import rrf_fuse
+
+    l1 = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    l2 = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank long")
+    out = {r["doc_id"]: r for r in rrf_fuse([l1, l2], k=60).collect()}
+    assert out[2]["rrf_score"] == pytest.approx(1 / 62 + 1 / 61, abs=1e-9)
+    assert out[1]["rrf_score"] == pytest.approx(1 / 61, abs=1e-9)
+    assert out[1]["rank_1"] is None and out[3]["rank_0"] is None
+    # doc 2 (in both lists) outranks single-list docs
+    top = rrf_fuse([l1, l2], k=60).first()
+    assert top["doc_id"] == 2
+
+
+def test_rrf_fuse_requires_lists(spark):
+    from tsdb_parquet_spark.llm.ranking import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+# ------------------------------------------------------------------- linreg
+
+def test_linreg_exact_line_and_degenerates(spark):
+    from tsdb_parquet_spark.timeseries import linreg_per_series
+
+    rows = (
+        # s: v = 2 + 0.003*t(ms) exactly, in 1e-6 units
+        [("s", t, 2.0 + 0.003 * t) for t in range(0, 10000, 1000)]
+        # flat: slope 0, r2 undefined
+        + [("flat", t, 5.0) for t in range(0, 5000, 1000)]
+        # single point: no fit
+        + [("one", 0, 1.0)]
+    )
+    df = spark.createDataFrame(rows, "label_name string, time long, value double")
+    out = {r["label_name"]: r for r in
+           linreg_per_series(df, labels=["label_name"]).collect()}
+    assert out["s"]["slope"] == pytest.approx(0.003, rel=1e-9)
+    assert out["s"]["intercept"] == pytest.approx(2.0, rel=1e-9)
+    assert out["s"]["r2"] == pytest.approx(1.0, abs=1e-9)
+    assert out["flat"]["slope"] == pytest.approx(0.0, abs=1e-9)
+    assert out["flat"]["r2"] is None
+    assert out["one"]["slope"] is None and out["one"]["n"] == 1
+
+
+def test_linreg_slope_per_scaling(spark):
+    from tsdb_parquet_spark.timeseries import linreg_per_series
+
+    df = spark.createDataFrame(
+        [("s", t, 1e-7 * t) for t in range(0, 3_600_000 * 3, 600_000)],
+        "label_name string, time long, value double",
+    )
+    per_hour = linreg_per_series(
+        df, labels=["label_name"], slope_per=3_600_000
+    ).first()
+    assert per_hour["slope"] == pytest.approx(0.36, rel=1e-6)
+
+
+def test_linreg_single_aggregate_no_window(spark):
+    from tsdb_parquet_spark.timeseries import linreg_per_series
+
+    df = spark.createDataFrame(
+        [("s", 0, 1.0), ("s", 1, 2.0)], "label_name string, time long, value double"
+    )
+    plan = linreg_per_series(df, labels=["label_name"])._jdf.queryExecution(
+    ).executedPlan().toString().lower()
+    assert "window" not in plan
+    assert plan.count("exchange") <= 1
+
+
+# ---------------------------------------------------- stream-static enrich
+
+def test_stream_static_enrich_batch_equivalence(spark, tmp_path):
+    from tsdb_parquet_spark.streaming.windows import stream_static_enrich
+
+    events = spark.createDataFrame(
+        [(i, i % 3, "t%d" % (i % 2), float(i)) for i in range(30)],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    dim = spark.createDataFrame(
+        [(0, "A"), (1, "B"), (2, "A")], "c_custkey long, c_mktsegment string"
+    )
+    batch = {
+        (r["c_mktsegment"], r["event_type"]): (r["n"], r["sv"])
+        for r in stream_static_enrich(events, dim).collect()
+    }
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream_static_enrich(stream, dim)
+        .writeStream.format("memory")
+        .queryName("r8_enrich_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["c_mktsegment"], r["event_type"]): (r["n"], r["sv"])
+        for r in spark.table("r8_enrich_test").collect()
+    }
+    assert got == batch
+    # the static side must broadcast in the streaming plan
+    assert len(batch) == 4
