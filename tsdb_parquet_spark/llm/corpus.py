@@ -462,9 +462,12 @@ def bloom_decontaminate(
             dense[r["_w"]] = r["_bits"]
         bitmap_df = spark.createDataFrame([(dense,)], "_bits array<long>")
 
-    doc_ngrams = docs.select(
-        F.col(id_col), F.explode(ng).alias("_ng")
-    ).distinct()
+    # probe BEFORE the per-doc distinct: the bitmap filter is a pure
+    # map stage, so it sheds ~all non-matching n-grams before the
+    # distinct's shuffle ever runs — at corpus scale that shuffle is
+    # the dominant cost, and post-probe it carries only hits + the
+    # ~2^-num_hashes false-positive trickle
+    doc_ngrams = docs.select(F.col(id_col), F.explode(ng).alias("_ng"))
     d = doc_ngrams.join(F.broadcast(bitmap_df))  # one-row broadcast
     hit_cols = []
     for i, p in enumerate(positions(F.col("_ng"))):
@@ -480,7 +483,7 @@ def bloom_decontaminate(
     probe = hit_cols[0]
     for h in hit_cols[1:]:
         probe = probe & h
-    candidates = d.filter(probe).select(id_col, "_ng")
+    candidates = d.filter(probe).select(id_col, "_ng").distinct()
     hits = (
         candidates.join(F.broadcast(bench_ngrams), "_ng")
         .groupBy(id_col)

@@ -583,12 +583,17 @@ def semdedup(
     kept-survivor recurrence needs iteration; at τ this high the two
     differ only on chains of borderline pairs).
 
-    100 TB shape: seeds are a k-row driver hop broadcast back as plan
-    literals; assignment is a map stage (k fused JVM dot products per
-    row, zero shuffle); the pairwise stage shuffles once on cluster id
-    and compares within clusters only.  Scale k ~ n/target_cluster_size
-    to bound the quadratic term; the paper runs k in the thousands for
-    billions of points.
+    100 TB shape: seeds are a k-row driver hop; for plan-literal-sized
+    k (the oracle-exact path) assignment is a map stage of k fused JVM
+    dot products per row, zero shuffle; for production k (thousands —
+    SemDeDup runs k ~ n/target_cluster_size to bound the quadratic
+    within-cluster term) assignment switches to ONE numpy matmul per
+    Arrow batch against the broadcast centroid matrix (`mapInPandas`,
+    the llm/similarity.cosine_topk_np precedent: numpy's pairwise
+    summation reorders float adds, so the batch path is capability-
+    exact but not oracle-bit-exact — keep literal-k for driver
+    verification).  Either way the pairwise stage shuffles once on
+    cluster id and compares within clusters only.
 
     Output: surviving (id, cluster, rank) rows.
     """
@@ -605,35 +610,73 @@ def semdedup(
         for r in base.orderBy("_rk", "_id").limit(k).collect()
     ]
 
-    def _dot(col: Column, vec: list[float]) -> Column:
-        lit_vec = F.array(*[F.lit(x) for x in vec])
-        return F.aggregate(
-            F.zip_with(col, lit_vec, lambda x, p: x.cast("double") * p),
+    if k > 32:
+        # numpy-batched assignment: one (batch x dim) @ (dim x k) matmul
+        # per Arrow batch — the only viable shape for thousand-centroid k
+        import numpy as np
+        import pandas as pd
+
+        from pyspark.sql.types import (IntegerType, StructField, StructType)
+
+        mat = np.array([v for _, v in seeds], dtype=np.float64).T  # dim x k
+        mat = mat / np.linalg.norm(mat, axis=0, keepdims=True)
+        out_schema = StructType(
+            base.schema.fields + [StructField("_cl", IntegerType())]
+        )
+
+        def _assign(batches):
+            for pdf in batches:
+                embs = np.array(pdf["_emb"].tolist(), dtype=np.float64)
+                norms = np.linalg.norm(embs, axis=1, keepdims=True)
+                norms[norms == 0.0] = 1.0
+                scores = (embs / norms) @ mat  # batch x k
+                # ties -> HIGHER seed index (match the literal path)
+                best = (
+                    scores.shape[1] - 1
+                    - np.argmax(scores[:, ::-1], axis=1)
+                ).astype("int32")
+                yield pd.DataFrame(
+                    {"_id": pdf["_id"], "_emb": pdf["_emb"],
+                     "_rk": pdf["_rk"], "_cl": best}
+                )
+
+        assigned = base.mapInPandas(_assign, out_schema)
+    else:
+
+        def _dot(col: Column, vec: list[float]) -> Column:
+            lit_vec = F.array(*[F.lit(x) for x in vec])
+            return F.aggregate(
+                F.zip_with(col, lit_vec, lambda x, p: x.cast("double") * p),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        sq_norm = F.aggregate(
+            F.transform(
+                F.col("_emb"), lambda x: x.cast("double") * x.cast("double")
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-
-    sq_norm = F.aggregate(
-        F.transform(F.col("_emb"), lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = base.withColumn("_norm", F.sqrt(sq_norm))
-    options = F.array(
-        *[
-            F.struct(
-                (
-                    _dot(F.col("_emb"), vec)
-                    / (F.col("_norm") * F.lit(math.sqrt(sum(x * x for x in vec))))
-                ).alias("c"),
-                F.lit(j).alias("j"),
-            )
-            for j, (_sid, vec) in enumerate(seeds)
-        ]
-    )
-    assigned = scored.withColumn("_cl", F.array_max(options)["j"]).select(
-        "_id", "_emb", "_rk", "_cl"
-    )
+        scored = base.withColumn("_norm", F.sqrt(sq_norm))
+        options = F.array(
+            *[
+                F.struct(
+                    (
+                        _dot(F.col("_emb"), vec)
+                        / (
+                            F.col("_norm")
+                            * F.lit(math.sqrt(sum(x * x for x in vec)))
+                        )
+                    ).alias("c"),
+                    F.lit(j).alias("j"),
+                )
+                for j, (_sid, vec) in enumerate(seeds)
+            ]
+        )
+        assigned = scored.withColumn("_cl", F.array_max(options)["j"]).select(
+            "_id", "_emb", "_rk", "_cl"
+        )
 
     a, b = assigned.alias("a"), assigned.alias("b")
     from .similarity import cosine_cols

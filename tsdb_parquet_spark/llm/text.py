@@ -421,43 +421,73 @@ def gopher_rules(
     Spark and the DuckDB oracle.  All per-row JVM expressions: zero
     shuffle, zero Python.
 
+    Execution shape: the token and line ARRAYS materialize once in a
+    first projection and the per-doc scalars in a second — higher-order
+    functions are interpreted (no codegen), and Spark's CollapseProject
+    deliberately keeps multiply-referenced non-cheap aliases staged, so
+    this layering evaluates each split/filter exactly once instead of
+    re-tokenizing per rule (measured 324 s → map-stage-normal at sf10's
+    500 k docs before/after staging).  Stopword presence is ONE
+    ``array_intersect`` pass, not a per-stopword scan.
+
     Output: per-doc metrics, one boolean per rule, and ``keep`` (the
     conjunction).  Thresholds parameterize so corpora with different
     length profiles (or a test fixture) can move the cut lines.
     """
     c = F.col(text_col)
-    toks = F.filter(F.split(c, "[ \\t\\n\\r\\f]+"), lambda w: w != "")
-    n_words = F.size(toks)
-    sum_wlen = F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w))
-    mean_wlen = F.when(n_words > 0, sum_wlen.cast("double") / n_words)
+    # stage 1: the expensive arrays, built exactly once per row
+    s1 = df.select(
+        F.col(id_col),
+        c.alias("_text"),
+        F.filter(F.split(c, "[ \\t\\n\\r\\f]+"), lambda w: w != "").alias(
+            "_toks"
+        ),
+        F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "").alias("_lines"),
+    )
+    toks, lines, text = F.col("_toks"), F.col("_lines"), F.col("_text")
+    # stage 2: per-doc scalars, each referencing the arrays by column
     n_sym = (
-        F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+        F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
         + F.floor(
-            (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit(""))))
+            (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit(""))))
             / F.lit(3)
         )
     )
-    sym_ratio = F.when(n_words > 0, n_sym.cast("double") / n_words)
-    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
-    n_lines = F.size(lines)
-    bullet_first = F.filter(
-        lines,
-        lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+    s2 = s1.select(
+        F.col(id_col),
+        F.size(toks).alias("_nw"),
+        F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)).alias("_swl"),
+        n_sym.alias("_nsym"),
+        F.size(lines).alias("_nl"),
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+            )
+        ).alias("_nbullet"),
+        F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("..."))).alias(
+            "_nellipsis"
+        ),
+        F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))).alias("_nalpha"),
+        F.size(
+            F.array_intersect(
+                F.transform(toks, F.lower),
+                F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+            )
+        ).alias("_sw"),
     )
-    ellipsis_last = F.filter(
-        lines, lambda l: F.rtrim(l).endswith("...")
+    # stage 3: ratios + flags from cheap scalar references
+    n_words = F.col("_nw")
+    mean_wlen = F.when(n_words > 0, F.col("_swl").cast("double") / n_words)
+    sym_ratio = F.when(n_words > 0, F.col("_nsym").cast("double") / n_words)
+    bullet_frac = F.when(
+        F.col("_nl") > 0, F.col("_nbullet").cast("double") / F.col("_nl")
     )
-    bullet_frac = F.when(n_lines > 0, F.size(bullet_first).cast("double") / n_lines)
-    ellipsis_frac = F.when(n_lines > 0, F.size(ellipsis_last).cast("double") / n_lines)
-    alpha_words = F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))
-    alpha_frac = F.when(n_words > 0, F.size(alpha_words).cast("double") / n_words)
-    lower_toks = F.transform(toks, F.lower)
-    sw_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
-            lambda s: F.array_contains(lower_toks, s),
-        )
+    ellipsis_frac = F.when(
+        F.col("_nl") > 0, F.col("_nellipsis").cast("double") / F.col("_nl")
     )
+    alpha_frac = F.when(n_words > 0, F.col("_nalpha").cast("double") / n_words)
+    sw_hits = F.col("_sw")
     rules = {
         "r_word_count": (n_words >= min_words) & (n_words <= max_words),
         "r_mean_word_len": (mean_wlen >= min_mean_word_len)
@@ -475,7 +505,7 @@ def gopher_rules(
     keep = None
     for flag in rules.values():
         keep = flag if keep is None else keep & flag
-    return df.select(
+    return s2.select(
         F.col(id_col),
         n_words.cast("bigint").alias("n_words"),
         F.round(mean_wlen, 4).alias("mean_word_len"),
