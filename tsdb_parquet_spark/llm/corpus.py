@@ -35,12 +35,15 @@ from pyspark.sql import functions as F
 from .text import tokens_col
 
 
-def word_ngrams(text_col: Column | str, n: int = 8,
-                lowercase: bool = True) -> Column:
-    """Space-joined word n-grams as an array column (empty when the
-    document has fewer than ``n`` tokens)."""
-    toks = tokens_col(text_col, lowercase=lowercase)
-    # slice() with a lambda-bound start keeps this whole-stage codegen
+def word_ngrams_from(toks: Column, n: int = 8) -> Column:
+    """Space-joined word n-grams from an ALREADY-MATERIALIZED token
+    array column.  The lambda's ``slice(toks, i, n)`` re-evaluates its
+    argument per element; when ``toks`` is a bound column reference
+    that's a pointer read, but when it's a derived split/filter subtree
+    the whole tokenization re-runs for EVERY n-gram index — quadratic
+    per document (measured 290 s for 22 M n-grams at sf10, 13x the
+    staged form).  Callers must therefore stage the token array in its
+    own projection first (cf. llm/text.gopher_rules' staging note)."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -48,6 +51,27 @@ def word_ngrams(text_col: Column | str, n: int = 8,
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(text_col: Column | str, n: int = 8,
+                lowercase: bool = True) -> Column:
+    """Space-joined word n-grams as an array column (empty when the
+    document has fewer than ``n`` tokens).  Convenience form for small
+    inputs/tests — it inlines the tokenizer into the n-gram lambda, so
+    hot paths should stage tokens and use :func:`word_ngrams_from`
+    (quadratic-per-doc note there)."""
+    return word_ngrams_from(tokens_col(text_col, lowercase=lowercase), n)
+
+
+def _exploded_ngrams(df: DataFrame, cols: list[str], text_col: str,
+                     n: int, alias: str = "_ng") -> DataFrame:
+    """(cols..., exploded n-gram) with the token array STAGED in its own
+    projection (Generate keeps the project below it, so the split runs
+    once per row, not once per n-gram)."""
+    staged = df.select(*cols, tokens_col(text_col).alias("_wng_toks"))
+    return staged.select(
+        *cols, F.explode(word_ngrams_from(F.col("_wng_toks"), n)).alias(alias)
+    )
 
 
 def split_corpus(
@@ -129,13 +153,8 @@ def decontaminate(
     deduped and broadcast — the corpus side never shuffles for the join;
     the only aggregation is per-doc over matched n-grams.
     """
-    ng = word_ngrams(text_col, n)
-    bench_ngrams = (
-        benchmark.select(F.explode(ng).alias("_ng")).distinct()
-    )
-    doc_ngrams = docs.select(
-        F.col(id_col), F.explode(ng).alias("_ng")
-    ).distinct()
+    bench_ngrams = _exploded_ngrams(benchmark, [], text_col, n).distinct()
+    doc_ngrams = _exploded_ngrams(docs, [id_col], text_col, n).distinct()
     hits = (
         doc_ngrams.join(F.broadcast(bench_ngrams), "_ng")
         .groupBy(id_col)
@@ -162,19 +181,24 @@ def repetition_stats(
     shorter than ``n`` tokens) and the boolean ``repetitive`` flag.
     Pure per-row expression — map stage only.
     """
-    ng = word_ngrams(text_col, n)
-    total = F.size(ng)
-    distinct = F.size(F.array_distinct(ng))
+    # stage tokens, then the n-gram array (each multiply-referenced —
+    # CollapseProject keeps them materialized; see word_ngrams_from)
+    staged = docs.withColumn(
+        "_rs_toks", tokens_col(text_col)
+    ).withColumn("_rs_ng", word_ngrams_from(F.col("_rs_toks"), n))
+    total = F.size(F.col("_rs_ng"))
+    distinct = F.size(F.array_distinct(F.col("_rs_ng")))
     dup_frac = F.when(
         total > 0, 1.0 - distinct.cast("double") / total.cast("double")
     )
     return (
-        docs.withColumn("n_ngrams", total)
+        staged.withColumn("n_ngrams", total)
         .withColumn("n_distinct", distinct)
         .withColumn("dup_frac", dup_frac)
         .withColumn(
             "repetitive", F.coalesce(F.col("dup_frac") > threshold, F.lit(False))
         )
+        .drop("_rs_toks", "_rs_ng")
     )
 
 
@@ -202,9 +226,8 @@ def cross_doc_ngram_dup(
     Adds ``n_ngrams`` (distinct n-grams in doc), ``n_shared`` (of those,
     how many appear elsewhere), ``shared_frac``.
     """
-    ng = word_ngrams(text_col, n)
     pairs = (
-        docs.select(F.col(id_col), F.explode(ng).alias("_ng"))
+        _exploded_ngrams(docs, [id_col], text_col, n)
         .select(id_col, F.xxhash64("_ng").alias("_h"))
         .distinct()
     )
@@ -426,8 +449,7 @@ def bloom_decontaminate(
     At 1e8 benchmark 8-grams and 12 bits/item the bitmap is ~150 MB —
     broadcastable where the raw string set is not.
     """
-    ng = word_ngrams(text_col, n)
-    bench_ngrams = benchmark.select(F.explode(ng).alias("_ng")).distinct()
+    bench_ngrams = _exploded_ngrams(benchmark, [], text_col, n).distinct()
     n_items = bench_ngrams.count()  # bounded: one agg, one scalar
     m_bits = max(64, ((n_items * bits_per_item + 63) // 64) * 64)
     n_words = m_bits // 64
@@ -467,7 +489,7 @@ def bloom_decontaminate(
     # distinct's shuffle ever runs — at corpus scale that shuffle is
     # the dominant cost, and post-probe it carries only hits + the
     # ~2^-num_hashes false-positive trickle
-    doc_ngrams = docs.select(F.col(id_col), F.explode(ng).alias("_ng"))
+    doc_ngrams = _exploded_ngrams(docs, [id_col], text_col, n)
     d = doc_ngrams.join(F.broadcast(bitmap_df))  # one-row broadcast
     hit_cols = []
     for i, p in enumerate(positions(F.col("_ng"))):
