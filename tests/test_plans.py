@@ -361,3 +361,54 @@ def test_late_r7_ops_plan_shapes(entry, spark):
     plan = plan_of(entry.q104_unigram_logprob(spark, SF))
     assert "Exchange hashpartitioning" not in plan
     assert "Join" not in plan
+
+
+def test_q112_bloom_probe_is_map_stage_then_broadcast_verify(entry, spark):
+    """The bloom stage must never shuffle: bitmap arrives as a one-row
+    broadcast (nested-loop on a single row), the probe is a map-side
+    filter, and the exact verify join broadcasts the benchmark n-grams.
+    A SortMergeJoin anywhere means the prefilter degraded to a shuffle."""
+    plan = plan_of(entry.q112_bloom_decontaminate(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row bitmap
+    assert "BroadcastHashJoin" in plan        # the exact verify join on _ng
+    assert "CartesianProduct" not in plan
+    # the n-gram stream must never sort-merge: everything above the final
+    # doc_id enrichment join (which is doc-count-sized and MAY shuffle)
+    # stays broadcast — i.e. no SMJ on the _ng key
+    smj_at = plan.find("SortMergeJoin")
+    if smj_at != -1:
+        assert "_ng" not in plan[smj_at: plan.index("\n", smj_at)], plan
+
+
+def test_q113_semdedup_no_cartesian_literal_seeds(entry, spark):
+    """Assignment is a map stage (plan-literal seeds — no join), the
+    pairwise stage is an equi join on the cluster id (never cartesian),
+    and survivors resolve via semi/anti joins."""
+    df = entry.q113_semdedup(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    opt = optimized_of(df).lower()
+    assert "join" in opt  # the pairwise + anti stages exist
+
+
+def test_q115_rrf_retrievers_take_ordered(entry, spark):
+    """Both candidate generators end in TakeOrderedAndProject (top-k,
+    never a global sort of the corpus); fusion never goes cartesian."""
+    plan = plan_of(entry.q115_rrf_fusion(spark, SF))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q110_islands_single_exchange_subset_copartition(entry, spark):
+    """The island aggregate's grouping keys are a superset of the window
+    partition keys, so the whole pipeline runs on ONE exchange."""
+    plan = plan_of(entry.q110_interval_islands(spark, SF))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_q116_linreg_one_aggregate_no_window(entry, spark):
+    plan = plan_of(entry.q116_linreg_trend(spark, SF))
+    assert "Window" not in plan
+    # partial + final hash aggregate over one exchange (+AQE reads)
+    assert plan.count("HashAggregate") >= 2
