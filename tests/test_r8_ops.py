@@ -306,3 +306,17 @@ def test_stream_static_enrich_batch_equivalence(spark, tmp_path):
     assert got == batch
     # the static side must broadcast in the streaming plan
     assert len(batch) == 4
+
+
+def test_cli_r8_commands_smoke(spark, capsys):
+    from tsdb_parquet_spark.cli import main
+
+    main(["uptime", "/root/testdata/sf0.001/embeddings.parquet",
+          "--key", "label", "--ts", "vec_id", "--liveness", "3",
+          "--limit", "2"])
+    main(["semdedup", "/root/testdata/sf0.001/embeddings.parquet",
+          "--k", "4", "--threshold", "0.42", "--limit", "2"])
+    main(["gopher", "/root/testdata/sf0.001/documents.parquet",
+          "--min-words", "5", "--limit", "2"])
+    out = capsys.readouterr().out
+    assert "survivors" in out and "covered" in out and "keep" in out

@@ -204,6 +204,32 @@ def main(argv: list[str] | None = None) -> None:
     p_hm.add_argument("--value-width", type=float, default=1.0)
     p_hm.add_argument("--limit", type=int, default=20)
 
+    p_up = sub.add_parser(
+        "uptime", help="heartbeat uptime per key (interval-union measure)"
+    )
+    p_up.add_argument("table", help="parquet with a key and a time column")
+    p_up.add_argument("--key", default="user_id")
+    p_up.add_argument("--ts", default="time")
+    p_up.add_argument("--liveness", type=int, default=1_800_000,
+                      help="liveness window in the ts column's unit")
+    p_up.add_argument("--limit", type=int, default=20)
+
+    p_go = sub.add_parser(
+        "gopher", help="Gopher quality-rule battery over a documents table"
+    )
+    p_go.add_argument("table")
+    p_go.add_argument("--min-words", type=int, default=50)
+    p_go.add_argument("--keep-only", action="store_true")
+    p_go.add_argument("--limit", type=int, default=20)
+
+    p_sd = sub.add_parser(
+        "semdedup", help="SemDeDup embedding dedup (survivors per cluster)"
+    )
+    p_sd.add_argument("table", help="parquet with vec_id + embedding columns")
+    p_sd.add_argument("--k", type=int, default=16)
+    p_sd.add_argument("--threshold", type=float, default=0.96)
+    p_sd.add_argument("--limit", type=int, default=20)
+
     p_e = sub.add_parser("explain", help="plan audit for a matcher query (plans/audit.py)")
     p_e.add_argument("table")
     p_e.add_argument("-m", "--matcher", action="append", default=[])
@@ -348,6 +374,37 @@ def main(argv: list[str] | None = None) -> None:
                                 value_width=args.value_width)
         out.show(args.limit, truncate=False)
         print(f"({out.count()} rows)")
+        return
+
+    if args.cmd == "uptime":
+        from .operators.intervals import heartbeat_uptime
+
+        df = spark.read.option("mergeSchema", "true").parquet(args.table)
+        out = heartbeat_uptime(df, args.ts, args.liveness, keys=[args.key])
+        out.orderBy(args.key).show(args.limit, truncate=False)
+        print(f"({out.count()} rows)")
+        return
+
+    if args.cmd == "gopher":
+        from .llm.text import gopher_rules
+
+        out = gopher_rules(
+            spark.read.parquet(args.table), min_words=args.min_words
+        )
+        if args.keep_only:
+            out = out.filter("keep")
+        out.show(args.limit, truncate=False)
+        print(f"({out.count()} rows)")
+        return
+
+    if args.cmd == "semdedup":
+        from .llm.dedup import semdedup
+
+        out = semdedup(
+            spark.read.parquet(args.table), k=args.k, threshold=args.threshold
+        )
+        out.orderBy("cluster", "keep_rank").show(args.limit, truncate=False)
+        print(f"({out.count()} survivors)")
         return
 
     if args.cmd == "promql":
