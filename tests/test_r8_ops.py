@@ -320,3 +320,66 @@ def test_cli_r8_commands_smoke(spark, capsys):
           "--min-words", "5", "--limit", "2"])
     out = capsys.readouterr().out
     assert "survivors" in out and "covered" in out and "keep" in out
+
+
+# ------------------------------------------------- state/percentile/latest
+
+def test_state_agg_semantics(spark):
+    from tsdb_parquet_spark.operators.intervals import state_agg
+
+    df = spark.createDataFrame(
+        [("u1", 0, "idle"), ("u1", 10, "run"), ("u1", 30, "idle"),
+         ("u1", 35, "idle"), ("u2", 0, "run")],
+        "k string, t long, s string",
+    )
+    got = {(r["k"], r["state"]): (r["duration"], r["n_visits"])
+           for r in state_agg(df, "s", "t", ["k"]).collect()}
+    # re-asserted idle at 35 merges into the held span; durations exact
+    assert got[("u1", "idle")] == (15, 3)
+    assert got[("u1", "run")] == (20, 1)
+    assert got[("u2", "run")] == (None, 1)  # open-ended: no invented time
+    bounded = {(r["k"], r["state"]): r["duration"] for r in
+               state_agg(df, "s", "t", ["k"], end_time=100).collect()}
+    assert bounded[("u1", "idle")] == 80 and bounded[("u2", "run")] == 100
+
+
+def test_weighted_percentile_exact_and_validation(spark):
+    from tsdb_parquet_spark.operators.aggregates import weighted_percentile
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 98), ("b", 5.0, 10)],
+        "k string, v double, w int",
+    )
+    got = {r["k"]: r for r in
+           weighted_percentile(df, "v", "w", [1, 2, 50, 100], ["k"]).collect()}
+    assert got["a"]["p1"] == 1.0      # cum 1 covers 1% of 100
+    assert got["a"]["p2"] == 2.0      # cum 2 covers 2%
+    assert got["a"]["p50"] == 3.0     # the heavy tail value
+    assert got["a"]["p100"] == 3.0
+    assert got["b"]["total_weight"] == 10
+    with pytest.raises(ValueError):
+        weighted_percentile(df, "v", "w", [])
+    with pytest.raises(ValueError):
+        weighted_percentile(df, "v", "w", [0])
+
+
+def test_latest_by_key_no_sort_in_plan(spark):
+    from tsdb_parquet_spark.operators.aggregates import latest_by_key
+
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (1, 20, "y"), (2, 10, "z"), (1, 20, "w")],
+        "id long, ver long, payload string",
+    )
+    out = latest_by_key(df, ["id"], "ver", "payload")
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [(1, 20, "y"), (2, 10, "z")]  # tie 20/20 -> max payload
+    # fresh plan (pre-execution): the AQE final-plan string repeats the
+    # materialized stage's exchange, inflating naive counts
+    plan = latest_by_key(df, ["id"], "ver", "payload")._jdf.queryExecution(
+    ).executedPlan().toString().lower()
+    # variable-width payload buffer -> documented SortAggregate fallback
+    # (SCALE.md 5b); the win is the partial combine: one candidate per
+    # (task, key) crosses the single exchange, never the full history
+    assert "partial_max_by" in plan, plan
+    # AQE's final plan repeats the stage boundary; count real exchanges
+    assert plan.count("exchange hashpartitioning") <= 1

@@ -261,3 +261,91 @@ def exact_moment_stats(
         F.when(var > 0, F.round(skew, round_dp)).alias("skew"),
         F.when(var > 0, F.round(kurt, round_dp)).alias("kurt_excess"),
     )
+
+
+def weighted_percentile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    percents: list[int],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Exact weighted percentiles per key: the smallest value whose
+    cumulative weight reaches p% of the key's total weight — the
+    token-weighted median/p95 a corpus report needs ("the doc length
+    below which 95% of TOKENS live"), which unweighted percentiles
+    (Q32) and t-digest sketches don't answer exactly.
+
+    Exactness: ``percents`` are INTEGER percunits and weights integer
+    counts, so the reach test is pure integer arithmetic
+    (``100*cumw >= p*total``) — no float threshold can land on a
+    binary-representation boundary differently across engines.  Values
+    are only ORDERED and picked, never combined, so any value dtype
+    hashes exactly.
+
+    Shape: one key exchange — the cumulative-weight window, the
+    per-key total (an unbounded frame over the same partitioning), and
+    the conditional-min aggregate all reuse it.  Ties in the value
+    collapse (the picked value is the same whichever tied row crosses
+    the threshold).
+    """
+    from pyspark.sql import Window
+
+    keys = keys or []
+    if not percents:
+        raise ValueError("percents must be non-empty")
+    for p in percents:
+        if not (isinstance(p, int) and 0 < p <= 100):
+            raise ValueError(f"percents must be integers in (0, 100]: {p}")
+    w_ord = Window.partitionBy(*keys).orderBy(value_col)
+    w_all = Window.partitionBy(*keys)
+    wgt = F.col(weight_col).cast("long")
+    d = df.select(*keys, value_col, weight_col).withColumn(
+        "_wp_cum",
+        F.sum(wgt).over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("_wp_tot", F.sum(wgt).over(w_all))
+    return d.groupBy(*keys).agg(
+        F.sum(wgt).alias("total_weight"),
+        *[
+            F.min(
+                F.when(
+                    F.col("_wp_cum") * 100 >= F.lit(int(p)) * F.col("_wp_tot"),
+                    F.col(value_col),
+                )
+            ).alias(f"p{p}")
+            for p in percents
+        ],
+    )
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys: list[str],
+    version_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Latest-row-wins compaction (the CDC/SCD-1 "current view" over an
+    append-only change log): one row per key — the one with the highest
+    ``version_col`` (ties to the highest ``tiebreak_col``).
+
+    Executed as a single ``max_by(struct(payload), struct(version,
+    tiebreak))`` aggregate.  The payload struct is a VARIABLE-WIDTH
+    buffer, so this is the documented SortAggregate fallback (SCALE.md
+    §5b) — but partial+final combine still holds: each task locally
+    sorts its own input slice and ships ONE candidate row per (task,
+    key), where the row_number-over-window form most SQL dialects
+    reach for shuffles every key's FULL history and then sorts it.
+    Shuffle volume ~ |keys|, not |rows|.  (version, tiebreak) must be
+    unique per key for a deterministic result — pass the change-log
+    sequence number as the tiebreak.
+    """
+    payload = [c for c in df.columns if c not in keys]
+    ord_cols = [F.col(version_col)]
+    if tiebreak_col is not None:
+        ord_cols.append(F.col(tiebreak_col))
+    out = df.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]), F.struct(*ord_cols)
+        ).alias("_lk")
+    )
+    return out.select(*keys, *[F.col(f"_lk.{c}").alias(c) for c in payload])

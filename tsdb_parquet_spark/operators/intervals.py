@@ -124,3 +124,43 @@ def heartbeat_uptime(
         (F.col(time_col) + F.lit(liveness)).alias("_hb_e"),
     )
     return interval_coverage(d, "_hb_s", "_hb_e", keys)
+
+
+def state_agg(
+    df: DataFrame,
+    state_col: str,
+    time_col: str,
+    keys: list[str] | None = None,
+    end_time: int | None = None,
+) -> DataFrame:
+    """Time-in-state per key (TimescaleDB ``state_agg``/``state_timeline``
+    parity): state-change events carry the state that HOLDS from their
+    timestamp until the next event; this rolls up total duration and
+    visit count per (key, state).
+
+    The last event of each key holds until ``end_time`` when given
+    (observation end), else contributes only to ``n_visits`` (an
+    open-ended duration is not invented).  Repeated events with the
+    SAME state still count as visits but merge into one held span —
+    duration attributes to the state either way, so re-asserting a
+    state never splits or double-counts time.
+
+    One key exchange: the lead() window and the (key, state) aggregate
+    share the key partitioning (subset co-partitioning — the same
+    single-shuffle shape as :func:`interval_islands`).
+    """
+    keys = keys or []
+    w = Window.partitionBy(*keys).orderBy(time_col, state_col)
+    nxt = F.lead(time_col).over(w)
+    until = F.coalesce(nxt, F.lit(end_time)) if end_time is not None else nxt
+    d = df.withColumn(
+        "_sa_dur",
+        (until.cast("long") - F.col(time_col).cast("long")),
+    )
+    return (
+        d.groupBy(*keys, F.col(state_col).alias("state"))
+        .agg(
+            F.sum("_sa_dur").alias("duration"),
+            F.count(F.lit(1)).alias("n_visits"),
+        )
+    )
