@@ -383,3 +383,25 @@ def test_latest_by_key_no_sort_in_plan(spark):
     assert "partial_max_by" in plan, plan
     # AQE's final plan repeats the stage boundary; count real exchanges
     assert plan.count("exchange hashpartitioning") <= 1
+
+
+def test_upsert_sink_idempotent_and_batch_order_independent(spark, tmp_path):
+    from tsdb_parquet_spark.operators.aggregates import latest_by_key
+    from tsdb_parquet_spark.streaming.upsert import upsert_latest_sink
+
+    rows = [(i % 5, i, f"p{i}") for i in range(40)]  # 5 keys, 8 versions each
+    df = spark.createDataFrame(rows, "k long, ver long, payload string")
+    want = sorted(tuple(r) for r in
+                  latest_by_key(df, ["k"], "ver", "payload").collect())
+
+    path = str(tmp_path / "view")
+    sink = upsert_latest_sink(path, ["k"], "ver", "payload")
+    # apply in 4 out-of-order batches
+    for lo, hi in ((30, 40), (0, 10), (20, 30), (10, 20)):
+        sink(df.filter((F.col("ver") >= lo) & (F.col("ver") < hi)), hi)
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == want
+    # at-least-once replay: re-applying an old batch is a no-op
+    sink(df.filter(F.col("ver") < 10), 99)
+    got2 = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got2 == want
