@@ -283,11 +283,15 @@ def weighted_percentile(
     are only ORDERED and picked, never combined, so any value dtype
     hashes exactly.
 
-    Shape: one key exchange — the cumulative-weight window, the
-    per-key total (an unbounded frame over the same partitioning), and
-    the conditional-min aggregate all reuse it.  Ties in the value
-    collapse (the picked value is the same whichever tied row crosses
-    the threshold).
+    Shape: percentiles depend only on the TOTAL weight per (key,
+    value), so the row stream first collapses through a parallel hash
+    aggregate — the windows then run over (key, distinct-value) rows,
+    not raw rows.  That sidesteps the low-cardinality-key window trap:
+    with 3 keys over 60 M rows the naive per-row window is 3 single-task
+    20 M-row sorts (measured 69 s at sf10; 4.5 s pre-aggregated).  For
+    keys whose DISTINCT-value count itself explodes, bucket the value
+    range first (operators/prefix.distributed_cumsum's machinery).
+    Ties in the value collapse by construction.
     """
     from pyspark.sql import Window
 
@@ -297,15 +301,16 @@ def weighted_percentile(
     for p in percents:
         if not (isinstance(p, int) and 0 < p <= 100):
             raise ValueError(f"percents must be integers in (0, 100]: {p}")
+    wgt = F.col(weight_col).cast("long")
+    per_value = df.groupBy(*keys, value_col).agg(F.sum(wgt).alias("_wp_w"))
     w_ord = Window.partitionBy(*keys).orderBy(value_col)
     w_all = Window.partitionBy(*keys)
-    wgt = F.col(weight_col).cast("long")
-    d = df.select(*keys, value_col, weight_col).withColumn(
+    d = per_value.withColumn(
         "_wp_cum",
-        F.sum(wgt).over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
-    ).withColumn("_wp_tot", F.sum(wgt).over(w_all))
+        F.sum("_wp_w").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("_wp_tot", F.sum("_wp_w").over(w_all))
     return d.groupBy(*keys).agg(
-        F.sum(wgt).alias("total_weight"),
+        F.sum("_wp_w").alias("total_weight"),
         *[
             F.min(
                 F.when(
