@@ -405,3 +405,61 @@ def test_upsert_sink_idempotent_and_batch_order_independent(spark, tmp_path):
     sink(df.filter(F.col("ver") < 10), 99)
     got2 = sorted(tuple(r) for r in spark.read.parquet(path).collect())
     assert got2 == want
+
+
+def test_weighted_percentile_property_vs_python(spark):
+    from tsdb_parquet_spark.operators.aggregates import weighted_percentile
+
+    rng = random.Random(11)
+    rows = [
+        (f"k{rng.randrange(3)}", round(rng.uniform(0, 100), 2),
+         rng.randrange(1, 20))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, w int")
+    got = {r["k"]: r for r in
+           weighted_percentile(df, "v", "w", [25, 50, 75, 95], ["k"]).collect()}
+
+    from collections import defaultdict
+    by_k = defaultdict(list)
+    for k, v, w in rows:
+        by_k[k].append((v, w))
+    for k, vw in by_k.items():
+        vw.sort()
+        tot = sum(w for _, w in vw)
+        assert got[k]["total_weight"] == tot
+        for p in (25, 50, 75, 95):
+            cum = 0
+            want = None
+            for v, w in vw:
+                cum += w
+                if cum * 100 >= p * tot:
+                    want = v
+                    break
+            assert got[k][f"p{p}"] == want, (k, p)
+
+
+def test_state_agg_property_vs_python(spark):
+    from tsdb_parquet_spark.operators.intervals import state_agg
+
+    rng = random.Random(7)
+    rows = [
+        (f"u{rng.randrange(5)}", t, f"s{rng.randrange(3)}")
+        for t in rng.sample(range(10_000), 300)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, s string")
+    got = {(r["k"], r["state"]): (r["duration"], r["n_visits"])
+           for r in state_agg(df, "s", "t", ["k"], end_time=20_000).collect()}
+
+    from collections import defaultdict
+    by_k = defaultdict(list)
+    for k, t, s in rows:
+        by_k[k].append((t, s))
+    want = {}
+    for k, ev in by_k.items():
+        ev.sort()
+        for i, (t, s) in enumerate(ev):
+            nt = ev[i + 1][0] if i + 1 < len(ev) else 20_000
+            d, n = want.get((k, s), (0, 0))
+            want[(k, s)] = (d + (nt - t), n + 1)
+    assert got == want
