@@ -671,3 +671,27 @@ def test_promql_api_discovery_endpoints(spark):
     metrics = label_values_response(block, "__name__")["data"]
     assert "up" in metrics and metrics == sorted(metrics)
     assert label_values_response(block, "nope")["data"] == []
+
+
+def test_histogram_fraction_interpolation(spark):
+    from tsdb_parquet_spark.promql import histogram_fraction
+
+    # one instant, buckets le=0.1(30) 0.5(80) +Inf(100)
+    rows = [
+        ("h", 1000, "0.1", 30.0),
+        ("h", 1000, "0.5", 80.0),
+        ("h", 1000, "+Inf", 100.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "label_handler string, time long, label_le string, value double"
+    )
+
+    def frac(u):
+        return histogram_fraction(df, u, labels=["label_handler"]).first()[
+            "fraction"]
+
+    assert frac(0.1) == pytest.approx(0.30)         # exact bucket edge
+    assert frac(0.3) == pytest.approx((30 + 50 * 0.5) / 100)  # midpoint
+    assert frac(0.5) == pytest.approx(0.80)
+    assert frac(1.0) == pytest.approx(0.80)         # beyond last finite le
+    assert frac(0.05) == pytest.approx(0.15)        # first bucket, lower bound 0

@@ -410,6 +410,68 @@ def histogram_quantile(
     return hit.select(*keys, value.alias("quantile"))
 
 
+def histogram_fraction(
+    df: DataFrame,
+    upper: float,
+    labels: list[str],
+    le_col: str = "label_le",
+    time_col: str | None = TIME_COL,
+) -> DataFrame:
+    """Fraction of observations ≤ ``upper`` from classic ``_bucket``
+    series — the classic-histogram analog of PromQL's native-histogram
+    ``histogram_fraction`` (the SLO arithmetic: "what share of requests
+    finished inside the objective?"), and
+    :func:`histogram_quantile`'s inverse under the same linear-
+    interpolation model: cumulative count at ``upper`` interpolates
+    between the enclosing bucket's bounds (first bucket's lower bound
+    is 0), divided by the ``+Inf`` total.  ``upper`` at or beyond the
+    highest finite ``le`` uses that bucket's exact cumulative count (no
+    distribution model inside ``+Inf``).  Empty groups drop
+    (inner-vector semantics, as in histogram_quantile).
+
+    Plan: the same single (labels, time) exchange — one lag window for
+    bounds/previous counts, a max for the total, one row per group via
+    the first-bucket-at-or-above-``upper`` row_number trick.
+    """
+    from pyspark.sql import Window
+
+    le_num = F.when(F.col(le_col) == "+Inf", F.lit(float("inf"))).otherwise(
+        F.col(le_col).cast("double")
+    )
+    keys = [*labels, *([time_col] if time_col else [])]
+    w = Window.partitionBy(*keys).orderBy(le_num.asc())
+    wp = Window.partitionBy(*keys)
+    v = F.col(VALUE_COL)
+    enriched = (
+        df.withColumn("_le", le_num)
+        .withColumn("_prev_le", F.lag("_le", 1, 0.0).over(w))
+        .withColumn("_prev_ct", F.lag(VALUE_COL, 1, 0.0).over(w))
+        .withColumn("_total", F.max(VALUE_COL).over(wp))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*keys).orderBy(
+                    (F.col("_le") < F.lit(upper)).cast("int"), F.col("_le")
+                )
+            ),
+        )
+    )
+    # the first bucket (by le) with le >= upper sorts to _rn == 1; if
+    # upper exceeds every finite le that row is the +Inf bucket
+    hit = enriched.filter((F.col("_rn") == 1) & (F.col("_total") > 0))
+    interp_ct = F.col("_prev_ct") + (v - F.col("_prev_ct")) * (
+        (F.lit(upper) - F.col("_prev_le"))
+        / (F.col("_le") - F.col("_prev_le"))
+    )
+    count_at = (
+        F.when(F.col("_le") == float("inf"), F.col("_prev_ct"))
+        .when(F.col("_le") == F.lit(upper), v)
+        .otherwise(interp_ct)
+    )
+    frac = F.least(F.greatest(count_at / F.col("_total"), F.lit(0.0)), F.lit(1.0))
+    return hit.select(*keys, frac.alias("fraction"))
+
+
 def label_replace(
     df: DataFrame,
     dst_label: str,
