@@ -463,3 +463,46 @@ def test_state_agg_property_vs_python(spark):
             d, n = want.get((k, s), (0, 0))
             want[(k, s)] = (d + (nt - t), n + 1)
     assert got == want
+
+
+def test_mmr_rerank_matches_python_reference_and_suppresses_clones(spark):
+    import numpy as np
+    from tsdb_parquet_spark.llm.ranking import mmr_rerank
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)], rng.random())
+            for i in range(30)]
+    rows[10] = (10, [x * 1.001 for x in rows[0][1]], rows[0][2] - 0.01)
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>, rel double")
+    got = [(r["doc_id"], r["mmr_rank"], round(r["mmr_score"], 9))
+           for r in mmr_rerank(df, k=6, lam=0.7).collect()]
+
+    # pure-Python greedy reference
+    embs = np.array([r[1] for r in rows])
+    unit = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+    rel = np.array([r[2] for r in rows])
+    chosen, max_sim = [], np.zeros(len(rows))
+    avail = np.ones(len(rows), dtype=bool)
+    want = []
+    for rank in range(6):
+        mmr = 0.7 * rel - 0.3 * max_sim
+        mmr[~avail] = -np.inf
+        i = int(np.argmax(mmr))
+        want.append((rows[i][0], rank + 1, round(float(mmr[i]), 9)))
+        avail[i] = False
+        max_sim = np.maximum(max_sim, unit @ unit[i])
+    assert got == want
+    ids = [g[0] for g in got]
+    assert not (0 in ids and 10 in ids)  # the near-clone never rides along
+
+
+def test_mmr_rerank_grouped(spark):
+    from tsdb_parquet_spark.llm.ranking import mmr_rerank
+
+    rows = [("a", 1, [1.0, 0.0], 0.9), ("a", 2, [0.0, 1.0], 0.5),
+            ("b", 3, [1.0, 1.0], 0.7)]
+    df = spark.createDataFrame(
+        rows, "q string, doc_id long, embedding array<double>, rel double")
+    out = mmr_rerank(df, k=2, lam=0.5, group_col="q")
+    got = {(r["q"], r["mmr_rank"]): r["doc_id"] for r in out.collect()}
+    assert got == {("a", 1): 1, ("a", 2): 2, ("b", 1): 3}

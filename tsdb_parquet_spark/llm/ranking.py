@@ -233,3 +233,79 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col))
         .limit(top_k)
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    emb_col: str = "embedding",
+    rel_col: str = "rel",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell/Goldstein 1998)
+    — the diversity pass between retrieval and a RAG context window:
+    greedily pick the candidate maximizing
+    ``lam*rel(d) - (1-lam)*max_cosine(d, already_selected)``, so
+    near-duplicate hits don't crowd out coverage.
+
+    The select-next recurrence depends on everything chosen so far —
+    the designated ``applyInPandas`` custom-op family (LTTB/
+    holt_winters precedent): ONE Arrow batch per query group (candidate
+    lists are retriever-top-N-sized by construction), numpy cosines
+    inside, groups parallel across executors.  Output: the k selected
+    rows as (group?, id, mmr_rank, rel, mmr_score).
+
+    100 TB shape: candidates per query are bounded (top-N from BM25/
+    ANN), so per-group work is O(k·N·dim); the heavy corpus work stayed
+    in the retrievers.  Pinned by a pure-Python reference test, not an
+    oracle (greedy recurrence).
+    """
+    import numpy as np
+    import pandas as pd
+
+    gcols = [group_col] if group_col else []
+    d = candidates.select(*gcols, id_col, emb_col, rel_col)
+    out_fields = (
+        ([f"{group_col} string"] if group_col else [])
+        + [f"{id_col} long", "mmr_rank int", "rel double", "mmr_score double"]
+    )
+    schema = ", ".join(out_fields)
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        embs = np.array(pdf[emb_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(embs, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        unit = embs / norms
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        chosen: list[int] = []
+        max_sim = np.zeros(n)
+        scores = []
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            mmr = lam * rel - (1.0 - lam) * max_sim
+            mmr[~avail] = -np.inf
+            i = int(np.argmax(mmr))  # ties -> lowest index (input order)
+            chosen.append(i)
+            scores.append(float(mmr[i]))
+            avail[i] = False
+            max_sim = np.maximum(max_sim, unit @ unit[i])
+        out = {
+            id_col: pdf[id_col].iloc[chosen].to_numpy(),
+            "mmr_rank": np.arange(1, len(chosen) + 1, dtype="int32"),
+            "rel": rel[chosen],
+            "mmr_score": np.array(scores),
+        }
+        if group_col:
+            out[group_col] = pdf[group_col].iloc[chosen].to_numpy()
+        return pd.DataFrame(out)[
+            ([group_col] if group_col else [])
+            + [id_col, "mmr_rank", "rel", "mmr_score"]
+        ]
+
+    if group_col:
+        return d.groupBy(group_col).applyInPandas(_mmr, schema)
+    # single query: one synthetic group (one Arrow batch, bounded input)
+    return d.groupBy(F.lit(1).alias("_g")).applyInPandas(_mmr, schema)

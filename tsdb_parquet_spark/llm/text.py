@@ -515,3 +515,76 @@ def gopher_rules(
         *[F.coalesce(v, F.lit(False)).alias(k) for k, v in rules.items()],
         F.coalesce(keep, F.lit(False)).alias("keep"),
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 4096,
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    salt: str = "qscore",
+) -> DataFrame:
+    """fastText-style quality-classifier INFERENCE as one JVM pipeline:
+    hashing-trick bag-of-words features (token → ``md5`` 60-bit prefix
+    mod ``dim`` — the engine-portable hash convention shared with
+    split/stratified/weighted sampling, so an oracle reproduces every
+    index) through a linear model + sigmoid.  The model-based quality
+    rung above :func:`gopher_rules` (CCNet/fastText's
+    ``__label__hq`` filter): swap ``weights`` for a trained vector; the
+    plumbing — broadcast weight row, per-token gather, per-doc sum —
+    is exactly what a real exported linear model needs.
+
+    Defaults derive deterministic pseudo-weights (``(i*2654435761 mod
+    1000)/999 - 0.5``, Knuth multiplicative) so the operator is fully
+    specified without a model artifact.  Scale shape: weights ship as
+    ONE broadcast row (an array column — never ``dim`` plan literals);
+    scoring is a map stage: stage tokens, gather ``element_at(w,
+    idx+1)``, fold, one sigmoid (``exp`` ulp absorbed by round-6, the
+    BM25 ``ln`` device).  Zero shuffle.
+    """
+    import math as _math
+
+    if weights is None:
+        weights = [((i * 2654435761) % 1000) / 999.0 - 0.5 for i in range(dim)]
+    if len(weights) != dim:
+        raise ValueError(f"weights must have length dim={dim}")
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        [([float(x) for x in weights],)], "_hls_w array<double>"
+    )
+    staged = df.join(F.broadcast(w_df)).select(
+        F.col(id_col),
+        F.col("_hls_w"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
+            lambda t: t != "",
+        ).alias("_hls_toks"),
+    )
+    def _idx(tok):
+        # 60-bit md5 prefix mod dim: identical in any engine with md5
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(tok, F.lit(salt))), 1, 15), 16, 10
+            ).cast("bigint"),
+            F.lit(dim),
+        ).cast("int")
+
+    # fold from 0.0 and add bias AFTER: the oracle computes
+    # bias + list_sum(...), so the float add order must match exactly
+    s = F.lit(float(bias)) + F.aggregate(
+        F.col("_hls_toks"),
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(F.col("_hls_w"), _idx(t) + 1),
+    )
+    n_toks = F.size(F.col("_hls_toks"))
+    # mean-pooled logit: sum/n keeps long docs from saturating sigmoid
+    logit = F.when(n_toks > 0, s / n_toks).otherwise(F.lit(float(bias)))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return staged.select(
+        F.col(id_col),
+        n_toks.cast("int").alias("n_tokens"),
+        F.round(logit, 6).alias("logit"),
+        F.round(prob, 6).alias("quality_prob"),
+    )
