@@ -525,6 +525,7 @@ def hashed_linear_score(
     weights: list[float] | None = None,
     bias: float = 0.0,
     salt: str = "qscore",
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """fastText-style quality-classifier INFERENCE as one JVM pipeline:
     hashing-trick bag-of-words features (token → ``md5`` 60-bit prefix
@@ -543,6 +544,13 @@ def hashed_linear_score(
     scoring is a map stage: stage tokens, gather ``element_at(w,
     idx+1)``, fold, one sigmoid (``exp`` ulp absorbed by round-6, the
     BM25 ``ln`` device).  Zero shuffle.
+
+    ``hash``: ``"xxhash64"`` (default) is the production path — a cheap
+    JVM hash, fine because the weight vector is trained against the
+    same hash.  ``"md5"`` is the cross-engine-verifiable mode (the
+    sampling family's portable 60-bit prefix; a DuckDB oracle can
+    reproduce every index) at ~6x the hashing cost — the oracle-gated
+    q123 pins it; a real deployment doesn't need it.
     """
     import math as _math
 
@@ -562,7 +570,12 @@ def hashed_linear_score(
             lambda t: t != "",
         ).alias("_hls_toks"),
     )
+    if hash not in ("xxhash64", "md5"):
+        raise ValueError(f"hash must be 'xxhash64' or 'md5', got {hash!r}")
+
     def _idx(tok):
+        if hash == "xxhash64":
+            return F.pmod(F.xxhash64(tok, F.lit(salt)), F.lit(dim)).cast("int")
         # 60-bit md5 prefix mod dim: identical in any engine with md5
         return F.pmod(
             F.conv(
