@@ -77,6 +77,11 @@ def main() -> None:
         "q28_bucketed", "q84_mixture_sampling",
         "q30_asof_join", "q34_wide_long_roundtrip", "q35_counter_rate", "q35_bucketed",
         "q37_downsample", "q39_promql_rate_window", "q42_sliding_window",
+        # round-8 family: the interval-union pair — q119 is the scale
+        # story's clearest win (pre-aggregated weighted percentile: 2.0 s
+        # vs DuckDB's 14 s serialized low-cardinality window at sf10),
+        # q110 the family's honest loss (2.1x); both stay in
+        "q110_interval_islands", "q119_weighted_percentile",
     ]
     bench_set = {name: queries[name] for name in headline if name in oracles}
 
