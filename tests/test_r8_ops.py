@@ -506,3 +506,20 @@ def test_mmr_rerank_grouped(spark):
     out = mmr_rerank(df, k=2, lam=0.5, group_col="q")
     got = {(r["q"], r["mmr_rank"]): r["doc_id"] for r in out.collect()}
     assert got == {("a", 1): 1, ("a", 2): 2, ("b", 1): 3}
+
+
+def test_corpus_report_dup_and_majority(spark):
+    from tsdb_parquet_spark.llm.corpus import corpus_report
+
+    docs = spark.createDataFrame(
+        [(1, "same text here", "en", "a"), (2, "same text here", "en", "a"),
+         (3, "unique one", "de", "a"), (4, "same text here", "en", "b"),
+         (5, "other", "de", "b"), (6, "more", "de", "b")],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r["source"]: r for r in corpus_report(docs).collect()}
+    # cross-source mirror: doc 4 counts as dup in b too
+    assert got["a"]["dup_docs"] == 2 and got["b"]["dup_docs"] == 1
+    assert got["a"]["n_docs"] == 3 and got["a"]["total_tokens"] == 8
+    assert got["a"]["major_lang"] == "en" and got["a"]["n_langs"] == 2
+    assert got["b"]["major_lang"] == "de"  # 2 de vs 1 en

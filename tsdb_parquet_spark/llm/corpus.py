@@ -516,3 +516,58 @@ def bloom_decontaminate(
         .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
         .withColumn("contaminated", F.col("n_hits") > 0)
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Per-source dataset datasheet — the data-card table a training
+    corpus publishes (Datasheets for Datasets, Gebru et al. 2021):
+    document and token counts, mean length, EXACT duplicate-document
+    fraction, and the language profile, one row per source.
+
+    Exact-dup detection keys on ``md5(text)`` (engine-portable, unlike
+    xxhash64) — a doc is "dup" iff its text occurs more than once in
+    the WHOLE corpus, so cross-source mirrors count in both sources.
+
+    Shape: one map stage (hash + token count per doc), one hash agg on
+    the text hash + a hash-keyed join back (dup flags), one agg per
+    source, plus a (source, lang) count feeding a ``max_by`` majority
+    pick — all partial-aggregated, nothing quadratic, no collect.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), "[ \\t\\n\\r\\f]+"), lambda w: w != ""
+    )
+    d = docs.select(
+        F.col(source_col).alias("_src"),
+        *( [F.col(lang_col).alias("_lang")] if lang_col else [] ),
+        F.length(text_col).alias("_chars"),
+        F.size(toks).alias("_toks"),
+        F.md5(F.col(text_col)).alias("_h"),
+    )
+    dup = d.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
+    flagged = d.join(dup, "_h").withColumn("_dup", F.col("_n") > 1)
+    base = flagged.groupBy("_src").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("_toks").cast("long")).alias("total_tokens"),
+        F.round(F.avg("_chars"), 4).alias("mean_chars"),
+        F.sum(F.col("_dup").cast("long")).alias("dup_docs"),
+    ).withColumn(
+        "dup_frac",
+        F.round(F.col("dup_docs") / F.col("n_docs"), 6),
+    )
+    if lang_col:
+        langs = d.groupBy("_src", "_lang").agg(
+            F.count(F.lit(1)).alias("_ln")
+        )
+        major = langs.groupBy("_src").agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            # deterministic majority: ties break to the LATER language
+            # string (max over (count, lang) pairs)
+            F.max_by("_lang", F.struct("_ln", "_lang")).alias("major_lang"),
+        )
+        base = base.join(major, "_src")
+    return base.withColumnRenamed("_src", source_col)
