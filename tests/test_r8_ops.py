@@ -523,3 +523,39 @@ def test_corpus_report_dup_and_majority(spark):
     assert got["a"]["n_docs"] == 3 and got["a"]["total_tokens"] == 8
     assert got["a"]["major_lang"] == "en" and got["a"]["n_langs"] == 2
     assert got["b"]["major_lang"] == "de"  # 2 de vs 1 en
+
+
+def test_interval_gaps_complement(spark):
+    from tsdb_parquet_spark.operators.intervals import interval_gaps
+
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 20, 30), ("a", 50, 60), ("b", 0, 5)],
+        "k string, s long, e long",
+    )
+    got = sorted(tuple(r) for r in interval_gaps(df, "s", "e", ["k"]).collect())
+    assert got == [("a", 10, 20, 10), ("a", 30, 50, 20)]  # b: no internal gap
+
+
+def test_audio_features_reference(spark):
+    import math
+    from tsdb_parquet_spark.llm.multimodal import (
+        audio_features, wav_encode)
+
+    # 2 frames at 8000Hz/25ms = 200 samples each: frame1 silence,
+    # frame2 a +/-1000 square wave (alternating -> max ZCR)
+    samples = [0] * 200 + [1000 if i % 2 == 0 else -1000 for i in range(200)]
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_encode(samples)))], "item_id long, content binary"
+    )
+    r = audio_features(df, frame_ms=25).first()
+    assert r["n_frames"] == 2
+    assert r["max_rms"] == pytest.approx(1000 / 32768, abs=1e-6)
+    assert r["mean_rms"] == pytest.approx((0 + 1000 / 32768) / 2, abs=1e-6)
+    # frame1 ZCR 0 (signbit constant over zeros), frame2 alternates every
+    # sample -> 199/199 = 1.0; mean = 0.5
+    assert r["mean_zcr"] == pytest.approx(0.5, abs=1e-6)
+    # short clip pads to one frame
+    short = spark.createDataFrame(
+        [(2, bytearray(wav_encode([100] * 7)))], "item_id long, content binary"
+    )
+    assert audio_features(short, frame_ms=25).first()["n_frames"] == 1

@@ -164,3 +164,34 @@ def state_agg(
             F.count(F.lit(1)).alias("n_visits"),
         )
     )
+
+
+def interval_gaps(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    keys: list[str] | None = None,
+    bridge_gap: int = 0,
+) -> DataFrame:
+    """The DOWNTIME report — the complement of :func:`interval_islands`:
+    one row per internal gap between a key's consecutive islands, with
+    ``gap_start`` (the earlier island's end), ``gap_end`` (the next
+    island's start) and ``gap_len``.  Keys with one island emit nothing
+    (no internal gaps; lead-in/lead-out are observation-window policy,
+    not data).  Adds one lead() window over the ISLAND rows — island
+    counts, not raw rows — reusing the key partitioning."""
+    keys = keys or []
+    isl = interval_islands(df, start_col, end_col, keys, bridge_gap)
+    w = Window.partitionBy(*keys).orderBy("island_start")
+    nxt = F.lead("island_start").over(w)
+    return (
+        isl.withColumn("_gap_end", nxt)
+        .filter(F.col("_gap_end").isNotNull())
+        .select(
+            *keys,
+            F.col("island_end").alias("gap_start"),
+            F.col("_gap_end").alias("gap_end"),
+            (F.col("_gap_end").cast("long")
+             - F.col("island_end").cast("long")).alias("gap_len"),
+        )
+    )
