@@ -559,3 +559,35 @@ def test_audio_features_reference(spark):
         [(2, bytearray(wav_encode([100] * 7)))], "item_id long, content binary"
     )
     assert audio_features(short, frame_ms=25).first()["n_frames"] == 1
+
+
+def test_psi_drift_zero_for_identical_and_eps_smoothing(spark):
+    from tsdb_parquet_spark.llm.corpus import psi_drift
+
+    df = spark.createDataFrame([(i, i % 100) for i in range(200)], "id long, v int")
+    out = {r["bin"]: r for r in psi_drift(df, df, "v", bin_width=10, n_bins=10).collect()}
+    assert out[-1]["psi_term"] == pytest.approx(0.0, abs=1e-9)  # identical -> 0
+    # a bin present only in ref survives via eps smoothing, finite term
+    cur = df.filter(F.col("v") < 50)
+    out2 = {r["bin"]: r for r in psi_drift(df, cur, "v", bin_width=10, n_bins=10).collect()}
+    assert out2[9]["p_cur"] == pytest.approx(1e-6, abs=1e-12)
+    assert math.isfinite(out2[-1]["psi_term"]) and out2[-1]["psi_term"] > 0.25
+    with pytest.raises(ValueError):
+        psi_drift(df, df, "v", bin_width=0)
+
+
+def test_profile_table_one_pass_and_values(spark):
+    from tsdb_parquet_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, 2.5), (3, "b", 2.5)],
+        "id long, s string, v double",
+    )
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert out["id"]["n_rows"] == 4 and out["id"]["n_distinct"] == 3
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_v"] is None  # non-numeric: no range
+    assert out["v"]["min_v"] == 1.5 and out["v"]["max_v"] == 2.5
+    # one scan: a single aggregate (Expand handles the multi-distinct)
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") == 1, plan

@@ -571,3 +571,72 @@ def corpus_report(
         )
         base = base.join(major, "_src")
     return base.withColumnRenamed("_src", source_col)
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bin_width: int,
+    n_bins: int = 20,
+    lo: int = 0,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    feature — the standard drift gate between a reference corpus and an
+    incoming batch (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 act):
+    ``PSI = Σ (p_i − q_i) · ln(p_i / q_i)`` over fixed equal-width bins
+    (deterministic — never engine-sampled quantile bins, which no
+    oracle could replay), with ``eps``-smoothed proportions so empty
+    bins stay finite.
+
+    Output: one row per OCCUPIED bin (bin id, both proportions, the
+    bin's PSI term) plus the total under bin id −1 — the report a
+    monitoring dashboard renders.  Two count aggregates (one per
+    snapshot, output ≤ ``n_bins`` rows each), a tiny outer join, one
+    map expression; the snapshots are never joined row-to-row.
+    """
+    if bin_width <= 0 or n_bins <= 0:
+        raise ValueError("bin_width and n_bins must be positive")
+
+    def binned(df, alias):
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(bin_width)),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        ).cast("int")
+        return df.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias(alias))
+
+    r = binned(ref, "_nr")
+    c = binned(cur, "_nc")
+    # totals as broadcast one-row aggregates (never an unpartitioned
+    # window, even over bin-count-sized data)
+    tr = r.agg(F.sum("_nr").alias("_tr"))
+    tc = c.agg(F.sum("_nc").alias("_tc"))
+    j = (
+        r.join(c, "bin", "full_outer")
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(tc))
+        .withColumn("_nr", F.coalesce("_nr", F.lit(0)))
+        .withColumn("_nc", F.coalesce("_nc", F.lit(0)))
+        .withColumn("p_ref", F.col("_nr") / F.col("_tr") + F.lit(eps))
+        .withColumn("p_cur", F.col("_nc") / F.col("_tc") + F.lit(eps))
+    )
+    term = (F.col("p_ref") - F.col("p_cur")) * F.log(
+        F.col("p_ref") / F.col("p_cur")
+    )
+    per_bin = j.select(
+        "bin",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round(term, 6).alias("psi_term"),
+    )
+    total = j.agg(
+        F.lit(-1).cast("int").alias("bin"),
+        F.round(F.sum(F.col("p_ref") - F.lit(eps)), 6).alias("p_ref"),
+        F.round(F.sum(F.col("p_cur") - F.lit(eps)), 6).alias("p_cur"),
+        F.round(F.sum(term), 6).alias("psi_term"),
+    )
+    return per_bin.unionByName(total)
