@@ -40,6 +40,50 @@ def _norm(v):
     return str(v)
 
 
+def _family(type_str: str) -> str:
+    """Coarse type family for width-aware schema comparison.
+
+    The driver's value hash is WIDTH-SENSITIVE: DuckDB HUGEINT (an
+    uncasted SUM(BIGINT)) arrives as Arrow decimal128(38,0) and hashes
+    differently from Spark's bigint even when every value is equal
+    (q92b r7, q104/q106 r8).  ``_norm``'s str() view is blind to that,
+    so we compare type families out-of-band and fail on any divergence.
+    """
+    t = type_str.lower()
+    if "hugeint" in t or "int128" in t:
+        return "int128"
+    if "decimal" in t or "numeric" in t:
+        return "decimal"
+    if any(k in t for k in ("tinyint", "smallint", "bigint", "int", "long", "short", "byte", "uint")):
+        return "int"
+    if any(k in t for k in ("float", "double", "real", "halffloat")):
+        return "float"
+    if "bool" in t:
+        return "bool"
+    if "timestamp" in t:
+        return "timestamp"
+    if "date" in t:
+        return "date"
+    if any(k in t for k in ("string", "varchar", "utf8", "char", "text")):
+        return "str"
+    if any(k in t for k in ("binary", "blob", "bytes")):
+        return "binary"
+    return "nested"
+
+
+def schema_families(sdf, arrow_schema) -> list[str]:
+    """Return per-column family mismatches between a Spark DataFrame
+    and a DuckDB-result Arrow schema (matched by column name)."""
+    sfam = {f.name: _family(f.dataType.simpleString()) for f in sdf.schema.fields}
+    problems = []
+    for field in arrow_schema:
+        of = _family(str(field.type))
+        sf = sfam.get(field.name)
+        if sf is not None and sf != of:
+            problems.append(f"type width {field.name}: spark={sf} oracle={of} ({field.type})")
+    return problems
+
+
 def digest(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon = sorted("\x1f".join(_norm(r[i]) for i in order) for r in rows)
@@ -81,15 +125,15 @@ def main() -> None:
             n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            otbl = con.execute(oracles[name]).arrow()
+            ocols = otbl.column_names
+            orows = [tuple(d.values()) for d in otbl.to_pylist()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
 
-        problems = []
+        problems = schema_families(sdf, otbl.schema)
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} != {len(orows)}")
         if sorted(scols) != sorted(ocols):
