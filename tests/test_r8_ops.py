@@ -387,7 +387,10 @@ def test_latest_by_key_no_sort_in_plan(spark):
 
 def test_upsert_sink_idempotent_and_batch_order_independent(spark, tmp_path):
     from tsdb_parquet_spark.operators.aggregates import latest_by_key
-    from tsdb_parquet_spark.streaming.upsert import upsert_latest_sink
+    from tsdb_parquet_spark.streaming.upsert import (
+        read_upsert_view,
+        upsert_latest_sink,
+    )
 
     rows = [(i % 5, i, f"p{i}") for i in range(40)]  # 5 keys, 8 versions each
     df = spark.createDataFrame(rows, "k long, ver long, payload string")
@@ -399,12 +402,57 @@ def test_upsert_sink_idempotent_and_batch_order_independent(spark, tmp_path):
     # apply in 4 out-of-order batches
     for lo, hi in ((30, 40), (0, 10), (20, 30), (10, 20)):
         sink(df.filter((F.col("ver") >= lo) & (F.col("ver") < hi)), hi)
-    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    got = sorted(tuple(r) for r in read_upsert_view(spark, path).collect())
     assert got == want
     # at-least-once replay: re-applying an old batch is a no-op
     sink(df.filter(F.col("ver") < 10), 99)
-    got2 = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    got2 = sorted(tuple(r) for r in read_upsert_view(spark, path).collect())
     assert got2 == want
+
+
+def test_upsert_sink_rewrites_only_dirty_buckets(spark, tmp_path):
+    """The 100 TB property: a micro-batch touching one key must leave
+    every other bucket's on-disk files byte-identical (same paths, same
+    mtimes) — proof the merge reads/rewrites O(touched partitions), not
+    the whole view."""
+    import glob
+    import os
+
+    from tsdb_parquet_spark.streaming.upsert import (
+        read_upsert_view,
+        upsert_latest_sink,
+    )
+
+    path = str(tmp_path / "view")
+    sink = upsert_latest_sink(path, ["k"], "ver", "payload", n_buckets=8)
+    df = spark.createDataFrame(
+        [(i, 1, f"v1_{i}") for i in range(64)], "k long, ver long, payload string"
+    )
+    sink(df, 0)
+    buckets = sorted(glob.glob(os.path.join(path, "__kb=*")))
+    assert len(buckets) == 8  # 64 keys cover all 8 buckets
+    before = {
+        b: sorted(
+            (f, os.path.getmtime(os.path.join(b, f)))
+            for f in os.listdir(b) if f.endswith(".parquet")
+        )
+        for b in buckets
+    }
+
+    # update ONE key -> exactly one dirty bucket
+    upd = spark.createDataFrame([(7, 2, "v2_7")], "k long, ver long, payload string")
+    sink(upd, 1)
+    dirty = [
+        b for b in buckets
+        if sorted(
+            (f, os.path.getmtime(os.path.join(b, f)))
+            for f in os.listdir(b) if f.endswith(".parquet")
+        ) != before[b]
+    ]
+    assert len(dirty) == 1, dirty
+
+    view = {r["k"]: r["payload"] for r in read_upsert_view(spark, path).collect()}
+    assert view[7] == "v2_7" and view[6] == "v1_6" and len(view) == 64
 
 
 def test_weighted_percentile_property_vs_python(spark):

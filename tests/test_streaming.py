@@ -343,3 +343,73 @@ def test_stream_outer_join_finality_strict_watermark_cutoff(spark, tmp_path):
     got = sorted((r.l_event, r.r_event) for r in
                  spark.table("t_louter_syn").collect())
     assert got == [(100, 101), (102, None)]
+
+
+def test_heartbeat_flushes_withheld_outer_join_tail(spark, tmp_path):
+    # SCALE.md 5h as CODE: the strict-cutoff test above leaves left@25/
+    # left@29 withheld forever on a bounded replay.  A heartbeat row in
+    # BOTH inputs (ts past tail + interval + delay) advances the global
+    # watermark and the next run of the SAME checkpointed query flushes
+    # exactly the withheld unmatched rows; the heartbeat itself never
+    # appears (left heartbeats self-withhold + sentinel filter).
+    from datetime import datetime
+
+    from tsdb_parquet_spark.streaming.windows import (
+        append_heartbeat,
+        stream_interval_join,
+        without_heartbeats,
+    )
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        (1, 100, t(0), "a"), (1, 101, t(3), "b"),
+        (1, 102, t(10), "a"),
+        (1, 103, t(25), "a"),
+        (1, 104, t(29), "a"),
+        (2, 106, t(30), "b"),
+    ]
+    d = str(tmp_path / "ev")
+    chk = str(tmp_path / "chk")
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+
+    sink = str(tmp_path / "out")
+
+    def run():
+        # memory sink can't recover a checkpoint; the durable file sink
+        # is the production shape anyway.  The sentinel filter is
+        # applied BATCH-SIDE on the read-back: inside the streaming
+        # plan Catalyst pushes it below withWatermark and the heartbeat
+        # never advances anything (append_heartbeat docstring).
+        stream = spark.readStream.schema(schema).parquet(d)
+        out = stream_interval_join(
+            stream.filter(F.col("event_type") == "a"),
+            stream.filter(F.col("event_type") == "b"),
+            interval="5 seconds", watermark="10 seconds",
+            how="left_outer",
+        )
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", chk).start())
+        q.awaitTermination(120)
+        res = without_heartbeats(spark.read.parquet(sink), "user_id", -1)
+        return sorted((r.l_event, r.r_event) for r in res.collect())
+
+    # bounded replay: watermark ends at 30-10=20 -> only left@0 matched
+    # and left@10 (bound 15 < 20) finalize; 25/29 withheld
+    assert run() == [(100, 101), (102, None)]
+
+    # heartbeat into both routed inputs: ts 50 > 29 + 5 + 10
+    for et in ("a", "b"):
+        append_heartbeat(
+            spark, d,
+            {"user_id": -1, "event_id": -1, "ts": t(50), "event_type": et},
+            schema,
+        )
+    # same checkpoint -> continuation: the withheld tail flushes, the
+    # heartbeats never appear
+    assert run() == [(100, 101), (102, None), (103, None), (104, None)]

@@ -19,20 +19,56 @@ plus exactly the idempotence story CDC needs:
   regardless of how the stream was chopped into micro-batches — the
   property the correctness gate (q121) checks against the batch oracle.
 
-Scale shape: each merge is one combine-side ``max_by`` aggregate over
-current ∪ batch (shuffle ~ |keys|, not |rows| — aggregates.py
-docstring), written to a temp dir and swapped in with the
-rename-out/rename-in/rollback dance ``maintenance.compact_partitions``
-established.  The full-table rewrite per batch is the simplicity
-tradeoff: at 100 TB, partition the view by a stable key hash and
-rewrite only partitions the batch touches (dynamic partition overwrite,
-the ``rollup.refresh_rollup`` pattern), or put Iceberg/Delta MERGE
-underneath — the merge algebra is identical.
+Scale shape — O(touched partitions), NOT O(table): the view is
+partitioned by a stable hash bucket of the key
+(``__kb = pmod(xxhash64(keys), n_buckets)``), and each micro-batch
+
+1. compacts the batch to one row per key (one combine-side ``max_by``
+   aggregate — shuffle ~ |batch keys|, not |batch rows|),
+2. collects the ≤ ``n_buckets`` distinct buckets the batch touches
+   (driver-bounded by construction),
+3. reads ONLY those bucket directories back (partition pruning on the
+   ``__kb`` directory key — asserted in tests via the untouched
+   buckets' on-disk files), merges, and
+4. dynamic-partition-overwrites exactly those buckets
+   (``partitionOverwriteMode=dynamic``, the ``rollup.refresh_rollup``
+   pattern) — every other bucket's files are never opened or rewritten.
+
+Per-batch cost is O(|batch| + |touched buckets|), independent of total
+view size: the property that keeps a 100 TB current view maintainable
+under continuous ingest.  Size ``n_buckets`` so one bucket ≈ a few GB
+at the target scale (thousands of buckets at 100 TB; the default 32
+suits tests).  Dynamic overwrite commits per-partition rather than
+atomically across buckets, so a crash mid-commit can leave a batch
+half-applied — the idempotent merge makes the post-recovery replay of
+that batch converge to the same state (same reasoning Iceberg/Delta
+MERGE would give; the merge algebra is identical).
+
+SINGLE WRITER per view path (Structured Streaming guarantees one
+foreachBatch at a time per query); concurrent readers see the old
+files until the per-partition commit swaps them.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_BUCKET_COL = "__kb"
+
+
+def _with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
+    """Stable key-hash bucket: same key → same bucket, every run, any
+    partitioning (xxhash64 is deterministic; pmod folds the sign)."""
+    return df.withColumn(
+        _BUCKET_COL,
+        F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int"),
+    )
+
+
+def read_upsert_view(spark: SparkSession, path: str) -> DataFrame:
+    """The maintained current view, without the internal bucket key."""
+    return spark.read.parquet(path).drop(_BUCKET_COL)
 
 
 def upsert_latest_sink(
@@ -40,10 +76,12 @@ def upsert_latest_sink(
     keys: list[str],
     version_col: str,
     tiebreak_col: str | None = None,
+    n_buckets: int = 32,
 ):
     """A ``foreachBatch`` function maintaining the latest-by-key view of
     a change-log stream at ``path``.  Use as
-    ``stream.writeStream.foreachBatch(upsert_latest_sink(...))``."""
+    ``stream.writeStream.foreachBatch(upsert_latest_sink(...))``; read
+    the result with :func:`read_upsert_view`."""
     from ..operators.aggregates import latest_by_key
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -53,33 +91,39 @@ def upsert_latest_sink(
         p_cur = jvm.org.apache.hadoop.fs.Path(path)
         fs = p_cur.getFileSystem(conf)
 
-        batch_latest = latest_by_key(batch_df, keys, version_col, tiebreak_col)
+        bl = _with_bucket(
+            latest_by_key(batch_df, keys, version_col, tiebreak_col),
+            keys, n_buckets,
+        )
         if fs.exists(p_cur):
-            current = spark.read.parquet(path)
-            merged = latest_by_key(
-                current.unionByName(batch_latest), keys, version_col,
-                tiebreak_col,
-            )
+            # bl is evaluated twice (bucket list + merge) — persist so the
+            # batch compacts once; state is one row per batch key, small
+            bl = bl.persist()
+            try:
+                touched = [
+                    r[0] for r in bl.select(_BUCKET_COL).distinct().collect()
+                ]
+                current = spark.read.parquet(path).filter(
+                    F.col(_BUCKET_COL).isin(touched)
+                )
+                # __kb rides through max_by's payload struct: it is a pure
+                # function of the group keys, so every row of a key agrees
+                merged = latest_by_key(
+                    current.unionByName(bl), keys, version_col, tiebreak_col
+                )
+                _write(merged)
+            finally:
+                bl.unpersist()
         else:
-            merged = batch_latest
+            _write(bl)
 
-        # write fully BEFORE touching the live dir (the read above is
-        # lazy — overwriting in place would read-while-overwriting),
-        # then the compact_partitions swap: out, in, rollback-on-fail
-        tmp, old = f"{path}__upsert_tmp", f"{path}__upsert_old"
-        merged.write.mode("overwrite").parquet(tmp)
-        p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-        p_old = jvm.org.apache.hadoop.fs.Path(old)
-        if fs.exists(p_old):
-            fs.delete(p_old, True)
-        if fs.exists(p_cur):
-            if not fs.rename(p_cur, p_old):
-                raise IOError(f"upsert: cannot stage out {path}")
-        if not fs.rename(p_tmp, p_cur):
-            if fs.exists(p_old):
-                fs.rename(p_old, p_cur)  # roll back
-            raise IOError(f"upsert: cannot swap in {tmp}")
-        if fs.exists(p_old):
-            fs.delete(p_old, True)
+    def _write(df: DataFrame) -> None:
+        (
+            df.repartition(_BUCKET_COL)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(_BUCKET_COL)
+            .parquet(path)
+        )
 
     return _merge

@@ -329,3 +329,58 @@ def stream_static_enrich(
             decimal_sum(F.col("value"), scale=4).alias("sv"),
         )
     )
+
+
+def append_heartbeat(
+    spark: SparkSession,
+    src_dir: str,
+    values: dict,
+    schema=None,
+) -> None:
+    """Append ONE synthetic watermark-advancing row to a file-stream
+    source directory — the production fix for outer-join finality on a
+    stream that stops producing (SCALE.md §5h).
+
+    An unmatched left row in a left-outer stream-stream join emits only
+    once the GLOBAL watermark strictly passes ``l.ts + interval``, and
+    the global watermark is the min over inputs of ``max event time -
+    delay`` — so when real traffic stops, the tail's unmatched rows are
+    withheld forever.  A heartbeat row with event time ``>
+    tail_ts + interval + delay`` injected into EVERY input advances the
+    watermark past the tail and flushes it on the next micro-batch.
+
+    ``values`` maps column -> value for the synthetic row (at minimum
+    the event-time column, plus whatever sentinel key / routing columns
+    the query's filters need to let the row REACH each withWatermark
+    operator — a heartbeat filtered out before the watermark node
+    advances nothing).  Unset columns are null.  Use a sentinel key
+    (e.g. -1) that real data cannot carry and drop it from results with
+    :func:`without_heartbeats` — **batch-side, on the sink read-back,
+    never inside the streaming plan**: Catalyst pushes a deterministic
+    ``key != -1`` predicate through the join down to the file scans
+    (left side directly; right side via the inferred equi-key
+    constraint), which silently drops the heartbeat BEFORE the
+    watermark operator and defeats the whole mechanism (measured: the
+    restarted batch reads the heartbeat files with numInputRows=0 and
+    the watermark never moves).  In a one-shot heartbeat scheme the
+    filter is belt-and-braces anyway: a heartbeat LEFT row
+    self-withholds (its own finality bound ``H + interval`` is never
+    passed by a watermark capped at ``H - delay``) and a heartbeat
+    RIGHT row only ever emits as a match partner, which the sentinel
+    key precludes; only REPEATED heartbeats (a later one flushing an
+    earlier one as unmatched) can surface sentinel rows.
+    """
+    schema = schema or spark.read.parquet(src_dir).schema
+    row = tuple(values.get(f.name) for f in schema.fields)
+    spark.createDataFrame([row], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+
+def without_heartbeats(df: DataFrame, key_col: str, sentinel) -> DataFrame:
+    """Drop heartbeat rows from a query RESULT by their sentinel key.
+
+    Apply to the batch read-back of the sink (or inside foreachBatch),
+    NOT to the streaming plan — see :func:`append_heartbeat` for the
+    predicate-pushdown trap that rule exists to dodge."""
+    return df.filter(F.col(key_col) != F.lit(sentinel))
