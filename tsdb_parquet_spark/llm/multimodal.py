@@ -343,7 +343,7 @@ def parse_image_dims(b: bytes) -> tuple[int, int] | None:
     return None
 
 
-def decode_images(df: DataFrame, fake: bool = True) -> DataFrame:
+def decode_images(df: DataFrame, fake: bool = True, decoder=None) -> DataFrame:
     """Decode the binary payload into (width, height, bytes, checksum).
 
     ``fake=True``: deterministic stand-in — dimensions from a byte-hash,
@@ -353,12 +353,23 @@ def decode_images(df: DataFrame, fake: bool = True) -> DataFrame:
     payload raises ``NotImplementedError`` naming both missing options.
     Real checksum is ``zlib.crc32`` of the payload (seed-independent).
 
+    ``decoder``: inject any Pillow-contract codec (``decoder.open(fp)``
+    context manager yielding an object with ``.size``) — the mechanical
+    proof that a real image library slots into this batch shape without
+    touching the Spark plumbing (tests/test_llm_ops.py contract test).
+    The object must reach workers: an installed module/package imports
+    by reference; a locally-defined class ships by value via
+    cloudpickle (a class defined in an un-installed driver-only module
+    does neither and fails with ModuleNotFoundError on the executor).
+
     The plumbing is the real pattern either way: Arrow-batched
     ``mapInPandas``, bounded batch memory, schema declared up front.
     """
+    if decoder is not None:
+        fake = False
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pil_image = None if fake else _pil()
+        pil_image = decoder if decoder is not None else (None if fake else _pil())
         for pdf in batches:
             contents = pdf["content"]
             if fake:
@@ -461,7 +472,9 @@ def resize_images(df: DataFrame, max_dim: int = 256, fake: bool = True) -> DataF
     )
 
 
-def extract_features(df: DataFrame, dim: int = 16, fake: bool = True) -> DataFrame:
+def extract_features(
+    df: DataFrame, dim: int = 16, fake: bool = True, model=None
+) -> DataFrame:
     """Feature-extract payloads into a ``dim``-length float vector — the
     embedding hop of a multimodal pipeline.  Fake mode derives a
     deterministic pseudo-embedding from a rolling byte hash so downstream
@@ -472,12 +485,17 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
     decoded PNG — the standard model-free near-dup baseline, so the
     whole decode -> embed -> ANN chain runs on real pixels in-container
     (a vision model slots into the same Arrow-batched mapInPandas shape;
-    non-PNG payloads raise, the resize_images convention)."""
+    non-PNG payloads raise, the resize_images convention).
+
+    ``model``: inject any embedding callable ``model(list[bytes]) ->
+    list[list[float]]`` (a vision model's batch-predict) — it replaces
+    the built-in feature and receives each Arrow batch's payloads; the
+    contract test proves the slot-in mechanically."""
     import math as _math
 
     s = max(1, _math.isqrt(dim))
     t = dim // s
-    if not fake and s * t != dim:
+    if model is None and not fake and s * t != dim:
         raise ValueError(
             f"dim={dim} must factor as isqrt(dim) * (dim // isqrt(dim)) "
             "for the real grid feature (e.g. 16=4x4, 12=3x4)"
@@ -485,6 +503,14 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if model is not None:
+                yield pd.DataFrame(
+                    {
+                        "item_id": pdf["item_id"],
+                        "embedding": model([bytes(b) for b in pdf["content"]]),
+                    }
+                )
+                continue
             if not fake:
                 feats = []
                 for b in pdf["content"]:
