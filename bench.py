@@ -82,6 +82,12 @@ def main() -> None:
         # vs DuckDB's 14 s serialized low-cardinality window at sf10),
         # q110 the family's honest loss (2.1x); both stay in
         "q110_interval_islands", "q119_weighted_percentile",
+        # round-9 promotions: the LLM-pipeline surface gets a tracked
+        # DuckDB-relative curve like the relational core — semantic
+        # dedup (cluster-bounded pairwise), the Gopher rule battery
+        # (staged map-stage HOFs), CDC latest-by-key compaction
+        # (single max_by combine)
+        "q113_semdedup", "q114_gopher_rules", "q120_latest_by_key",
     ]
     bench_set = {name: queries[name] for name in headline if name in oracles}
 

@@ -1,0 +1,169 @@
+"""Round-9 operators: hand-computed fixtures for the TF-IDF top-terms,
+lexical stats, dedup-keep-best, length bins, seasonal anomalies, and
+session co-occurrence families (entries q129-q134)."""
+
+from __future__ import annotations
+
+import math
+import sys
+from datetime import datetime
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def test_lexical_stats_hand_corpus(spark):
+    from tsdb_parquet_spark.llm.text import lexical_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b", "s1"),
+            (2, "a c", "s1"),
+            (3, "x y", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in lexical_stats(docs).collect()}
+    # s1: tokens a,a,b,a,c -> n=5, vocab=3 (a,b,c), hapax=2 (b,c),
+    # top token a with 3
+    assert got["s1"].n_tokens == 5 and got["s1"].vocab == 3
+    assert got["s1"].hapax == 2
+    assert got["s1"].ttr == round(3 / 5, 6)
+    assert got["s1"].top_share == round(3 / 5, 6)
+    # s2: all hapax
+    assert got["s2"].n_tokens == 2 and got["s2"].hapax == 2
+    assert got["s2"].ttr == 1.0 and got["s2"].top_share == 0.5
+
+
+def test_tfidf_top_terms_ranking_and_fixed_point(spark):
+    from tsdb_parquet_spark.llm.text import tfidf_top_terms
+
+    # 2 groups; "shared" in both (idf=ln(1)=0), "only1" in s1 twice
+    docs = spark.createDataFrame(
+        [
+            (1, "shared only1 only1", "s1"),
+            (2, "shared only2", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = tfidf_top_terms(docs, k=5)
+    rows = {(r.source, r.term): r for r in out.collect()}
+    li = round(math.log(2.0) * 1_000_000)  # idf fixed-point for gdf=1
+    assert rows[("s1", "only1")].tf == 2
+    assert rows[("s1", "only1")].tfidf == round(2 * li / 1e6, 6)
+    assert rows[("s1", "shared")].tfidf == 0.0  # ln(2/2) = 0
+    # rank: only1 (positive score) before shared (0)
+    r1 = {r.term: r.rank for r in out.filter(F.col("source") == "s1").collect()}
+    assert r1["only1"] == 1 and r1["shared"] == 2
+
+
+def test_dedup_keep_best_quality_and_ties(spark):
+    from tsdb_parquet_spark.llm.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", 9),
+            (2, "same text", 20),   # highest quality -> keeper
+            (3, "same text", 20),   # quality tie -> lower id (2) wins
+            (4, "unique", 5),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {r.doc_id: r for r in
+           dedup_keep_best(docs, quality_col="n_chars").collect()}
+    assert set(got) == {1, 3}  # keeper 2 and singleton 4 not emitted
+    assert got[1].keep_id == 2 and got[3].keep_id == 2
+    assert got[1].cluster_size == 3
+
+    # default policy: lowest id keeps
+    got2 = {r.doc_id: r.keep_id for r in dedup_keep_best(docs).collect()}
+    assert got2 == {2: 1, 3: 1}
+
+    # prefix clustering groups shared prefixes
+    docs3 = spark.createDataFrame(
+        [(1, "PREFIX tail one", 1), (2, "PREFIX tail two longer", 2)],
+        "doc_id long, text string, n_chars long",
+    )
+    got3 = dedup_keep_best(docs3, quality_col="n_chars",
+                           prefix_chars=6).collect()
+    assert [(r.doc_id, r.keep_id) for r in got3] == [(1, 2)]
+
+
+def test_length_quantile_bins_hand_cutoffs(spark):
+    from tsdb_parquet_spark.llm.corpus import length_quantile_bins
+
+    # lengths 1..8, one source: cuts (smallest v with cum >= p%):
+    # p25 -> 2, p50 -> 4, p75 -> 6; bins: {1,2}=1 {3,4}=2 {5,6}=3 {7,8}=4
+    docs = spark.createDataFrame(
+        [(i, "s", i) for i in range(1, 9)],
+        "doc_id long, source string, n_chars long",
+    )
+    got = {r.bin: r for r in length_quantile_bins(docs).collect()}
+    assert {b: (got[b].n_docs, got[b].min_len, got[b].max_len)
+            for b in sorted(got)} == {
+        1: (2, 1, 2), 2: (2, 3, 4), 3: (2, 5, 6), 4: (2, 7, 8)}
+
+
+def test_seasonal_anomalies_flags_only_cross_slot_outlier(spark):
+    from tsdb_parquet_spark.operators.seasonal import (
+        seasonal_anomalies,
+        seasonal_baseline,
+    )
+
+    def t(h, mi):
+        return datetime(2024, 1, 1, h, mi)
+
+    # hour 0 baseline ~10 with one 100 outlier; hour 1 all 100 so a 100
+    # at hour 1 is NORMAL -- the segmentation point
+    rows = (
+        [(i, t(0, i), "a", 10.0 + (i % 3)) for i in range(20)]
+        + [(99, t(0, 40), "a", 100.0)]
+        + [(200 + i, t(1, i), "a", 100.0 + (i % 2)) for i in range(10)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = seasonal_anomalies(df, z_threshold=3.0)
+    ids = [r.event_id for r in got.collect()]
+    assert ids == [99]
+    base = {r.slot: r for r in seasonal_baseline(df).collect()}
+    # exact moments: hour-1 mean over 100,101 alternating (5 each)
+    assert base[1]["_mean"] == 100.5
+    # zero-variance slot cannot flag (guarded division)
+    const = spark.createDataFrame(
+        [(i, t(2, i), "b", 5.0) for i in range(5)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    assert seasonal_anomalies(const).count() == 0
+
+
+def test_session_cooccurrence_support_and_lift(spark):
+    from tsdb_parquet_spark.operators.windows import session_cooccurrence
+
+    def t(h, mi):
+        return datetime(2024, 1, 1, h, mi)
+
+    # u1 s1: {view, click}; u1 s2 (gap > 30min): {view}; u2 s1: {view,
+    # click, buy} -> sessions N=3; n(view)=3 n(click)=2 n(buy)=1
+    # pairs: (click,view)=2, (buy,click)=1, (buy,view)=1
+    rows = [
+        (1, 1, t(0, 0), "view"), (1, 2, t(0, 5), "click"),
+        (1, 3, t(2, 0), "view"),
+        (2, 4, t(0, 0), "view"), (2, 5, t(0, 1), "click"),
+        (2, 6, t(0, 2), "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = {(r.a, r.b): r for r in
+           session_cooccurrence(df, "user_id", "ts", "event_id",
+                                "event_type").collect()}
+    assert got[("click", "view")].n_ab == 2
+    assert got[("click", "view")].support == round(2 / 3, 6)
+    # lift(click,view) = (2*3)/(2*3) = 1.0
+    assert got[("click", "view")].lift == 1.0
+    # lift(buy,click) = (1*3)/(1*2) = 1.5
+    assert got[("buy", "click")].lift == 1.5
+    assert set(got) == {("click", "view"), ("buy", "click"), ("buy", "view")}

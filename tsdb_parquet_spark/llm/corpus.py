@@ -640,3 +640,50 @@ def psi_drift(
         F.round(F.sum(term), 6).alias("psi_term"),
     )
     return per_bin.unionByName(total)
+
+
+def length_quantile_bins(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    percents: tuple[int, ...] = (25, 50, 75),
+) -> DataFrame:
+    """Equi-depth length binning: global exact weighted-percentile
+    cutoffs over ``value_col`` (p25/p50/p75 by default), then per
+    (group, bin) membership counts and ranges — the length-curriculum /
+    packing-planner view ("which sources fill the long-document
+    buckets", "what batch shape does each quartile need").
+
+    Cutoffs come from ``operators.aggregates.weighted_percentile`` with
+    unit weights — the DISTINCT-VALUE pre-aggregated exact form (q119),
+    so the percentile pass is distributed (never one all-rows buffer,
+    the q32 trap) and the "smallest value whose cumulative count
+    reaches p%" definition is pure integer arithmetic, reproducible in
+    ANSI SQL with a running-sum window.  The cutoff row is ONE driver
+    row (bounded by len(percents)); bins are assigned map-side as
+    ``1 + sum(value > cutoff_i)`` — integers end to end.
+    """
+    from ..operators.aggregates import weighted_percentile
+
+    cuts_row = (
+        weighted_percentile(
+            df.select(F.col(value_col)).withColumn("_one", F.lit(1)),
+            value_col,
+            "_one",
+            list(percents),
+        )
+        .first()  # exactly one row: the global percentile vector
+    )
+    cuts = [cuts_row[f"p{p}"] for p in percents]
+    b = F.lit(1)
+    for c in cuts:
+        b = b + F.when(F.col(value_col) > F.lit(c), 1).otherwise(0)
+    return (
+        df.withColumn("bin", b)
+        .groupBy(group_col, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(value_col).alias("min_len"),
+            F.max(value_col).alias("max_len"),
+        )
+    )

@@ -702,3 +702,50 @@ def semdedup(
             F.col("_rk").alias("keep_rank"),
         )
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str | None = None,
+    prefix_chars: int | None = None,
+) -> DataFrame:
+    """Duplicate-cluster resolution with an explicit KEEP policy: for
+    every cluster of identical texts (byte-identical by default;
+    ``prefix_chars`` clusters on the first N characters instead — the
+    boilerplate/template-page case, where docs share a header and differ
+    in tails), keep the highest-``quality_col`` member (ties, and the
+    default no-quality mode, resolve to the lowest id — deterministic by
+    construction) and emit the REMAP TABLE ``(doc_id, keep_id,
+    cluster_size)`` for the dropped members — the artifact a pipeline
+    actually consumes (repoint references / build the drop list), where
+    q24 only reports the winners.
+
+    100 TB shape: one exchange on the text hash; both the keeper choice
+    (min/max_by over the cluster) and the cluster size are window
+    aggregates over that single partitioning, so the whole operator is
+    hash -> one shuffle -> two frame-less window aggs -> filter.  The
+    128-bit md5 makes hash collisions ignorable at corpus scale (and a
+    collision only ever GROUPS two distinct texts, never drops both:
+    the keeper is still a real member).
+    """
+    from pyspark.sql import Window
+
+    key = F.col(text_col)
+    if prefix_chars is not None:
+        key = F.substring(key, 1, prefix_chars)
+    d = df.withColumn("_h", F.md5(key))
+    w = Window.partitionBy("_h")
+    if quality_col is None:
+        keep = F.min(id_col).over(w)
+    else:
+        keep = F.min(
+            F.struct((-F.col(quality_col)).alias("_negq"), F.col(id_col))
+        ).over(w)[id_col]
+    return (
+        d.withColumn("keep_id", keep)
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .filter((F.col("cluster_size") >= 2) & (F.col(id_col) != F.col("keep_id")))
+        .select(id_col, "keep_id", "cluster_size")
+    )

@@ -601,3 +601,113 @@ def hashed_linear_score(
         F.round(logit, 6).alias("logit"),
         F.round(prob, 6).alias("quality_prob"),
     )
+
+
+def lexical_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group lexical profile: token count, vocabulary size, hapax
+    count (tokens occurring exactly once), type-token ratio, and the
+    share of the single most frequent token — the Zipf-shape corpus
+    diagnostics a data card reports next to q125's byte-level stats
+    (a collapsed TTR or an inflated top-token share flags boilerplate /
+    template corpora before they reach training).
+
+    Exactness: every statistic is an INTEGER aggregate (counts, a max,
+    a conditional count) with exactly two final divisions rounded to 6
+    — nothing order-dependent crosses an exchange.
+
+    100 TB shape: two hash aggregates — (group, token) counts with
+    map-side partial combine (the token explosion never crosses a
+    shuffle un-reduced), then the per-group rollup whose input is
+    already vocabulary-sized.  No windows, no driver state.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
+        lambda w: w != "",
+    )
+    tok = df.select(F.col(group_col), F.explode(toks).alias("_w"))
+    per_word = tok.groupBy(group_col, "_w").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        per_word.groupBy(group_col)
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).alias("hapax"),
+            F.max("_c").alias("_top"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "vocab",
+            "hapax",
+            F.round(F.col("vocab").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(F.col("_top").cast("double") / F.col("n_tokens"), 6).alias("top_share"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 15,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per group by TF-IDF, with groups as
+    the "documents": score(g, w) = tf(g, w) * ln(N_groups / groups(w))
+    — the keyword/topic fingerprint of each corpus slice (what
+    distinguishes a source's vocabulary from the others', the first
+    stop when a mixture's composition looks wrong).
+
+    Exactness: the IDF of each DISTINCT term is fixed-pointed ONCE to
+    integer ``round(ln(N/gdf) * unit)`` (the q104 discipline), so every
+    score is an integer product ``tf * idf_li`` — ranking and ties are
+    bit-stable across engines; the tiebreak is (score DESC, term ASC).
+
+    100 TB shape: one (group, term) hash aggregate with partial
+    combine; a term-keyed aggregate over THAT (vocabulary-sized input);
+    one vocabulary-sized equi-join on the term; then the per-group
+    top-k window over vocabulary-sized rows.  The window key is the
+    group — for few groups over a huge vocabulary this is the
+    documented low-cardinality window trap (SCALE.md §5g): pre-filter
+    with ``tf >= t`` or bucket terms first if |vocab|/|groups| explodes.
+    The group-count scalar is one driver int (bounded by definition).
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
+        lambda w: w != "",
+    )
+    tok = df.select(F.col(group_col), F.explode(toks).alias("term"))
+    tf = tok.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_groups = df.select(group_col).distinct().count()  # one driver int
+    gdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("gdf"))
+    idf = gdf.select(
+        "term",
+        "gdf",
+        F.round(F.log(F.lit(float(n_groups)) / F.col("gdf").cast("double")) * F.lit(unit))
+        .cast("bigint")
+        .alias("_idf_li"),
+    )
+    scored = tf.join(idf, "term").withColumn(
+        "score_units", F.col("tf") * F.col("_idf_li")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("score_units"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            group_col,
+            "rank",
+            "term",
+            "tf",
+            "gdf",
+            F.round(F.col("score_units").cast("double") / F.lit(unit), 6).alias("tfidf"),
+        )
+    )

@@ -111,3 +111,100 @@ def sessionize(
     return df.withColumn("_new_session", new_session).withColumn(
         session_alias, F.sum("_new_session").over(w)
     ).drop("_new_session")
+
+
+def session_cooccurrence(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    type_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Market-basket co-occurrence over inactivity sessions: for every
+    unordered pair of event types that appear in the SAME session,
+    the session count, support, and lift — the "what do users do
+    together" association view (which behaviors cluster in a visit),
+    built on :func:`sessionize`.
+
+    Exactness: support and lift are ratios of INTEGER session counts
+    (``lift = n_ab * N / (n_a * n_b)``, one rounded double division) —
+    no float crosses an exchange.
+
+    100 TB shape: sessionize's one user exchange; the (user, session)
+    distinct-type collapse REUSES that partitioning (grouping on a
+    superset of the partition keys — zero extra exchange under the
+    subset-co-partition rule); per-session type sets are bounded by the
+    type alphabet, so the HOF pair expansion is O(|types|^2) per
+    session, never row^2; pair/single counts are alphabet-sized
+    aggregates and the final lift join is a broadcast.  The session
+    total is ONE driver int.
+    """
+    s = sessionize(df, user_col, ts_col, tiebreak_col, gap_seconds)
+    # distinct sorted types per session; sort_array makes (a, b) with
+    # a < b canonical without a second pass
+    sess = s.groupBy(user_col, "session_id").agg(
+        F.sort_array(F.collect_set(type_col)).alias("_types")
+    )
+    sess = sess.persist()
+    try:
+        n_sessions = sess.count()  # one driver int
+        singles = (
+            sess.select(F.explode("_types").alias("a"))
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("n_a"))
+        )
+        # stage the array once (HOF staging rule, SCALE.md 5i), then
+        # expand ordered pairs (i < j) inside one flatten(transform(...))
+        pairs = sess.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "_types",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                "_types",
+                                i + F.lit(2),
+                                F.greatest(
+                                    F.size("_types") - i - 1, F.lit(0)
+                                ),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("a"), y.alias("b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_p")
+        ).select("_p.a", "_p.b")
+        pair_counts = pairs.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("n_ab")
+        )
+        sb = singles.select(
+            F.col("a").alias("b"), F.col("n_a").alias("n_b")
+        )
+        out = (
+            pair_counts.join(F.broadcast(singles), "a")
+            .join(F.broadcast(sb), "b")
+            .select(
+                "a",
+                "b",
+                "n_ab",
+                F.round(
+                    F.col("n_ab").cast("double") / F.lit(float(n_sessions)), 6
+                ).alias("support"),
+                F.round(
+                    (F.col("n_ab") * F.lit(n_sessions)).cast("double")
+                    / (F.col("n_a") * F.col("n_b")),
+                    6,
+                ).alias("lift"),
+            )
+        )
+        # alphabet-sized result: materialize before unpersisting the
+        # session table it depends on
+        rows = out.collect()
+    finally:
+        sess.unpersist()
+    return df.sparkSession.createDataFrame(
+        rows, "a string, b string, n_ab bigint, support double, lift double"
+    )
