@@ -108,15 +108,36 @@ def main() -> None:
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
                 )
             duck = {}
+            duck_timeouts: list[str] = []
+            # Watchdog: a SQL formulation can be asymptotically worse than
+            # the Spark one (q113's k x n scoring matrix is a numpy matmul
+            # on the Spark side, interpreted list ops in SQL — hours at
+            # sf10).  Interrupt the query at the cap and record the cap as
+            # a LOWER BOUND for DuckDB's time, flagged in duckdb_timeouts
+            # — understates the Spark win rather than wedging the run.
+            duck_cap = float(os.environ.get("SPARK_GRAFT_BENCH_DUCK_TIMEOUT", "600"))
+            import threading
+
             for name in bench_set:
                 try:
                     best = None
                     for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))):
+                        timer = threading.Timer(duck_cap, con.interrupt)
+                        timer.start()
                         t0 = time.time()
-                        # .arrow(): full result materialized in the driver,
-                        # columnar — the same consumption contract as the
-                        # Spark side's toArrow() (see below)
-                        con.execute(oracles[name]).arrow()
+                        try:
+                            # .arrow(): full result materialized in the
+                            # driver, columnar — the same consumption
+                            # contract as the Spark side's toArrow()
+                            con.execute(oracles[name]).arrow()
+                        except Exception:
+                            if time.time() - t0 >= duck_cap:  # interrupted
+                                best = duck_cap
+                                duck_timeouts.append(name)
+                                break
+                            raise
+                        finally:
+                            timer.cancel()
                         dt = time.time() - t0
                         best = dt if best is None or dt < best else best
                     duck[name] = round(best, 3)
@@ -214,6 +235,9 @@ def main() -> None:
 
     if duck is not None:
         out["duckdb_queries"] = duck
+        if duck_timeouts:
+            # these entries hold the cap value: LOWER bounds, not timings
+            out["duckdb_timeouts"] = sorted(set(duck_timeouts))
         dtotal = sum(v for v in duck.values() if v > 0)
         out["duckdb_total_sec"] = round(dtotal, 3)
         if dtotal > 0:
