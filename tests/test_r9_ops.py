@@ -167,3 +167,45 @@ def test_session_cooccurrence_support_and_lift(spark):
     # lift(buy,click) = (1*3)/(1*2) = 1.5
     assert got[("buy", "click")].lift == 1.5
     assert set(got) == {("click", "view"), ("buy", "click"), ("buy", "view")}
+
+
+def test_bigram_logprob_hand_corpus(spark):
+    from tsdb_parquet_spark.llm.text import bigram_logprob
+
+    # corpus bigrams: "a b" x2 (doc1), "b a" x1, "a b" (doc2) -> "a b":3?
+    # doc1: a b a b -> (a b),(b a),(a b); doc2: a b -> (a b)
+    # c("a b")=3, c("b a")=1; prefixes: a->3, b->1
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_logprob(docs, vocab_size=10).collect()}
+    li_ab = round(math.log(3 / 3) * 1e6)  # 0
+    li_ba = round(math.log(1 / 1) * 1e6)  # 0
+    assert got[1].n_bigrams == 3
+    assert got[1].sum_llu == 2 * li_ab + li_ba == 0
+    assert got[1].lp2_tok == 0.0
+    assert got[2].n_bigrams == 1
+    assert 3 not in got  # single-token doc: no bigrams, no row
+
+    # OOV floor: cap vocab to 1 -> "b a" scores the floor
+    got2 = {r.doc_id: r for r in bigram_logprob(docs, vocab_size=1).collect()}
+    assert got2[1].sum_llu == 2 * li_ab + (-15_000_000)
+
+
+def test_centroid_drift_geometry(spark):
+    from tsdb_parquet_spark.llm.similarity import centroid_drift
+
+    # group 0 along +x, group 1 along +y -> global centroid (0.5, 0.5);
+    # both groups at 45 degrees: cos = 1/sqrt(2)
+    rows = [(i, [1.0, 0.0], 0) for i in range(4)] + [
+        (10 + i, [0.0, 1.0], 1) for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r.label: r for r in centroid_drift(df).collect()}
+    assert got[0].n_vectors == 4 and got[1].n_vectors == 4
+    assert got[0].cos_to_global == round(1 / math.sqrt(2), 6)
+    assert got[1].cos_to_global == got[0].cos_to_global
+    assert got[0].centroid_norm == 1.0

@@ -401,3 +401,64 @@ def ivf_topk_at_rest(
         .orderBy(F.desc(sim_alias), id_col)
         .limit(k)
     )
+
+
+def centroid_drift(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Per-group embedding-space drift: the cosine between each group's
+    centroid and the GLOBAL centroid, plus the centroid's norm — the
+    embedding-space complement of q127's value-space PSI ("is segment
+    X's content systematically off-axis from the corpus", the first
+    check when a mixture or a scraped slice looks contaminated).
+
+    Exactness: per-dimension component sums are DECIMAL(28,9) casts
+    (deterministic float->decimal rounding both engines, convention D2)
+    summed exactly, so both centroids are bit-identical doubles after
+    one division; the final dot/norms fold over components in DIMENSION
+    ORDER via sorted-array left-folds (the q26 discipline), one rounded
+    output per group.
+
+    100 TB shape: one (group, dim) partial-combine aggregate over the
+    exploded components (the only full-data pass); the global centroid
+    re-aggregates the group STATE (groups x dims rows); everything
+    after is broadcast-sized.  No windows, no driver math.
+    """
+    pe = df.select(
+        F.col(group_col), F.posexplode(emb_col).alias("dim", "_x")
+    )
+    per = pe.groupBy(group_col, "dim").agg(
+        F.sum(F.col("_x").cast("decimal(28,9)")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    g = per.groupBy("dim").agg(
+        F.sum("_s").alias("_gs"), F.sum("_n").alias("_gn")
+    )
+    comp = per.join(F.broadcast(g), "dim").select(
+        group_col,
+        "dim",
+        (F.col("_s").cast("double") / F.col("_n")).alias("_m"),
+        (F.col("_gs").cast("double") / F.col("_gn")).alias("_gm"),
+        (F.col("_n")).alias("_n"),
+    )
+    arrs = comp.groupBy(group_col).agg(
+        F.sort_array(F.collect_list(F.struct("dim", "_m", "_gm"))).alias("_a"),
+        F.max("_n").alias("n_vectors"),
+    )
+    dot = F.aggregate(
+        "_a", F.lit(0.0), lambda acc, x: acc + x["_m"] * x["_gm"]
+    )
+    ns = F.sqrt(
+        F.aggregate("_a", F.lit(0.0), lambda acc, x: acc + x["_m"] * x["_m"])
+    )
+    ng = F.sqrt(
+        F.aggregate("_a", F.lit(0.0), lambda acc, x: acc + x["_gm"] * x["_gm"])
+    )
+    return arrs.select(
+        group_col,
+        "n_vectors",
+        F.round(dot / (ns * ng), 6).alias("cos_to_global"),
+        F.round(ns, 6).alias("centroid_norm"),
+    )

@@ -711,3 +711,96 @@ def tfidf_top_terms(
             F.round(F.col("score_units").cast("double") / F.lit(unit), 6).alias("tfidf"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 200,
+    oov_lp: float = -15.0,
+    unit: int = 1_000_000,
+    score_alias: str = "lp2_tok",
+) -> DataFrame:
+    """Per-document mean BIGRAM conditional log-probability — the next
+    rung of q104's unigram perplexity proxy: ``lp(w2|w1) =
+    ln(c(w1 w2) / c(w1 ·))`` where ``c(w1 ·)`` counts bigrams starting
+    with ``w1``, so the model conditions on the previous token (word
+    salad that passes a unigram filter fails here; a KenLM-grade model
+    slots in by the same shape one order up).
+
+    Exactness: q104's discipline verbatim — each of the top
+    ``vocab_size`` bigrams (by count DESC, bigram ASC) gets ONE
+    fixed-point integer score ``round(ln(cb/cp)*unit)``; per-document
+    sums are integer folds (order/partition-independent), OOV bigrams
+    take the fixed floor, one final division.  Documents with fewer
+    than 2 tokens produce no row (no bigrams to score).
+
+    100 TB shape: the bigram and prefix-count aggregates partial-combine
+    before their shuffles; the scored vocabulary is driver-bounded by
+    ``vocab_size`` and folds as a literal map over each doc's staged
+    bigram array — a pure map stage, no per-token shuffle.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
+        lambda w: w != "",
+    )
+    # stage the token array once (HOF staging rule), derive bigrams as
+    # "w1 w2" strings — portable to the SQL oracle
+    staged = df.select(F.col(id_col), toks.alias("_tk"))
+    n = F.size("_tk")
+    bigrams = F.zip_with(
+        F.slice("_tk", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("_tk", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = staged.select(F.col(id_col), bigrams.alias("_bg"))
+    pairs = bg.select(F.explode("_bg").alias("_b"))
+    cnt = pairs.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb")).persist()
+    try:
+        # prefix totals: bigrams sharing the first token
+        pref = (
+            cnt.withColumn("_w1", F.split("_b", " ")[0])
+            .groupBy("_w1")
+            .agg(F.sum("_cb").alias("_cp"))
+        )
+        top = (
+            cnt.withColumn("_w1", F.split("_b", " ")[0])
+            .join(pref, "_w1")
+            .orderBy(F.desc("_cb"), "_b")
+            .limit(vocab_size)
+            .select(
+                "_b",
+                F.round(
+                    F.log(F.col("_cb").cast("double") / F.col("_cp"))
+                    * F.lit(unit)
+                ).cast("bigint").alias("_li"),
+            )
+            .collect()  # <= vocab_size rows, driver-bounded by design
+        )
+    finally:
+        cnt.unpersist()
+    oov_li = int(round(oov_lp * unit))
+    lm_map = (
+        F.create_map(*[F.lit(x) for r in top for x in (r["_b"], r["_li"])])
+        if top else F.create_map()
+    )
+    score_sum = F.aggregate(
+        F.col("_bg"), F.lit(0).cast("bigint"),
+        lambda acc, b: acc + F.coalesce(lm_map[b], F.lit(oov_li)),
+    )
+    return (
+        bg.select(
+            F.col(id_col),
+            F.size("_bg").cast("long").alias("n_bigrams"),
+            score_sum.alias("sum_llu"),
+        )
+        .filter(F.col("n_bigrams") > 0)
+        .withColumn(
+            score_alias,
+            F.round(
+                F.col("sum_llu").cast("double") / F.col("n_bigrams")
+                / F.lit(unit), 6,
+            ),
+        )
+    )
