@@ -610,9 +610,12 @@ def semdedup(
         for r in base.orderBy("_rk", "_id").limit(k).collect()
     ]
 
-    if k > 32:
+    if k > 8:
         # numpy-batched assignment: one (batch x dim) @ (dim x k) matmul
-        # per Arrow batch — the only viable shape for thousand-centroid k
+        # per Arrow batch — the only viable shape for thousand-centroid k,
+        # and already the faster one for k in the tens: the literal plan
+        # is k x dim literals whose codegen alone costs seconds
+        # (measured 5.7 s at k=31/dim=64 vs sub-second numpy)
         import numpy as np
         import pandas as pd
 
