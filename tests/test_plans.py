@@ -412,3 +412,58 @@ def test_q116_linreg_one_aggregate_no_window(entry, spark):
     assert "Window" not in plan
     # partial + final hash aggregate over one exchange (+AQE reads)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q130_seasonal_baseline_broadcasts(entry, spark):
+    """The residual pass joins the tiny (type, hour) baseline via
+    BROADCAST — a shuffled join here would re-exchange the full events
+    table for a |types| x 24-row dimension."""
+    df = entry.q130_seasonal_anomalies(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q129_tfidf_two_aggs_one_topk_window(entry, spark):
+    """(source, term) aggregate partial-combines; ranking is a window,
+    not a global sort of the scored vocabulary."""
+    df = entry.q129_tfidf_topterms(spark, SF)
+    plan = plan_of(df)
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "row_number" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q133_keep_best_single_hash_exchange(entry, spark):
+    """One exchange on the text hash; keeper + size are window aggs over
+    that single partitioning."""
+    df = entry.q133_dedup_keep_best(spark, SF)
+    plan = plan_of(df)
+    # display orderBy adds a range exchange; exactly ONE hash exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q134_length_bins_no_global_sort_percentile(entry, spark):
+    """Cutoffs come from the distinct-value weighted-percentile form —
+    the plan must not buffer all rows in one percentile aggregate or
+    sort globally before binning."""
+    import __spark_entry__ as m
+    from tsdb_parquet_spark.llm.corpus import length_quantile_bins
+
+    docs = m._t(spark, SF, "documents")
+    df = length_quantile_bins(docs)  # un-sorted form: no display sort
+    plan = plan_of(df)
+    assert "percentile" not in plan.lower()  # no all-rows percentile agg
+    # the weighted-percentile pre-aggregate collapses rows per distinct
+    # value before any window
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_q137_centroid_drift_one_full_data_exchange(entry, spark):
+    """The only full-data pass is the (group, dim) aggregate; the global
+    centroid re-aggregates group STATE and joins back broadcast."""
+    df = entry.q137_centroid_drift(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan  # component sums combine map-side
