@@ -209,3 +209,17 @@ def test_centroid_drift_geometry(spark):
     assert got[0].cos_to_global == round(1 / math.sqrt(2), 6)
     assert got[1].cos_to_global == got[0].cos_to_global
     assert got[0].centroid_norm == 1.0
+
+
+def test_cli_r9_commands_smoke(spark, capsys):
+    from tsdb_parquet_spark.cli import main
+
+    main(["tfidf", "/root/testdata/sf0.001/documents.parquet",
+          "--k", "2", "--limit", "4"])
+    main(["lexstats", "/root/testdata/sf0.001/documents.parquet",
+          "--limit", "3"])
+    main(["keepbest", "/root/testdata/sf0.001/documents.parquet",
+          "--quality-col", "n_chars", "--prefix-chars", "100",
+          "--limit", "3"])
+    out = capsys.readouterr().out
+    assert "tfidf" in out and "ttr" in out and "dropped" in out

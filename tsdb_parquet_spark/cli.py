@@ -230,6 +230,36 @@ def main(argv: list[str] | None = None) -> None:
     p_sd.add_argument("--threshold", type=float, default=0.96)
     p_sd.add_argument("--limit", type=int, default=20)
 
+    p_tf = sub.add_parser(
+        "tfidf", help="per-group TF-IDF top terms over a documents table"
+    )
+    p_tf.add_argument("table")
+    p_tf.add_argument("--group-col", default="source")
+    p_tf.add_argument("--k", type=int, default=10)
+    p_tf.add_argument("--limit", type=int, default=40)
+
+    p_lx = sub.add_parser(
+        "lexstats", help="per-group lexical profile (vocab/hapax/TTR)"
+    )
+    p_lx.add_argument("table")
+    p_lx.add_argument("--group-col", default="source")
+    p_lx.add_argument("--limit", type=int, default=20)
+
+    p_se = sub.add_parser(
+        "seasonal", help="seasonal z-score anomalies over an events table"
+    )
+    p_se.add_argument("table")
+    p_se.add_argument("--z", type=float, default=3.0)
+    p_se.add_argument("--limit", type=int, default=20)
+
+    p_kb = sub.add_parser(
+        "keepbest", help="duplicate-cluster keep-policy remap table"
+    )
+    p_kb.add_argument("table")
+    p_kb.add_argument("--quality-col", default=None)
+    p_kb.add_argument("--prefix-chars", type=int, default=None)
+    p_kb.add_argument("--limit", type=int, default=20)
+
     p_e = sub.add_parser("explain", help="plan audit for a matcher query (plans/audit.py)")
     p_e.add_argument("table")
     p_e.add_argument("-m", "--matcher", action="append", default=[])
@@ -405,6 +435,48 @@ def main(argv: list[str] | None = None) -> None:
         )
         out.orderBy("cluster", "keep_rank").show(args.limit, truncate=False)
         print(f"({out.count()} survivors)")
+        return
+
+    if args.cmd == "tfidf":
+        from .llm.text import tfidf_top_terms
+
+        out = tfidf_top_terms(
+            spark.read.parquet(args.table), group_col=args.group_col, k=args.k
+        )
+        out.orderBy(args.group_col, "rank").show(args.limit, truncate=False)
+        return
+
+    if args.cmd == "lexstats":
+        from .llm.text import lexical_stats
+
+        lexical_stats(
+            spark.read.parquet(args.table), group_col=args.group_col
+        ).orderBy(args.group_col).show(args.limit, truncate=False)
+        return
+
+    if args.cmd == "seasonal":
+        from pyspark.sql import functions as _F
+
+        from .operators.seasonal import seasonal_anomalies
+
+        out = seasonal_anomalies(
+            spark.read.parquet(args.table), z_threshold=args.z
+        )
+        out.orderBy(_F.desc(_F.abs(_F.col("zscore")))).show(
+            args.limit, truncate=False
+        )
+        return
+
+    if args.cmd == "keepbest":
+        from .llm.dedup import dedup_keep_best
+
+        out = dedup_keep_best(
+            spark.read.parquet(args.table),
+            quality_col=args.quality_col,
+            prefix_chars=args.prefix_chars,
+        )
+        out.orderBy("doc_id").show(args.limit, truncate=False)
+        print(f"({out.count()} dropped)")
         return
 
     if args.cmd == "promql":
