@@ -670,10 +670,12 @@ def tfidf_top_terms(
     100 TB shape: one (group, term) hash aggregate with partial
     combine; a term-keyed aggregate over THAT (vocabulary-sized input);
     one vocabulary-sized equi-join on the term; then the per-group
-    top-k window over vocabulary-sized rows.  The window key is the
-    group — for few groups over a huge vocabulary this is the
-    documented low-cardinality window trap (SCALE.md §5g): pre-filter
-    with ``tf >= t`` or bucket terms first if |vocab|/|groups| explodes.
+    top-k.  The ``row_number() <= k`` filter plans as a Partial+Final
+    ``WindowGroupLimit`` (verified in the executed plan): every map
+    task keeps only its local top-k per group BEFORE the exchange, so
+    the few-groups-huge-vocabulary case ships O(tasks x k) rows, not
+    the vocabulary — the low-cardinality window trap (SCALE.md §5g)
+    does not bite rank-limit windows on this engine (SCALE.md §5j).
     The group-count scalar is one driver int (bounded by definition).
     """
     from pyspark.sql import Window
