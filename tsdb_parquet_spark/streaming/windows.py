@@ -262,8 +262,12 @@ def stream_interval_join(
         & (F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {interval}"))
     )
+    # coalesce: identical to l.key for inner/left_outer rows; carries the
+    # right key on a full_outer's unmatched-right rows
     return l.join(r, cond, how).select(
-        F.col(f"l.{key_col}").alias(key_col),
+        F.coalesce(
+            F.col(f"l.{key_col}"), F.col(f"r.{key_col}")
+        ).alias(key_col),
         F.col(f"l.{left_ts}").alias("l_ts"),
         F.col(f"r.{right_ts}").alias("r_ts"),
         F.col("l.event_id").alias("l_event"),
