@@ -223,3 +223,81 @@ def test_cli_r9_commands_smoke(spark, capsys):
           "--limit", "3"])
     out = capsys.readouterr().out
     assert "tfidf" in out and "ttr" in out and "dropped" in out
+
+
+def test_dedup_keep_best_invariants_property(spark):
+    """Property: for any corpus, (a) every emitted doc maps to a keeper
+    in ITS OWN text cluster, (b) keepers are never emitted (remap is
+    one-hop, acyclic), (c) cluster_size is the true cluster size, (d)
+    emitted rows = cluster_size - 1 per non-singleton cluster, (e) with
+    a quality column the keeper maximizes (quality, -id)."""
+    from collections import defaultdict
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tsdb_parquet_spark.llm.dedup import dedup_keep_best
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["t0", "t1", "t2", "t3"]),
+                      st.integers(0, 5)),
+            min_size=1, max_size=20,
+        )
+    )
+    def run(rows):
+        data = [(i, t, q) for i, (t, q) in enumerate(rows)]
+        df = spark.createDataFrame(
+            data, "doc_id long, text string, n_chars long")
+        got = {r.doc_id: r for r in
+               dedup_keep_best(df, quality_col="n_chars").collect()}
+        clusters = defaultdict(list)
+        for i, t, q in data:
+            clusters[t].append((i, q))
+        for t, members in clusters.items():
+            ids = {i for i, _ in members}
+            keeper = min(members, key=lambda m: (-m[1], m[0]))[0]
+            if len(members) == 1:
+                assert members[0][0] not in got
+                continue
+            for i in ids:
+                if i == keeper:
+                    assert i not in got  # (b)
+                else:
+                    assert got[i].keep_id == keeper  # (a), (e)
+                    assert got[i].cluster_size == len(members)  # (c)
+            assert sum(1 for i in ids if i in got) == len(members) - 1  # (d)
+
+    run()
+
+
+def test_length_bins_partition_property(spark):
+    """Property: bins partition the corpus (counts sum to total), bin
+    ids are contiguous from 1, and per-bin [min,max] ranges are
+    disjoint and ordered."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tsdb_parquet_spark.llm.corpus import length_quantile_bins
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.integers(0, 1000), min_size=4, max_size=40))
+    def run(lengths):
+        data = [(i, "s" if i % 2 else "t", v) for i, v in enumerate(lengths)]
+        df = spark.createDataFrame(
+            data, "doc_id long, source string, n_chars long")
+        got = length_quantile_bins(df).collect()
+        assert sum(r.n_docs for r in got) == len(lengths)
+        by_bin = {}
+        for r in got:
+            by_bin.setdefault(r.bin, []).append(r)
+        assert min(by_bin) >= 1 and max(by_bin) <= 4
+        spans = sorted(
+            (min(r.min_len for r in rs), max(r.max_len for r in rs))
+            for b, rs in sorted(by_bin.items())
+        )
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 < lo2  # disjoint, ordered value ranges
+
+    run()
