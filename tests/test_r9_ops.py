@@ -301,3 +301,31 @@ def test_length_bins_partition_property(spark):
             assert hi1 < lo2  # disjoint, ordered value ranges
 
     run()
+
+
+def test_semdedup_numpy_pairwise_matches_hof_path(spark):
+    """k > 8 switches BOTH assignment and the within-cluster pairwise
+    drop to numpy; on well-separated similarities (where a last-ulp
+    summation difference cannot flip the threshold) the survivor set
+    must match the literal/HOF path's semantics: planted near-identical
+    dups drop, separated vectors survive."""
+    from tsdb_parquet_spark.llm.dedup import semdedup
+
+    rows = []
+    for i in range(40):
+        v = [0.0] * 16
+        v[i % 16] = 1.0
+        v[(i * 5 + 3) % 16] = 0.5 if i % 3 else -0.5
+        rows.append((i, v))
+        if i % 4 == 0:
+            rows.append((100 + i, [x * 1.0001 for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ids = {r[0] for r in rows}
+    d8 = ids - {r.vec_id for r in semdedup(df, k=8, threshold=0.95).collect()}
+    d9 = ids - {r.vec_id for r in semdedup(df, k=9, threshold=0.95).collect()}
+    # same drops through the numpy assignment + numpy pairwise path
+    assert d8 == d9
+    # every planted dup dropped (its base is earlier by construction of
+    # the md5 rank in at least these cases -- one of the pair must go)
+    for i in range(0, 40, 4):
+        assert (100 + i in d8) or (i in d8)

@@ -681,6 +681,40 @@ def semdedup(
             "_id", "_emb", "_rk", "_cl"
         )
 
+    if k > 8:
+        # numpy per-cluster pairwise: one cluster-size^2 matmul per
+        # group replaces ~|cluster|^2/2 INTERPRETED HOF cosines per
+        # cluster (the production-k bottleneck: 6.3M 64-dim folds at
+        # sf10 ran minutes; the matmuls run seconds).  Same one-join
+        # relaxation: a member drops if ANY earlier-(rank, id)-ordered
+        # member reaches the threshold.  numpy summation order differs
+        # from the left-fold in the last ulp, so like assignment this
+        # path is capability-exact, not oracle-bit-exact — the k <= 8
+        # HOF path below stays the driver-verified one.
+        import numpy as np
+        import pandas as pd
+
+        def _survivors(pdf: pd.DataFrame) -> pd.DataFrame:
+            e = np.array(pdf["_emb"].tolist(), dtype=np.float64)
+            n = np.linalg.norm(e, axis=1, keepdims=True)
+            n[n == 0.0] = 1.0
+            e = e / n
+            order = np.lexsort((pdf["_id"].values, pdf["_rk"].values))
+            s = (e @ e.T)[np.ix_(order, order)]
+            drop_ordered = np.triu(s >= threshold, k=1).any(axis=0)
+            dropped = np.zeros(len(pdf), dtype=bool)
+            dropped[order] = drop_ordered
+            return pdf.loc[~dropped, ["_id", "_cl", "_rk"]]
+
+        out = assigned.groupBy("_cl").applyInPandas(
+            _survivors, schema=assigned.select("_id", "_cl", "_rk").schema
+        )
+        return out.select(
+            F.col("_id").alias(id_col),
+            F.col("_cl").alias("cluster"),
+            F.col("_rk").alias("keep_rank"),
+        )
+
     a, b = assigned.alias("a"), assigned.alias("b")
     from .similarity import cosine_cols
 
