@@ -350,37 +350,28 @@ def unigram_logprob(
         lm_items = None
     oov_li = int(round(oov_lp * unit))
 
-    if lm_df is None and len(lm_items) <= 10_000:
-        # small-vocab fast path: score as a LITERAL-MAP fold over the
-        # tokens array — a pure map stage, no explode, no shuffle (the
-        # doc_id shuffle of the join path carries every TOKEN row; this
-        # carries none).  Measured 2.2x at sf10 (SCALE.md 5g).
-        lm_map = F.create_map(
-            *[F.lit(x) for kv in lm_items for x in kv]
-        ) if lm_items else F.create_map()
-        score_sum = F.aggregate(
-            toks, F.lit(0).cast("bigint"),
-            lambda acc, w: acc + F.coalesce(lm_map[w], F.lit(oov_li)),
+    # Broadcast-join scoring — ALWAYS (r9 revision).  The former
+    # "small-vocab literal-map fold" path is gone: an ``F.aggregate``
+    # fold is INTERPRETED per element (no codegen), ~2 µs/token —
+    # measured ~55 s of scoring at 27M tokens at sf10 even with a
+    # 31-entry map, where this explode + broadcast-left-join +
+    # per-doc aggregate (whose shuffle partial-combines map-side to
+    # ~one row per document) scores in 11.8 s.  Zero-shuffle is not
+    # free when every element pays the interpreter: the §5i HOF
+    # staging rule's sharper corollary, SCALE.md §5k.
+    if lm_df is None:
+        lm_df = df.sparkSession.createDataFrame(
+            lm_items, "_w string, _li bigint"
         )
-        out = df.select(
-            F.col(id_col),
-            F.size(toks).cast("long").alias("n_tokens"),
-            score_sum.alias("sum_llu"),
-        ).filter(F.col("n_tokens") > 0)
-    else:
-        if lm_df is None:
-            lm_df = df.sparkSession.createDataFrame(
-                lm_items, "_w string, _li bigint"
-            )
-        li = F.coalesce(F.col("_li"), F.lit(oov_li))
-        out = (
-            tok.join(F.broadcast(lm_df), "_w", "left")
-            .groupBy(id_col)
-            .agg(
-                F.count(F.lit(1)).alias("n_tokens"),
-                F.sum(li).alias("sum_llu"),
-            )
+    li = F.coalesce(F.col("_li"), F.lit(oov_li))
+    out = (
+        tok.join(F.broadcast(lm_df), "_w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(li).alias("sum_llu"),
         )
+    )
     return out.withColumn(
         score_alias,
         F.round(
@@ -740,8 +731,11 @@ def bigram_logprob(
 
     100 TB shape: the bigram and prefix-count aggregates partial-combine
     before their shuffles; the scored vocabulary is driver-bounded by
-    ``vocab_size`` and folds as a literal map over each doc's staged
-    bigram array — a pure map stage, no per-token shuffle.
+    ``vocab_size``, broadcast, and scored via explode + left join +
+    per-doc aggregate whose shuffle partial-combines to ~one row per
+    document (the literal-map fold alternative linear-scans |vocab|
+    entries per bigram — measured ~200 s at sf10 vs ~20 s for this
+    shape; the q104 r9 cutoff lesson).
     """
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
@@ -783,21 +777,22 @@ def bigram_logprob(
     finally:
         cnt.unpersist()
     oov_li = int(round(oov_lp * unit))
-    lm_map = (
-        F.create_map(*[F.lit(x) for r in top for x in (r["_b"], r["_li"])])
-        if top else F.create_map()
+    # broadcast-join scoring (the q104 r9 lesson: a literal-map fold
+    # linear-scans |map| entries PER BIGRAM — ~200 s at 200 entries x
+    # 26.6M bigrams at sf10; the join's doc_id shuffle partial-combines
+    # to ~one row per doc map-side)
+    lm_df = df.sparkSession.createDataFrame(
+        [(r["_b"], r["_li"]) for r in top] or [], "_b string, _li bigint"
     )
-    score_sum = F.aggregate(
-        F.col("_bg"), F.lit(0).cast("bigint"),
-        lambda acc, b: acc + F.coalesce(lm_map[b], F.lit(oov_li)),
-    )
+    bgx = bg.select(F.col(id_col), F.explode("_bg").alias("_b"))
+    li = F.coalesce(F.col("_li"), F.lit(oov_li))
     return (
-        bg.select(
-            F.col(id_col),
-            F.size("_bg").cast("long").alias("n_bigrams"),
-            score_sum.alias("sum_llu"),
+        bgx.join(F.broadcast(lm_df), "_b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(li).alias("sum_llu"),
         )
-        .filter(F.col("n_bigrams") > 0)
         .withColumn(
             score_alias,
             F.round(
