@@ -713,6 +713,7 @@ def bigram_logprob(
     vocab_size: int = 200,
     oov_lp: float = -15.0,
     unit: int = 1_000_000,
+    lm_df: DataFrame | None = None,
     score_alias: str = "lp2_tok",
 ) -> DataFrame:
     """Per-document mean BIGRAM conditional log-probability — the next
@@ -751,6 +752,11 @@ def bigram_logprob(
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     bg = staged.select(F.col(id_col), bigrams.alias("_bg"))
+    if lm_df is not None:
+        # pre-built model (a KenLM-grade table, or this function's own
+        # build from another corpus slice): skip the build aggregates —
+        # the production build-once-score-many split, same as q104's
+        return _score_bigrams(bg, id_col, lm_df, oov_lp, unit, score_alias)
     pairs = bg.select(F.explode("_bg").alias("_b"))
     cnt = pairs.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb")).persist()
     try:
@@ -776,14 +782,25 @@ def bigram_logprob(
         )
     finally:
         cnt.unpersist()
-    oov_li = int(round(oov_lp * unit))
-    # broadcast-join scoring (the q104 r9 lesson: a literal-map fold
-    # linear-scans |map| entries PER BIGRAM — ~200 s at 200 entries x
-    # 26.6M bigrams at sf10; the join's doc_id shuffle partial-combines
-    # to ~one row per doc map-side)
     lm_df = df.sparkSession.createDataFrame(
         [(r["_b"], r["_li"]) for r in top] or [], "_b string, _li bigint"
     )
+    return _score_bigrams(bg, id_col, lm_df, oov_lp, unit, score_alias)
+
+
+def _score_bigrams(
+    bg: DataFrame,
+    id_col: str,
+    lm_df: DataFrame,
+    oov_lp: float,
+    unit: int,
+    score_alias: str,
+) -> DataFrame:
+    """Broadcast-join scoring (the q104 r9 lesson: a literal-map fold
+    linear-scans |map| entries PER BIGRAM — ~200 s at 200 entries x
+    26.6M bigrams at sf10; the join's doc_id shuffle partial-combines
+    to ~one row per doc map-side)."""
+    oov_li = int(round(oov_lp * unit))
     bgx = bg.select(F.col(id_col), F.explode("_bg").alias("_b"))
     li = F.coalesce(F.col("_li"), F.lit(oov_li))
     return (
