@@ -355,12 +355,14 @@ def test_late_r7_ops_plan_shapes(entry, spark):
     plan = plan_of(entry.q107_autocorr(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
-    # q104 (small-vocab fast path): the returned scoring plan is a PURE
-    # MAP STAGE — the LM was built eagerly; no exchange, no join, and
-    # every window the cusum family needs is absent here
+    # q104 (r9 revision): scoring is explode + BROADCAST left join with
+    # the eagerly-built LM + ONE doc_id hash aggregate — never a
+    # shuffled join, never an interpreted fold (SCALE.md §5k: the fold
+    # measured ~55 s vs 11.8 s at sf10)
     plan = plan_of(entry.q104_unigram_logprob(spark, SF))
-    assert "Exchange hashpartitioning" not in plan
-    assert "Join" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the doc agg
 
 
 def test_q112_bloom_probe_is_map_stage_then_broadcast_verify(entry, spark):
