@@ -329,3 +329,46 @@ def test_semdedup_numpy_pairwise_matches_hof_path(spark):
     # the md5 rank in at least these cases -- one of the pair must go)
     for i in range(0, 40, 4):
         assert (100 + i in d8) or (i in d8)
+
+
+def test_temperature_mixture_weights_math(spark):
+    from tsdb_parquet_spark.llm.corpus import temperature_mixture_weights
+
+    # sources with 80/20 token split, alpha=0.5 -> p ∝ sqrt(share)
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 80), "big"), (2, " ".join(["w"] * 20), "small")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in
+           temperature_mixture_weights(docs, alpha=0.5).collect()}
+    import math
+    pw_b, pw_s = math.sqrt(0.8), math.sqrt(0.2)
+    z = pw_b + pw_s
+    assert got["big"].n_tokens == 80
+    assert got["big"].natural_share == round(0.8, 9)
+    assert got["big"].p_temp == round(pw_b / z, 9)
+    assert got["small"].upsample == round((pw_s / z) / 0.2, 6)
+    # rare source boosted, common damped
+    assert got["small"].upsample > 1.0 > got["big"].upsample
+    # alpha=1 reproduces natural proportions
+    nat = {r.source: r for r in
+           temperature_mixture_weights(docs, alpha=1.0).collect()}
+    assert nat["big"].p_temp == nat["big"].natural_share
+
+
+def test_integrity_audit_counts_and_groups(spark):
+    from tsdb_parquet_spark.llm.corpus import integrity_audit
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (3, "b")], "k long, g string"
+    )
+    right = spark.createDataFrame([(2,), (3,), (9,)], "k long")
+    row = integrity_audit(left, right, "k", "k").first()
+    # key-level: duplicate left key 1 counts once
+    assert (row.matched, row.left_missing_right, row.right_orphans) == (2, 1, 1)
+
+    by_g = {r.g: r for r in
+            integrity_audit(left, right, "k", "k", group_col="g").collect()}
+    assert by_g["a"].matched == 1 and by_g["a"].left_missing_right == 1
+    assert by_g["b"].matched == 1
+    assert by_g["__orphan_right__"].right_orphans == 1

@@ -687,3 +687,88 @@ def length_quantile_bins(
             F.max(value_col).alias("max_len"),
         )
     )
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    alpha: float = 0.7,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled sampling weights per source: p_s ∝ (token
+    share)^alpha, renormalized — the multilingual/multi-corpus
+    up-sampling recipe (mBERT/XLM-R exponential smoothing; alpha=1
+    reproduces natural proportions, alpha→0 approaches uniform).  The
+    output feeds :func:`sample_mixture` as its ``weights`` dict after
+    scaling to epochs: ``weight_s = p_s / natural_share_s`` is also
+    emitted as ``upsample`` so rare sources' boost factors are explicit.
+
+    Exactness: token counts are integer aggregates; the power and the
+    two normalizing divisions are double expressions in ONE fixed
+    order, rounded at the edge — per-source rows, so cross-engine
+    float drift has no row-explosion surface.
+
+    100 TB shape: one (source) partial-combine count over the tokenized
+    stream (the only full-data pass), then source-count-sized
+    arithmetic; the normalizer is a window over source rows (tiny).
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
+        lambda w: w != "",
+    )
+    per = df.select(F.col(source_col), F.size(toks).alias("_n")).groupBy(
+        source_col
+    ).agg(F.sum("_n").alias("n_tokens"))
+    w_all = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_all)
+    pw = F.pow(share, F.lit(float(alpha)))
+    p = pw / F.sum(pw).over(w_all)
+    return per.select(
+        source_col,
+        "n_tokens",
+        F.round(share, 9).alias("natural_share"),
+        F.round(p, 9).alias("p_temp"),
+        F.round(p / share, 6).alias("upsample"),
+    )
+
+
+def integrity_audit(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Referential-integrity audit between two pipeline tables (docs vs
+    embeddings, events vs dims...): per optional group, how many left
+    keys have a right match, how many are missing, and how many right
+    keys are orphaned (no left) — the first check when a join silently
+    shrinks.  One full outer join on the key; counts are integer.
+
+    Semantics are KEY-level: both sides reduce to distinct keys first
+    (a fact table's repeated keys count once), so "matched" means "this
+    key exists on both sides".
+
+    100 TB shape: two distinct aggregates (partial-combining) + a single
+    equi full-outer join (shuffle on the key, AQE-skew-safe) into a
+    group-sized aggregate; no row survives the aggregate, so the
+    audit's output is metadata-sized.
+    """
+    l = left.select(
+        F.col(left_key).alias("_k"),
+        *([F.col(group_col).alias("_g")] if group_col else []),
+    ).distinct().withColumn("_l", F.lit(1))
+    r = (
+        right.select(F.col(right_key).alias("_k")).distinct()
+        .withColumn("_r", F.lit(1))
+    )
+    j = l.join(r, "_k", "full_outer")
+    keys = [F.coalesce(F.col("_g"), F.lit("__orphan_right__")).alias(group_col)] if group_col else []
+    agg = j.groupBy(*keys).agg(
+        F.sum(F.when(F.col("_l").isNotNull() & F.col("_r").isNotNull(), 1).otherwise(0)).alias("matched"),
+        F.sum(F.when(F.col("_l").isNotNull() & F.col("_r").isNull(), 1).otherwise(0)).alias("left_missing_right"),
+        F.sum(F.when(F.col("_l").isNull(), 1).otherwise(0)).alias("right_orphans"),
+    )
+    return agg
