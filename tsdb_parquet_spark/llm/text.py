@@ -646,6 +646,7 @@ def tfidf_top_terms(
     group_col: str = "source",
     k: int = 15,
     unit: int = 1_000_000,
+    tf_df: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` characteristic terms per group by TF-IDF, with groups as
     the "documents": score(g, w) = tf(g, w) * ln(N_groups / groups(w))
@@ -675,9 +676,19 @@ def tfidf_top_terms(
         F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
         lambda w: w != "",
     )
-    tok = df.select(F.col(group_col), F.explode(toks).alias("term"))
-    tf = tok.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_groups = df.select(group_col).distinct().count()  # one driver int
+    if tf_df is not None:
+        # pre-aggregated (group, term, tf) table — the at-rest path
+        # (q129_mv): every pass after the counts is vocabulary-sized,
+        # so a materialized token-count table turns repeated lexical
+        # queries into sub-second reads
+        tf = tf_df
+        n_groups = tf.select(group_col).distinct().count()
+    else:
+        tok = df.select(F.col(group_col), F.explode(toks).alias("term"))
+        tf = tok.groupBy(group_col, "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        n_groups = df.select(group_col).distinct().count()  # one driver int
     gdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("gdf"))
     idf = gdf.select(
         "term",
