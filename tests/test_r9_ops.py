@@ -372,3 +372,29 @@ def test_integrity_audit_counts_and_groups(spark):
     assert by_g["a"].matched == 1 and by_g["a"].left_missing_right == 1
     assert by_g["b"].matched == 1
     assert by_g["__orphan_right__"].right_orphans == 1
+
+
+def test_trailing_window_distinct_hand_days(spark):
+    from datetime import datetime
+
+    from tsdb_parquet_spark.operators.aggregates import (
+        trailing_window_distinct,
+    )
+
+    def t(day):
+        return datetime(2024, 1, 1 + day)
+
+    # users: u1 active day 0, u2 day 0+2, u3 day 9
+    rows = [(1, t(0)), (2, t(0)), (2, t(2)), (3, t(9))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r.day_num: r.active for r in
+           trailing_window_distinct(df, "user_id", "ts", 3).collect()}
+    base = min(got)  # epoch day of 2024-01-01
+    # window 3: day0 {u1,u2}=2; day1 {u1,u2}=2; day2 {u1,u2}=2 (u2 re-
+    # active); day3 {u2}=1 (u1's day-0 aged out); day4 {u2}=1; day 9 {u3}
+    assert got[base] == 2 and got[base + 1] == 2 and got[base + 2] == 2
+    assert got[base + 3] == 1 and got[base + 4] == 1
+    assert got[base + 9] == 1
+    # trimmed: no day past the observed max, no empty days invented
+    assert max(got) == base + 9
+    assert base + 5 not in got and base + 8 not in got

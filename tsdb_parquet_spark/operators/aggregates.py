@@ -354,3 +354,52 @@ def latest_by_key(
         ).alias("_lk")
     )
     return out.select(*keys, *[F.col(f"_lk.{c}").alias(c) for c in payload])
+
+
+def trailing_window_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_days: int = 7,
+    day_alias: str = "day_num",
+    out_alias: str = "active",
+) -> DataFrame:
+    """Rolling N-day distinct keys per day (trailing WAU/MAU): for each
+    epoch-day D, how many distinct keys appeared in [D-N+1, D] — the
+    retention dashboard's rolling-active-users curve.
+
+    The naive forms both fail at scale: a per-day self-join re-scans N
+    days per day, and an exact distinct over a sliding RANGE window
+    buffers per-partition key sets.  This is the CREDIT-FORWARD form:
+    collapse to distinct (key, day) pairs (one partial-combining
+    aggregate), credit each pair to the N trailing window-ends it
+    participates in (a bounded ``sequence`` explode — x N rows of two
+    integers, map-side), and count distinct keys per window-end (the
+    distinct is exact; rows entering it are already (key, day)-unique
+    per window, so it is a plain count after the second collapse).
+    Cost is linear in activity x N with no window state.  Days past the
+    observed maximum (incomplete trailing windows) are trimmed via one
+    driver int.
+
+    Day boundaries are UTC epoch days (integer ``floor(epoch/86400)``)
+    — engine-portable, no calendar/timezone surface.
+    """
+    day = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)).cast(
+        "bigint"
+    )
+    ud = df.select(F.col(key_col).alias("_k"), day.alias("_d")).distinct()
+    max_day = ud.agg(F.max("_d")).first()[0]  # one driver int
+    if max_day is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{day_alias} bigint, {out_alias} bigint"
+        )
+    credited = ud.select(
+        "_k",
+        F.explode(
+            F.sequence(F.col("_d"), F.col("_d") + F.lit(window_days - 1))
+        ).alias(day_alias),
+    ).filter(F.col(day_alias) <= F.lit(int(max_day)))
+    return (
+        credited.groupBy(day_alias)
+        .agg(F.count_distinct(F.col("_k")).alias(out_alias))
+    )
