@@ -398,3 +398,23 @@ def test_trailing_window_distinct_hand_days(spark):
     # trimmed: no day past the observed max, no empty days invented
     assert max(got) == base + 9
     assert base + 5 not in got and base + 8 not in got
+
+
+def test_source_vocab_overlap_jaccard(spark):
+    from tsdb_parquet_spark.llm.text import source_vocab_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),
+            (2, "b c d", "s2"),
+            (3, "x y", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {(r.src_a, r.src_b): r for r in source_vocab_overlap(docs).collect()}
+    # s1={a,b,c}, s2={b,c,d}: shared 2, union 4 -> jaccard 0.5
+    r12 = got[("s1", "s2")]
+    assert (r12.shared_terms, r12.vocab_a, r12.vocab_b) == (2, 3, 3)
+    assert r12.jaccard == 0.5
+    # disjoint pairs produce NO row (inner join on shared terms)
+    assert ("s1", "s3") not in got and ("s2", "s3") not in got

@@ -829,3 +829,60 @@ def _score_bigrams(
             ),
         )
     )
+
+
+def source_vocab_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise lexical overlap between corpus slices: for every group
+    pair (a < b), the shared-vocabulary count and Jaccard similarity of
+    their token SETS — the corpus-level near-duplicate signal (two
+    "different" sources scraping the same site show up here long before
+    doc-level dedup runs), the slice-granular complement of q132's
+    per-source profile.
+
+    100 TB shape: collapse to distinct (group, term) rows (one
+    partial-combining aggregate, vocabulary-sized output), then a
+    term-keyed self-join whose per-term expansion is bounded by the
+    GROUP alphabet (≤ |groups| rows per term, never corpus rows) into a
+    |groups|²-sized aggregate; set sizes broadcast back.  All counts
+    integer; one rounded division.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
+        lambda w: w != "",
+    )
+    pv = df.select(
+        F.col(group_col).alias("_g"), F.explode(toks).alias("_t")
+    ).distinct()
+    sizes = pv.groupBy("_g").agg(F.count(F.lit(1)).alias("_v"))
+    a, b = pv.alias("a"), pv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._g") < F.col("b._g")),
+        )
+        .groupBy(F.col("a._g").alias("src_a"), F.col("b._g").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("shared_terms"))
+    )
+    sa = sizes.select(F.col("_g").alias("src_a"), F.col("_v").alias("vocab_a"))
+    sb = sizes.select(F.col("_g").alias("src_b"), F.col("_v").alias("vocab_b"))
+    return (
+        shared.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_terms",
+            "vocab_a",
+            "vocab_b",
+            F.round(
+                F.col("shared_terms").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("shared_terms")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
