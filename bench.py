@@ -122,23 +122,42 @@ def main() -> None:
                 try:
                     best = None
                     for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))):
-                        timer = threading.Timer(duck_cap, con.interrupt)
+                        # explicit flag set by the timer callback BEFORE it
+                        # interrupts: a query finishing just under the cap
+                        # is never misread as a timeout, and a genuine
+                        # error surfacing after duck_cap elapsed is raised
+                        # as an error, not recorded as a lower bound.  The
+                        # flag also guards the interrupt itself so a
+                        # completed query is never poisoned for the NEXT
+                        # execution by a late interrupt.
+                        state = {"timed_out": False, "done": False}
+                        state_lock = threading.Lock()
+
+                        def _fire(s=state, lk=state_lock):
+                            with lk:
+                                if not s["done"]:
+                                    s["timed_out"] = True
+                                    con.interrupt()
+
+                        timer = threading.Timer(duck_cap, _fire)
                         timer.start()
-                        t0 = time.time()
                         try:
                             # .arrow(): full result materialized in the
                             # driver, columnar — the same consumption
                             # contract as the Spark side's toArrow()
+                            t0 = time.time()
                             con.execute(oracles[name]).arrow()
+                            dt = time.time() - t0
                         except Exception:
-                            if time.time() - t0 >= duck_cap:  # interrupted
+                            if state["timed_out"]:
                                 best = duck_cap
                                 duck_timeouts.append(name)
                                 break
                             raise
                         finally:
+                            with state_lock:
+                                state["done"] = True
                             timer.cancel()
-                        dt = time.time() - t0
                         best = dt if best is None or dt < best else best
                     duck[name] = round(best, 3)
                 except Exception as e:  # noqa: BLE001
@@ -167,6 +186,15 @@ def main() -> None:
             # constant that amortizes to zero at real scale.
             best = None
             for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))):
+                # operators that persist() an intermediate (q136's shared
+                # bigram rows) register it in the CacheManager keyed by
+                # canonical plan — a later rep with the identical plan
+                # would silently serve from cache and report a fully-warm
+                # number DuckDB never gets.  Clear between reps so min-of-
+                # reps measures codegen-warm, data-cold, like every other
+                # query (declared at-rest twins read parquet tables, not
+                # session cache — unaffected).
+                spark.catalog.clearCache()
                 t0 = time.time()
                 tbl = fn(spark, sf_dir).toArrow()
                 dt = time.time() - t0
@@ -194,6 +222,7 @@ def main() -> None:
     # (scheduling gaps overlap — the cluster-realistic number).
     from concurrent.futures import ThreadPoolExecutor
 
+    spark.catalog.clearCache()  # no carry-over from the serial phase
     t0 = time.time()
     with ThreadPoolExecutor(max_workers=8) as pool:
         futs = [pool.submit(lambda f=fn: f(spark, sf_dir).toArrow())

@@ -10,7 +10,8 @@ heavy-hitter skew on stopwords is absorbed by partial aggregation).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword seeds for the n-gram/stopword heuristic.
@@ -741,35 +742,51 @@ def bigram_logprob(
     take the fixed floor, one final division.  Documents with fewer
     than 2 tokens produce no row (no bigrams to score).
 
-    100 TB shape: the bigram and prefix-count aggregates partial-combine
-    before their shuffles; the scored vocabulary is driver-bounded by
-    ``vocab_size``, broadcast, and scored via explode + left join +
-    per-doc aggregate whose shuffle partial-combines to ~one row per
-    document (the literal-map fold alternative linear-scans |vocab|
-    entries per bigram — measured ~200 s at sf10 vs ~20 s for this
-    shape; the q104 r9 cutoff lesson).
+    100 TB shape: bigram ROWS are constructed codegen-side — posexplode
+    the token array with position, ``lead(token)`` over (doc, pos) —
+    instead of an interpreted ``zip_with(slice, slice)`` array HOF
+    (Spark's array higher-order functions never enter whole-stage
+    codegen; the HOF form cost ~19 s/pass at sf10 and ran TWICE, once
+    for the LM-count pass and once for scoring).  The constructed rows
+    are persisted and shared by both passes, and the window's
+    (doc)-hash exchange is REUSED by the scoring aggregate's
+    groupBy(doc) — measured 45.2 s → 19.3 s at sf10 (A/B, r10; the
+    unpersisted lead form is 46 s, so the persist is what converts the
+    window exchange from a cost into an amortized asset).  The count
+    aggregates partial-combine; the scored vocabulary is
+    driver-bounded by ``vocab_size`` and broadcast (the literal-map
+    fold alternative linear-scans |vocab| entries per bigram —
+    measured ~200 s at sf10; the q104 r9 cutoff lesson).
     """
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
         lambda w: w != "",
     )
-    # stage the token array once (HOF staging rule), derive bigrams as
-    # "w1 w2" strings — portable to the SQL oracle
-    staged = df.select(F.col(id_col), toks.alias("_tk"))
-    n = F.size("_tk")
-    bigrams = F.zip_with(
-        F.slice("_tk", 1, F.greatest(n - 1, F.lit(0))),
-        F.slice("_tk", 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
+    # codegen'd bigram rows: token rows with array position, next token
+    # via lead() over (doc, pos) — "w1 w2" strings, portable to the
+    # SQL oracle.  Last token of each doc has null lead -> filtered, so
+    # docs with <2 tokens contribute no bigram rows (and no output row).
+    tok_rows = df.select(
+        F.col(id_col), F.posexplode(toks).alias("_pos", "_w")
     )
-    bg = staged.select(F.col(id_col), bigrams.alias("_bg"))
+    w_next = Window.partitionBy(id_col).orderBy("_pos")
+    bgx = (
+        tok_rows.withColumn("_w2", F.lead("_w").over(w_next))
+        .filter(F.col("_w2").isNotNull())
+        .select(F.col(id_col), F.concat("_w", F.lit(" "), "_w2").alias("_b"))
+    )
     if lm_df is not None:
         # pre-built model (a KenLM-grade table, or this function's own
         # build from another corpus slice): skip the build aggregates —
-        # the production build-once-score-many split, same as q104's
-        return _score_bigrams(bg, id_col, lm_df, oov_lp, unit, score_alias)
-    pairs = bg.select(F.explode("_bg").alias("_b"))
-    cnt = pairs.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb")).persist()
+        # the production build-once-score-many split, same as q104's.
+        # Single pass, so no persist.
+        return _score_bigrams(bgx, id_col, lm_df, oov_lp, unit, score_alias)
+    # two passes (LM build + scoring) share the constructed rows; the
+    # ContextCleaner unpersists when the returned plan is GC'd, and a
+    # cache-evicted partition recomputes from lineage, so lazy callers
+    # stay correct either way.
+    bgx = bgx.persist(StorageLevel.MEMORY_AND_DISK)
+    cnt = bgx.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb")).persist()
     try:
         # prefix totals: bigrams sharing the first token
         pref = (
@@ -796,23 +813,23 @@ def bigram_logprob(
     lm_df = df.sparkSession.createDataFrame(
         [(r["_b"], r["_li"]) for r in top] or [], "_b string, _li bigint"
     )
-    return _score_bigrams(bg, id_col, lm_df, oov_lp, unit, score_alias)
+    return _score_bigrams(bgx, id_col, lm_df, oov_lp, unit, score_alias)
 
 
 def _score_bigrams(
-    bg: DataFrame,
+    bgx: DataFrame,
     id_col: str,
     lm_df: DataFrame,
     oov_lp: float,
     unit: int,
     score_alias: str,
 ) -> DataFrame:
-    """Broadcast-join scoring (the q104 r9 lesson: a literal-map fold
-    linear-scans |map| entries PER BIGRAM — ~200 s at 200 entries x
-    26.6M bigrams at sf10; the join's doc_id shuffle partial-combines
-    to ~one row per doc map-side)."""
+    """Broadcast-join scoring over (id, bigram) ROWS (the q104 r9
+    lesson: a literal-map fold linear-scans |map| entries PER BIGRAM —
+    ~200 s at 200 entries x 26.6M bigrams at sf10; the join's doc_id
+    shuffle partial-combines to ~one row per doc map-side, and when
+    the rows came from the lead() window it reuses that exchange)."""
     oov_li = int(round(oov_lp * unit))
-    bgx = bg.select(F.col(id_col), F.explode("_bg").alias("_b"))
     li = F.coalesce(F.col("_li"), F.lit(oov_li))
     return (
         bgx.join(F.broadcast(lm_df), "_b", "left")
