@@ -138,6 +138,30 @@ def test_lsh_ann_returns_plausible_topk(spark):
     assert 7 in got  # the planted neighbor collides in the query's bucket
 
 
+def test_ivf_full_probe_equals_exact_topk(spark):
+    # probing EVERY cell makes IVF exhaustive: whatever the distributed
+    # k-means produced, the union of all cells is the whole table, so the
+    # rerank must equal exact cosine top-k — a centroid-quality-free
+    # correctness gate on the train->assign->probe->rerank plumbing.
+    rng = np.random.RandomState(5)
+    vecs = rng.standard_normal((80, 8)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = [float(x) for x in vecs[11]]
+    approx = [tuple(r) for r in llm.ivf_topk(
+        df, q, k=5, num_centroids=4, nprobe=4, sample_fraction=1.0
+    ).collect()]
+    exact = [tuple(r) for r in llm.cosine_topk_exact(df, q, k=5).collect()]
+    assert approx == exact
+    # and a partial probe still finds the query vector itself
+    part = [r["vec_id"] for r in llm.ivf_topk(
+        df, q, k=5, num_centroids=4, nprobe=1, sample_fraction=1.0
+    ).collect()]
+    assert 11 in part
+
+
 def test_text_quality_features(spark):
     df = spark.createDataFrame([(0, "The cat, the hat!")], "doc_id long, text string")
     r = llm.text_quality(df).collect()[0]

@@ -212,25 +212,36 @@ def _train_centroids(
     seed: int,
     sample_fraction: float,
 ) -> np.ndarray:
-    """Lloyd k-means on a bounded driver-side sample (capped at
-    ``num_centroids * 64`` rows — a metadata-sized hop at any data
-    scale).  The operator contract is the partition layout, not cluster
-    quality; swap in pyspark.ml KMeans for production centroids."""
-    sample = np.array(
-        df.select(emb_col).sample(fraction=min(1.0, sample_fraction), seed=seed)
-        .limit(num_centroids * 64).collect()
-    ).reshape(-1, dim).astype(np.float64)
-    rng = np.random.RandomState(seed)
-    idx = rng.choice(len(sample), size=min(num_centroids, len(sample)), replace=False)
-    centroids = sample[idx]
-    for _ in range(5):  # a few Lloyd iterations on the sample
-        d = sample @ centroids.T
-        assign = d.argmax(axis=1)
-        for c in range(len(centroids)):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-    return centroids
+    """DISTRIBUTED k-means over the full vector table —
+    ``pyspark.ml.clustering.KMeans`` (k-means|| init, deterministic
+    seed).  No ``collect()`` of raw vectors anywhere in the training
+    path: the executors hold the data, the driver only receives the
+    ``k`` centroid vectors (metadata-sized at any data scale).  This
+    replaces the r1–r9 driver-side Lloyd-on-a-sample, whose
+    ``limit(k*64)`` sample stops being representative at 100 TB and
+    whose O(sample × k) numpy loop ran on the driver.
+
+    ``sample_fraction < 1`` still bounds the TRAINING cost (a
+    distributed ``df.sample`` — uniform per-partition, never
+    driver-side) while the assignment downstream always covers every
+    row; centroid stability across sessions is owned by
+    :func:`ensure_ivf_layout`'s persisted ``*_centroids`` table, not by
+    retraining determinism."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df
+    if sample_fraction < 1.0:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    vecs = train.select(
+        array_to_vector(F.col(emb_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=num_centroids, seed=seed, maxIter=10, initMode="k-means||"
+    ).fit(vecs)
+    return np.array(
+        [np.asarray(c) for c in model.clusterCenters()], dtype=np.float64
+    ).reshape(-1, dim)
 
 
 def _cell_assignment(centroids: np.ndarray, emb_col: str) -> Column:
