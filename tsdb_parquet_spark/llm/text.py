@@ -147,11 +147,18 @@ def doc_fingerprint(
     text_col: str = "text",
     fp_alias: str = "fingerprint",
 ) -> DataFrame:
-    """Deterministic 64-bit document fingerprint over normalized text
+    """Deterministic 60-bit document fingerprint over normalized text
     (lowercase, collapsed whitespace) — the cheap key for exact-dup joins
-    and incremental-ingest change detection."""
+    and incremental-ingest change detection.
+
+    The digest is the sampling family's md5-prefix convention (15 hex
+    chars → bigint) rather than ``xxhash64``: identical quality for a
+    join/change-detection key, but ENGINE-PORTABLE — any system with md5
+    reproduces it bit-exactly (the DuckDB oracle does), where xxhash64's
+    seed/variant is Spark-specific.  Pure map stage, no shuffle."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    return df.select(F.col(id_col), F.xxhash64(norm).alias(fp_alias))
+    fp = F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint")
+    return df.select(F.col(id_col), fp.alias(fp_alias))
 
 
 # Rolling-hash parameters: Mersenne modulus keeps acc < 2^31, so
