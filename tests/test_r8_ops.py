@@ -455,6 +455,58 @@ def test_upsert_sink_rewrites_only_dirty_buckets(spark, tmp_path):
     assert view[7] == "v2_7" and view[6] == "v1_6" and len(view) == 64
 
 
+def test_upsert_sink_recovers_every_crash_window(spark, tmp_path):
+    """Each sequence point of the staged swap, induced by hand, must be
+    repaired by _recover + an idempotent batch replay — the durability
+    contract that replaced r9's dynamic-partition-overwrite (whose
+    delete/rename window lost a bucket's untouched keys for good)."""
+    import glob
+    import os
+    import shutil
+
+    from tsdb_parquet_spark.streaming.upsert import (
+        read_upsert_view,
+        upsert_latest_sink,
+    )
+
+    path = str(tmp_path / "view")
+    sink = upsert_latest_sink(path, ["k"], "ver", "payload", n_buckets=4)
+    base = spark.createDataFrame(
+        [(i, 1, f"v1_{i}") for i in range(32)], "k long, ver long, payload string"
+    )
+    sink(base, 0)
+    want = {r["k"]: r["payload"] for r in read_upsert_view(spark, path).collect()}
+    upd = spark.createDataFrame([(3, 2, "v2_3")], "k long, ver long, payload string")
+
+    buckets = sorted(glob.glob(os.path.join(path, "__kb=*")))
+
+    # window 1: crash after staging written, before any swap — stale
+    # staging must be dropped, live view intact
+    shutil.copytree(buckets[0], os.path.join(path, ".staging", os.path.basename(buckets[0])))
+    assert {r["k"]: r["payload"] for r in read_upsert_view(spark, path).collect()} == want
+    assert not os.path.exists(os.path.join(path, ".staging"))
+
+    # window 2: crash between live->bak and staged->live (live missing):
+    # the bak must roll BACK so no key in that bucket is lost
+    b0 = os.path.basename(buckets[0])
+    os.rename(buckets[0], os.path.join(path, "." + b0 + ".__bak"))
+    assert {r["k"]: r["payload"] for r in read_upsert_view(spark, path).collect()} == want
+    assert os.path.isdir(buckets[0])
+
+    # window 3: crash after staged->live, before bak delete (both exist):
+    # bak is the OLD data and must be discarded, live kept
+    shutil.copytree(buckets[0], os.path.join(path, "." + b0 + ".__bak"))
+    assert {r["k"]: r["payload"] for r in read_upsert_view(spark, path).collect()} == want
+    assert not os.path.exists(os.path.join(path, "." + b0 + ".__bak"))
+
+    # and the replay after any repair converges: apply the update twice
+    sink(upd, 1)
+    sink(upd, 1)
+    got = {r["k"]: r["payload"] for r in read_upsert_view(spark, path).collect()}
+    want[3] = "v2_3"
+    assert got == want
+
+
 def test_weighted_percentile_property_vs_python(spark):
     from tsdb_parquet_spark.operators.aggregates import weighted_percentile
 

@@ -38,15 +38,31 @@ Per-batch cost is O(|batch| + |touched buckets|), independent of total
 view size: the property that keeps a 100 TB current view maintainable
 under continuous ingest.  Size ``n_buckets`` so one bucket ≈ a few GB
 at the target scale (thousands of buckets at 100 TB; the default 32
-suits tests).  Dynamic overwrite commits per-partition rather than
-atomically across buckets, so a crash mid-commit can leave a batch
-half-applied — the idempotent merge makes the post-recovery replay of
-that batch converge to the same state (same reasoning Iceberg/Delta
-MERGE would give; the merge algebra is identical).
+suits tests).
+
+DURABILITY — per-bucket STAGED SWAP with rollback (r10; replaces the
+r9 dynamic-partition-overwrite commit, whose delete-then-rename window
+could permanently lose a bucket's untouched keys if the writer died
+between the two): each batch writes its merged buckets to a hidden
+``.staging`` dir under the view path, then per touched bucket
+(1) renames the live bucket dir to a hidden ``.__bak``,
+(2) renames the staged dir into place (one atomic FS rename), and
+(3) deletes the ``.__bak``.  No sequence point ever has a bucket's old
+data deleted without the new data already in place, so every crash
+window is repairable: ``_recover`` (run at the start of every merge
+and of every :func:`read_upsert_view`) rolls a dangling ``.__bak``
+back if the live dir is missing, discards it if the live dir exists
+(the swap had completed), and clears any leftover staging — after
+which the idempotent merge makes the checkpoint's replay of the
+interrupted batch converge to the same state.  A transactional table
+format (Delta/Iceberg) gives the same guarantee via a manifest commit
+instead of renames; use one where available — this sink needs only a
+filesystem with atomic directory rename (HDFS, local; NOT bare S3 —
+front it with a manifest-committing format there).
 
 SINGLE WRITER per view path (Structured Streaming guarantees one
 foreachBatch at a time per query); concurrent readers see the old
-files until the per-partition commit swaps them.
+files until the per-bucket rename swaps them.
 """
 
 from __future__ import annotations
@@ -55,6 +71,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _BUCKET_COL = "__kb"
+_STAGING = ".staging"
+_BAK_SUFFIX = ".__bak"
 
 
 def _with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
@@ -66,8 +84,50 @@ def _with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
     )
 
 
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(conf)
+
+
+def _hpath(jvm, *parts: str):
+    return jvm.org.apache.hadoop.fs.Path("/".join(parts))
+
+
+def _rename_or_die(fs, src, dst) -> None:
+    if not fs.rename(src, dst):  # Hadoop rename reports failure as False
+        raise IOError(f"upsert swap: rename {src} -> {dst} failed")
+
+
+def _recover(spark: SparkSession, path: str) -> None:
+    """Repair any interrupted swap before touching the view: a dangling
+    ``.__kb=K.__bak`` rolls BACK to live if the live dir is missing
+    (crash between the two renames) and is discarded if live exists
+    (the staged dir had already swapped in); leftover staging is
+    dropped — the checkpoint's batch replay then re-derives it."""
+    jvm, fs = _fs(spark, path)
+    root = _hpath(jvm, path)
+    if not fs.exists(root):
+        return
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("." + _BUCKET_COL + "=") and name.endswith(_BAK_SUFFIX):
+            live = _hpath(jvm, path, name[1:-len(_BAK_SUFFIX)])
+            if fs.exists(live):
+                fs.delete(st.getPath(), True)  # roll forward: swap completed
+            else:
+                _rename_or_die(fs, st.getPath(), live)  # roll back old data
+    staging = _hpath(jvm, path, _STAGING)
+    if fs.exists(staging):
+        fs.delete(staging, True)
+
+
 def read_upsert_view(spark: SparkSession, path: str) -> DataFrame:
-    """The maintained current view, without the internal bucket key."""
+    """The maintained current view, without the internal bucket key.
+    Repairs any crash-interrupted swap first, so a reader never sees a
+    bucket mid-rename."""
+    _recover(spark, path)
     return spark.read.parquet(path).drop(_BUCKET_COL)
 
 
@@ -86,10 +146,9 @@ def upsert_latest_sink(
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        p_cur = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p_cur.getFileSystem(conf)
+        _recover(spark, path)  # repair any interrupted swap first
+        jvm, fs = _fs(spark, path)
+        p_cur = _hpath(jvm, path)
 
         bl = _with_bucket(
             latest_by_key(batch_df, keys, version_col, tiebreak_col),
@@ -111,19 +170,37 @@ def upsert_latest_sink(
                 merged = latest_by_key(
                     current.unionByName(bl), keys, version_col, tiebreak_col
                 )
-                _write(merged)
+                _write(spark, merged)
             finally:
                 bl.unpersist()
         else:
-            _write(bl)
+            _write(spark, bl)
 
-    def _write(df: DataFrame) -> None:
+    def _write(spark: SparkSession, df: DataFrame) -> None:
+        # stage the merged buckets, then swap each into place: bak the
+        # live dir, rename staged in (atomic), drop the bak.  Every crash
+        # window leaves either old-or-new data live per bucket, never
+        # neither — _recover + the idempotent replay converge from any of
+        # them (module docstring, DURABILITY).
+        staging = f"{path}/{_STAGING}"
         (
             df.repartition(_BUCKET_COL)
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(_BUCKET_COL)
-            .parquet(path)
+            .parquet(staging)
         )
+        jvm, fs = _fs(spark, path)
+        for st in fs.listStatus(_hpath(jvm, staging)):
+            name = st.getPath().getName()
+            if not name.startswith(_BUCKET_COL + "="):
+                continue  # _SUCCESS and friends
+            live = _hpath(jvm, path, name)
+            bak = _hpath(jvm, path, "." + name + _BAK_SUFFIX)
+            if fs.exists(live):
+                _rename_or_die(fs, live, bak)
+            _rename_or_die(fs, st.getPath(), live)
+            if fs.exists(bak):
+                fs.delete(bak, True)
+        fs.delete(_hpath(jvm, staging), True)
 
     return _merge
