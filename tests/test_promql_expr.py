@@ -178,6 +178,44 @@ def test_binop_on_matches_implicit(spark, mini):
     assert explicit.exceptAll(implicit).count() == 0
 
 
+def test_binop_group_right_mirrors_group_left(spark, mini):
+    # one-to-many: the aggregate is the ONE (left) side, the series the
+    # MANY (right) side — group_right keeps the many side's label set
+    gr = query_instant(
+        mini, "sum by (handler) (req) / on (handler) group_right req",
+        at_ms=3000,
+    )
+    got = {(r["label_handler"], r["label_code"]): r["value"] for r in gr.collect()}
+    # /a total 33: 33/30 = 1.1, 33/3 = 11; /b total 300: 300/300 = 1
+    assert got == {("/a", "200"): 1.1, ("/a", "500"): 11.0, ("/b", "200"): 1.0}
+    # and it mirrors the swapped group_left form with the value inverted
+    gl = query_instant(
+        mini, "req / on (handler) group_left sum by (handler) (req)",
+        at_ms=3000,
+    )
+    inv = {(r["label_handler"], r["label_code"]): 1.0 / r["value"]
+           for r in gl.collect()}
+    assert {k: round(v, 9) for k, v in got.items()} == {
+        k: round(v, 9) for k, v in inv.items()}
+
+
+def test_binop_group_left_carries_labels(spark, mini):
+    # carried label: group_left(code) copies the ONE side's code label
+    # onto every matched many-side row, overwriting the many side's own
+    # (the Prometheus conflict rule).  many = req{code="200"}, one =
+    # req{code="500"}, matched on handler.
+    res = query_instant(
+        mini,
+        'req{code="200"} * on (handler) group_left (code) '
+        'req{code="500"}',
+        at_ms=3000,
+    )
+    rows = {(r["label_handler"], r["label_code"]): r["value"]
+            for r in res.collect()}
+    # only /a has a 500 series: 30 * 3 = 90, carried code = '500'
+    assert rows == {("/a", "500"): 90.0}
+
+
 def test_histogram_quantile_expression(spark):
     rows = [
         (0, 10.0, "hist", "/x", "1"), (0, 30.0, "hist", "/x", "2"),
@@ -276,8 +314,12 @@ def test_parse_cmp_set_ops_and_modifiers():
     ign = parse_expr("m / ignoring (code) m")
     assert ign.ignoring == ["code"]
 
-    with pytest.raises(ValueError):
-        parse_expr("m / on (h) group_right m")
+    gr = parse_expr("m / on (h) group_right m")
+    assert gr.group_side == "right" and gr.group_labels == []
+    gl = parse_expr("m * on (h) group_left (job, env) m")
+    assert gl.group_side == "left" and gl.group_labels == ["job", "env"]
+    with pytest.raises(ValueError):  # set ops take no group modifier
+        parse_expr("m and on (h) group_right m")
 
 
 # ---------------------------------------------------------------------------

@@ -17,7 +17,8 @@ Grammar (the working subset, PromQL precedence order)::
     sum_expr  := term (('+'|'-') vmatch? term)*
     term      := unary (('*'|'/'|'%') vmatch? unary)*
     unary     := '-' unary | primary
-    vmatch    := ('on'|'ignoring') '(' labels ')' 'group_left'?
+    vmatch    := ('on'|'ignoring') '(' labels ')'
+                 (('group_left'|'group_right') ('(' labels ')')?)?
     primary   := number | call | aggregate | selector_expr | '(' expr ')'
     call      := FUNC '(' expr '[' duration (':' duration?)? ']' mods ')'
                | ('topk'|'bottomk') byc? '(' number ',' expr ')' byc?
@@ -212,6 +213,11 @@ class BinOp(Node):
     on: list[str] = field(default_factory=list)  # `on (labels)` matching
     ignoring: list[str] = field(default_factory=list)
     bool_mod: bool = False  # `>` vs `> bool`
+    # many-to-one orientation: None (default, left labels kept),
+    # "left" (explicit group_left) or "right" (group_right — the RIGHT
+    # side is the many side and its labels are kept)
+    group_side: str | None = None
+    group_labels: list[str] = field(default_factory=list)  # carried from the one side
 
 
 @dataclass
@@ -334,10 +340,15 @@ class _Parser:
         self.eat(")")
         return out
 
-    def _vmatch(self) -> tuple[list[str], list[str]]:
-        """Optional ``on(...)`` / ``ignoring(...)`` (+ bare ``group_left``)."""
+    def _vmatch(self) -> tuple[list[str], list[str], str | None, list[str]]:
+        """Optional ``on(...)`` / ``ignoring(...)``, then an optional
+        ``group_left`` / ``group_right`` with an optional carried-label
+        list (``group_left(a, b)`` copies a and b from the ONE side onto
+        every matched many-side row, Prometheus vector-matching rules)."""
         on: list[str] = []
         ignoring: list[str] = []
+        group_side: str | None = None
+        group_labels: list[str] = []
         if self.peek() and self.peek()[1] in ("on", "ignoring"):
             mode = self.eat()[1]
             labels = self._label_list()
@@ -346,15 +357,10 @@ class _Parser:
             else:
                 ignoring = labels
             if self.peek() and self.peek()[1] in ("group_left", "group_right"):
-                side = self.eat()[1]
-                if side == "group_right":
-                    raise ValueError(
-                        "group_right is not supported; swap the operands "
-                        "and use group_left (the engine keeps the LEFT "
-                        "side's label set)")
+                group_side = self.eat()[1].removeprefix("group_")
                 if self.peek() and self.peek()[1] == "(":
-                    raise ValueError("group_left(label list) is not supported")
-        return on, ignoring
+                    group_labels = self._label_list()
+        return on, ignoring, group_side, group_labels
 
     # precedence chain (loosest first) --------------------------------------
 
@@ -362,7 +368,9 @@ class _Parser:
         node = self.and_expr()
         while self.peek() and self.peek()[1] == "or":
             self.eat("or")
-            on, ign = self._vmatch()
+            on, ign, gs, gl = self._vmatch()
+            if gs is not None:  # Prometheus: set ops take no group modifier
+                raise ValueError("group modifiers are not allowed with 'or'")
             node = BinOp("or", node, self.and_expr(), on, ign)
         return node
 
@@ -370,7 +378,9 @@ class _Parser:
         node = self.cmp_expr()
         while self.peek() and self.peek()[1] in ("and", "unless"):
             op = self.eat()[1]
-            on, ign = self._vmatch()
+            on, ign, gs, gl = self._vmatch()
+            if gs is not None:
+                raise ValueError(f"group modifiers are not allowed with {op!r}")
             node = BinOp(op, node, self.cmp_expr(), on, ign)
         return node
 
@@ -382,24 +392,24 @@ class _Parser:
             if self.peek() and self.peek()[1] == "bool":
                 self.eat("bool")
                 bool_mod = True
-            on, ign = self._vmatch()
-            node = BinOp(op, node, self.sum_expr(), on, ign, bool_mod)
+            on, ign, gs, gl = self._vmatch()
+            node = BinOp(op, node, self.sum_expr(), on, ign, bool_mod, gs, gl)
         return node
 
     def sum_expr(self) -> Node:
         node = self.term()
         while self.peek() and self.peek()[1] in ("+", "-"):
             op = self.eat()[1]
-            on, ign = self._vmatch()
-            node = BinOp(op, node, self.term(), on, ign)
+            on, ign, gs, gl = self._vmatch()
+            node = BinOp(op, node, self.term(), on, ign, False, gs, gl)
         return node
 
     def term(self) -> Node:
         node = self.unary()
         while self.peek() and self.peek()[1] in ("*", "/", "%"):
             op = self.eat()[1]
-            on, ign = self._vmatch()
-            node = BinOp(op, node, self.unary(), on, ign)
+            on, ign, gs, gl = self._vmatch()
+            node = BinOp(op, node, self.unary(), on, ign, False, gs, gl)
         return node
 
     def unary(self) -> Node:
@@ -1132,24 +1142,47 @@ class PromQLEngine:
             return right.withColumn(VALUE_COL, op(F.lit(left), F.col(VALUE_COL)))
         if not isinstance(right, DataFrame):
             return left.withColumn(VALUE_COL, op(F.col(VALUE_COL), F.lit(right)))
-        # vector-vector: match on `on (labels)` when given, else the
-        # intersection of label columns; keep the LEFT side's full label
-        # set — the many-to-one (`group_left`-like) semantics
-        # `v / sum by (x)(v)` needs.  Framework keys (step_ts) always join.
-        keys = self._match_keys(node, left, right, extra_keys)
-        keep = [c for c in left.columns if c != VALUE_COL]
-        l = left.withColumnRenamed(VALUE_COL, "_lv")
-        if not keys:
-            # a label-less side (scalar()/vector()/global agg): broadcast
-            # the one-row side across the other — no shuffle
-            r = right.select(F.col(VALUE_COL).alias("_rv"))
-            joined = l.crossJoin(F.broadcast(r))
-        else:
-            r = right.select(*keys, F.col(VALUE_COL).alias("_rv"))
-            joined = l.join(r, keys)
+        joined, keep = self._vv_join(node, left, right, extra_keys)
         return joined.select(
             *keep, op(F.col("_lv"), F.col("_rv")).alias(VALUE_COL)
         )
+
+    def _vv_join(self, node: BinOp, left: DataFrame, right: DataFrame,
+                 extra_keys: list[str]):
+        """Vector-vector matching join shared by arithmetic and
+        comparison: match on ``on (labels)`` when given, else the
+        intersection of label columns; keep the MANY side's full label
+        set — the left operand by default and under ``group_left``, the
+        RIGHT operand under ``group_right`` (implemented directly as
+        orientation, not operand swap, so non-commutative ops keep their
+        value order).  ``group_left/right(lbls)`` carries the listed
+        labels over from the one side, overwriting a same-named label on
+        the many side (Prometheus conflict rule).  Framework keys
+        (step_ts) always join.  Returns (joined, kept_label_cols) with
+        the operand values as ``_lv``/``_rv``."""
+        keys = self._match_keys(node, left, right, extra_keys)
+        if node.group_side == "right":
+            many, one, many_val, one_val = right, left, "_rv", "_lv"
+        else:
+            many, one, many_val, one_val = left, right, "_lv", "_rv"
+        carry = [
+            c for c in (self._label_col(one, l) for l in node.group_labels)
+            if c not in keys  # a key label is already equal on both sides
+        ]
+        keep = [c for c in many.columns if c != VALUE_COL and c not in carry]
+        keep += carry
+        m = many.withColumnRenamed(VALUE_COL, many_val)
+        if carry:
+            m = m.drop(*[c for c in carry if c in many.columns])
+        if not keys:
+            # a label-less one side (scalar()/vector()/global agg):
+            # broadcast the one-row side across the other — no shuffle
+            o = one.select(F.col(VALUE_COL).alias(one_val), *carry)
+            joined = m.crossJoin(F.broadcast(o))
+        else:
+            o = one.select(*keys, F.col(VALUE_COL).alias(one_val), *carry)
+            joined = m.join(o, keys)
+        return joined, keep
 
     def _cmp(self, node: BinOp, left, right, extra_keys: list[str]):
         conds = {
@@ -1174,19 +1207,13 @@ class PromQLEngine:
             if node.bool_mod:
                 return left.withColumn(VALUE_COL, c.cast("double"))
             return left.filter(c)
-        keys = self._match_keys(node, left, right, extra_keys)
-        keep = [c for c in left.columns if c != VALUE_COL]
-        l = left.withColumnRenamed(VALUE_COL, "_lv")
-        if not keys:
-            r = right.select(F.col(VALUE_COL).alias("_rv"))
-            joined = l.crossJoin(F.broadcast(r))
-        else:
-            r = right.select(*keys, F.col(VALUE_COL).alias("_rv"))
-            joined = l.join(r, keys)
+        joined, keep = self._vv_join(node, left, right, extra_keys)
         c = cond(F.col("_lv"), F.col("_rv"))
         if node.bool_mod:
             return joined.select(*keep, c.cast("double").alias(VALUE_COL))
-        return joined.filter(c).select(*keep, F.col("_lv").alias(VALUE_COL))
+        # a filtering comparison keeps the MANY side's sample value
+        many_val = "_rv" if node.group_side == "right" else "_lv"
+        return joined.filter(c).select(*keep, F.col(many_val).alias(VALUE_COL))
 
     def _setop(self, node: BinOp, left, right, extra_keys: list[str]):
         if not isinstance(left, DataFrame) or not isinstance(right, DataFrame):
