@@ -168,6 +168,18 @@ def test_session_cooccurrence_support_and_lift(spark):
     assert got[("buy", "click")].lift == 1.5
     assert set(got) == {("click", "view"), ("buy", "click"), ("buy", "view")}
 
+    # the result must be a composable LAZY plan over the session table,
+    # not a driver-materialized local relation (r9 collect round-trip) —
+    # and the pair type must follow the input column's type
+    out = session_cooccurrence(df, "user_id", "ts", "event_id", "event_type")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" not in plan and "LocalTableScan" not in plan
+    num = session_cooccurrence(
+        df.withColumn("event_type", F.crc32("event_type")),
+        "user_id", "ts", "event_id", "event_type",
+    )
+    assert dict(num.dtypes)["a"] == "bigint"
+
 
 def test_bigram_logprob_hand_corpus(spark):
     from tsdb_parquet_spark.llm.text import bigram_logprob

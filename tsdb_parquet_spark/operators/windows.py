@@ -146,65 +146,61 @@ def session_cooccurrence(
     sess = s.groupBy(user_col, "session_id").agg(
         F.sort_array(F.collect_set(type_col)).alias("_types")
     )
+    # persisted and shared by the count + singles + pairs passes; the
+    # returned plan stays LAZY and composable (the r9 collect-and-
+    # recreate round-trip hardcoded a string pair type and re-planned
+    # from a local relation) — the ContextCleaner unpersists when the
+    # plan is GC'd, and an evicted partition recomputes from lineage
     sess = sess.persist()
-    try:
-        n_sessions = sess.count()  # one driver int
-        singles = (
-            sess.select(F.explode("_types").alias("a"))
-            .groupBy("a")
-            .agg(F.count(F.lit(1)).alias("n_a"))
-        )
-        # stage the array once (HOF staging rule, SCALE.md 5i), then
-        # expand ordered pairs (i < j) inside one flatten(transform(...))
-        pairs = sess.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "_types",
-                        lambda x, i: F.transform(
-                            F.slice(
-                                "_types",
-                                i + F.lit(2),
-                                F.greatest(
-                                    F.size("_types") - i - 1, F.lit(0)
-                                ),
-                            ),
-                            lambda y: F.struct(
-                                x.alias("a"), y.alias("b")
+    n_sessions = sess.count()  # one driver int; also warms the cache
+    singles = (
+        sess.select(F.explode("_types").alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    # stage the array once (HOF staging rule, SCALE.md 5i), then
+    # expand ordered pairs (i < j) inside one flatten(transform(...))
+    pairs = sess.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "_types",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            "_types",
+                            i + F.lit(2),
+                            F.greatest(
+                                F.size("_types") - i - 1, F.lit(0)
                             ),
                         ),
-                    )
+                        lambda y: F.struct(
+                            x.alias("a"), y.alias("b")
+                        ),
+                    ),
                 )
-            ).alias("_p")
-        ).select("_p.a", "_p.b")
-        pair_counts = pairs.groupBy("a", "b").agg(
-            F.count(F.lit(1)).alias("n_ab")
-        )
-        sb = singles.select(
-            F.col("a").alias("b"), F.col("n_a").alias("n_b")
-        )
-        out = (
-            pair_counts.join(F.broadcast(singles), "a")
-            .join(F.broadcast(sb), "b")
-            .select(
-                "a",
-                "b",
-                "n_ab",
-                F.round(
-                    F.col("n_ab").cast("double") / F.lit(float(n_sessions)), 6
-                ).alias("support"),
-                F.round(
-                    (F.col("n_ab") * F.lit(n_sessions)).cast("double")
-                    / (F.col("n_a") * F.col("n_b")),
-                    6,
-                ).alias("lift"),
             )
+        ).alias("_p")
+    ).select("_p.a", "_p.b")
+    pair_counts = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+    sb = singles.select(
+        F.col("a").alias("b"), F.col("n_a").alias("n_b")
+    )
+    return (
+        pair_counts.join(F.broadcast(singles), "a")
+        .join(F.broadcast(sb), "b")
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") / F.lit(float(n_sessions)), 6
+            ).alias("support"),
+            F.round(
+                (F.col("n_ab") * F.lit(n_sessions)).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
         )
-        # alphabet-sized result: materialize before unpersisting the
-        # session table it depends on
-        rows = out.collect()
-    finally:
-        sess.unpersist()
-    return df.sparkSession.createDataFrame(
-        rows, "a string, b string, n_ab bigint, support double, lift double"
     )
