@@ -13,6 +13,30 @@ so the class can never ship again.
 
 from __future__ import annotations
 
+import os
+
+import pytest
+
+
+def test_q113_driver_sf_stays_on_exact_path():
+    """q113's oracle is bit-exact only on the k<=8 plan-literal path;
+    the numpy matmul path (k>8, count//64 > 8) can flip argmax/near-
+    threshold decisions by a summation-order ulp.  The driver verifies
+    at sf0.01, so PIN that its fixture keeps k=8 — if the embeddings
+    fixture ever grows past 512 rows, this fails loudly instead of the
+    driver gate failing spuriously (advice r9)."""
+    import duckdb
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver fixture not present")
+    n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
+    assert max(8, n // 64) == 8, (
+        f"sf0.01 embeddings grew to {n} rows: q113's driver verification "
+        "would leave the oracle-bit-exact k<=8 path — re-pin the oracle "
+        "or gate the numpy path on a verification flag"
+    )
+
 import sys
 from pathlib import Path
 

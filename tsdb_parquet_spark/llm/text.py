@@ -655,6 +655,7 @@ def tfidf_top_terms(
     k: int = 15,
     unit: int = 1_000_000,
     tf_df: DataFrame | None = None,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """Top-``k`` characteristic terms per group by TF-IDF, with groups as
     the "documents": score(g, w) = tf(g, w) * ln(N_groups / groups(w))
@@ -688,15 +689,23 @@ def tfidf_top_terms(
         # pre-aggregated (group, term, tf) table — the at-rest path
         # (q129_mv): every pass after the counts is vocabulary-sized,
         # so a materialized token-count table turns repeated lexical
-        # queries into sub-second reads
+        # queries into sub-second reads.  N: prefer the caller's
+        # explicit n_groups (count it from the DOCUMENT table when
+        # materializing — a group whose documents all tokenize to empty
+        # has no row here, and deriving N from the counts table would
+        # silently shift every IDF vs the primary path); fall back to
+        # the counts table only when neither df nor n_groups is given.
         tf = tf_df
-        n_groups = tf.select(group_col).distinct().count()
+        if n_groups is None:
+            src = df if df is not None else tf
+            n_groups = src.select(group_col).distinct().count()
     else:
         tok = df.select(F.col(group_col), F.explode(toks).alias("term"))
         tf = tok.groupBy(group_col, "term").agg(
             F.count(F.lit(1)).alias("tf")
         )
-        n_groups = df.select(group_col).distinct().count()  # one driver int
+        if n_groups is None:
+            n_groups = df.select(group_col).distinct().count()  # one driver int
     gdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("gdf"))
     idf = gdf.select(
         "term",
