@@ -88,6 +88,15 @@ def main() -> None:
         # (staged map-stage HOFs), CDC latest-by-key compaction
         # (single max_by combine)
         "q113_semdedup", "q114_gopher_rules", "q120_latest_by_key",
+        # round-10 promotions: the token-pipeline family — these share
+        # one tokenize-pass floor (the corpus scan + split), so their
+        # curve isolates what the per-operator work costs ON TOP of it:
+        # unigram LM scoring (explode + broadcast join), TF-IDF raw vs
+        # materialized token counts (the amortization ladder on the LLM
+        # surface), per-source lexical stats, and the bigram LM whose
+        # construction moved to posexplode+lead this round
+        "q104_unigram_logprob", "q129_tfidf_topterms", "q129_mv",
+        "q132_lexical_stats", "q136_bigram_logprob",
     ]
     bench_set = {name: queries[name] for name in headline if name in oracles}
 

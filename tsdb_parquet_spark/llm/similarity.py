@@ -268,16 +268,16 @@ def ivf_topk(
     sim_alias: str = "sim",
     round_dp: int = 4,
 ) -> DataFrame:
-    """IVF-flat style ANN: sample → centroids (driver-side k-means on the
-    sample; the sample is bounded, not the dataset) → assign each vector to
-    its nearest centroid → probe the ``nprobe`` centroids nearest the query
-    → exact cosine rerank within probed cells.
+    """IVF-flat style ANN: train centroids (DISTRIBUTED k-means,
+    :func:`_train_centroids`) → assign each vector to its nearest
+    centroid → probe the ``nprobe`` centroids nearest the query →
+    exact cosine rerank within probed cells.
 
     At scale the assignment is written once (``partitionBy(cell)``) and
     queries prune to nprobe cells — :func:`ensure_ivf_layout` /
-    :func:`ivf_topk_at_rest` are that persisted form.  The k-means here
-    is deliberately simple (Lloyd on a driver sample) — the operator's
-    contract is the *layout*, not the clustering quality.
+    :func:`ivf_topk_at_rest` are that persisted form.  Probing every
+    cell (nprobe = num_centroids) is exhaustive and must equal exact
+    top-k regardless of centroid quality — the pytest contract.
     """
     centroids = _train_centroids(
         df, len(query_vec), num_centroids, emb_col, seed, sample_fraction
@@ -314,8 +314,9 @@ def ensure_ivf_layout(
     ``cell`` (``sources.ensure_table(partition_by=["cell"])`` — same
     fingerprint staleness, catalog/DDL/write resolution), and store the
     trained centroids alongside as a ``{name}_centroids`` table so a
-    cold session probes the SAME cells (retraining on a resampled
-    driver sample would silently move cell boundaries between sessions).
+    cold session probes the SAME cells (retraining — distributed
+    k-means whose k-means|| init depends on data partitioning — could
+    silently move cell boundaries between sessions).
 
     At 100 TB this is the difference between ANN as a full scan with a
     cheap filter and ANN as planning-time partition pruning: a probe of
