@@ -1195,3 +1195,46 @@ def test_real_codec_slots_into_batch_interface(spark):
            extract_features(df, model=stub_vision_model).collect()}
     assert emb[0] == [4.0, 4.0, 1.0]
     assert emb[1] == [3.0, 7.0, 255.0]
+
+
+def test_segment_and_boilerplate_strip(spark):
+    from tsdb_parquet_spark.llm.paragraphs import (
+        boilerplate_strip,
+        segment_documents,
+    )
+
+    # "FOOTER" appears in 3 docs -> boilerplate at max_docs=2; "intro"
+    # appears in 2 docs -> kept; unique bodies kept; d4 is ALL
+    # boilerplate -> no output row
+    docs = spark.createDataFrame(
+        [
+            (1, "intro\n\nbody one\n\nFOOTER"),
+            (2, "intro\n\nbody two\n\nFOOTER"),
+            (3, "solo three\n\nFOOTER"),
+            (4, "FOOTER"),
+        ],
+        "doc_id long, text string",
+    )
+    segs = segment_documents(docs)
+    out = {r["doc_id"]: r for r in
+           boilerplate_strip(segs, max_docs=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["clean_text"] == "intro body one"
+    assert out[2]["clean_text"] == "intro body two"
+    assert out[3]["clean_text"] == "solo three"
+    assert out[1]["n_segments"] == 2 and out[1]["n_dropped"] == 1
+    assert out[3]["n_segments"] == 1 and out[3]["n_dropped"] == 1
+
+    # reconstruction preserves position order even when the surviving
+    # segments are non-contiguous
+    docs2 = spark.createDataFrame(
+        [(1, "z\n\nBP\n\na"), (2, "BP"), (3, "BP")],
+        "doc_id long, text string",
+    )
+    out2 = boilerplate_strip(segment_documents(docs2), max_docs=2).collect()
+    assert {r["doc_id"]: r["clean_text"] for r in out2} == {1: "z a"}
+
+    # empty segments from doubled delimiters never count
+    docs3 = spark.createDataFrame([(9, "a\n\n\n\nb")], "doc_id long, text string")
+    segs3 = segment_documents(docs3)
+    assert segs3.count() == 2
