@@ -98,6 +98,12 @@ def main() -> None:
         "q104_unigram_logprob", "q129_tfidf_topterms", "q129_mv",
         "q132_lexical_stats", "q136_bigram_logprob",
     ]
+    # optional subset (comma-separated names): the sf100 curve extension
+    # runs only the cheapest queries — disk/time bound, SCALE.md §5l
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        headline = [n for n in headline if n in keep]
     bench_set = {name: queries[name] for name in headline if name in oracles}
 
     # DuckDB baseline FIRST: measured before the Spark suite so the
