@@ -469,3 +469,23 @@ def test_q137_centroid_drift_one_full_data_exchange(entry, spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_sum" in plan  # component sums combine map-side
+
+
+def test_q145_broadcast_dims_one_fact_shuffle(entry, spark):
+    """TPC-H Q5 shape: every dimension chain broadcasts; the ONLY
+    shuffle exchanges are the orderkey fact-fact join's two sides (+
+    the nation-sized final aggregate); the date filter reaches the
+    orders scan."""
+    df = entry.q145_regional_revenue(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # cust, supp, nation-region
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # date pushdown into the orders scan
+    assert "o_orderdate" in plan[plan.index("PushedFilters"):].split("]")[0] or \
+           "IsNotNull(o_orderdate)" in plan
+    # fact x fact never broadcasts: the join on l_orderkey must be a
+    # shuffle join, not a broadcast of either fact side
+    import re
+    smj = plan[plan.index("SortMergeJoin"):] if "SortMergeJoin" in plan else \
+          plan[plan.index("ShuffledHashJoin"):]
+    assert "l_orderkey" in smj.split("\n")[0]
