@@ -73,12 +73,14 @@ def boilerplate_strip(
     form (collapse to distinct (hash, doc) first, then count), so the
     exchange never carries segment text or per-occurrence rows;
     (2) the boilerplate set (hashes seen in > max_docs docs) is a
-    template-sized table joined back on the hash (broadcast when small,
-    AQE decides); (3) reconstruction is ONE (doc) exchange:
-    ``array_sort(collect_list(struct(seg_id, seg_text)))`` then a
-    transform+array_join — per-doc state bounded by document size, the
-    same bound any per-doc operator has.  No window functions, no
-    driver collects.
+    template-sized table marked onto the segments by one hash join
+    (broadcast when small, AQE decides); (3) kept-count, dropped-count
+    and the reconstruction all come out of ONE (doc) exchange —
+    ``collect_list`` skips nulls, so ``collect_list(when(not boiler,
+    struct(pos, text)))`` gathers exactly the survivors, sorted and
+    joined after the aggregate.  Per-doc state is bounded by document
+    size, the same bound any per-doc operator has.  No window
+    functions, no driver collects.
     """
     seg = segments.select(
         F.col(id_col),
@@ -93,34 +95,28 @@ def boilerplate_strip(
         .groupBy("_sh")
         .agg(F.count(F.lit(1)).alias("_ndocs"))
     )
-    boiler = freq.filter(F.col("_ndocs") > max_docs).select("_sh")
-    kept = seg.join(boiler, "_sh", "left_anti")
-    dropped = (
-        seg.join(boiler, "_sh", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    boiler = freq.filter(F.col("_ndocs") > max_docs).select(
+        "_sh", F.lit(True).alias("_bp")
     )
-    rebuilt = (
-        kept.groupBy(id_col)
+    marked = seg.join(boiler, "_sh", "left")
+    bp = F.coalesce(F.col("_bp"), F.lit(False))
+    return (
+        marked.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(~bp, 1).otherwise(0)).alias("n_segments"),
+            F.sum(F.when(bp, 1).otherwise(0)).alias("n_dropped"),
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("_sid", "_stxt"))
+                        F.collect_list(
+                            F.when(~bp, F.struct("_sid", "_stxt"))
+                        )
                     ),
                     lambda s: s["_stxt"],
                 ),
                 joiner,
             ).alias("clean_text"),
         )
-    )
-    return (
-        rebuilt.join(dropped, id_col, "left")
-        .select(
-            id_col,
-            "n_segments",
-            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
-            "clean_text",
-        )
+        .filter(F.col("n_segments") > 0)
+        .select(id_col, "n_segments", "n_dropped", "clean_text")
     )
