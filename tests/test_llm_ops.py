@@ -1238,3 +1238,55 @@ def test_segment_and_boilerplate_strip(spark):
     docs3 = spark.createDataFrame([(9, "a\n\n\n\nb")], "doc_id long, text string")
     segs3 = segment_documents(docs3)
     assert segs3.count() == 2
+
+
+def test_incremental_dedup_against_bucketed_index(spark, tmp_path):
+    from tsdb_parquet_spark.llm.incremental import (
+        ensure_fingerprint_index,
+        incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc body number {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(src)
+    idx = ensure_fingerprint_index(
+        spark, "incdedup_test", lambda: spark.read.parquet(src),
+        num_buckets=8, source_paths=src,
+    )
+
+    # batch: 2 exact dups of corpus docs (one with case/whitespace
+    # noise — normalization must still catch it), 2 new docs, and a
+    # duplicated new doc (batch self-dedup keeps the lower id)
+    batch = spark.createDataFrame(
+        [
+            (100, "doc body number 3"),
+            (101, "  DOC   body Number 7 "),
+            (102, "genuinely new content A"),
+            (103, "genuinely new content B"),
+            (104, "genuinely new content A"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(idx, batch)
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [102, 103]
+
+    # the corpus side must come off the bucketed layout with NO
+    # Exchange: the ONLY fingerprint exchange in the plan is the batch
+    # side shuffling to match the index's buckets (and the batch-internal
+    # keep/semi-join reuses that partitioning — no further exchanges)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    idx_scan = [ln for ln in plan.split("\n") if "incdedup_test_fpidx" in ln]
+    assert idx_scan and "Bucketed: true" in idx_scan[-1]
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan
+    # every exchange must be keyed on the BATCH side's fingerprint
+    # attribute — the index side's attribute (from the bucketed scan
+    # line) must never appear in an exchange: the corpus never shuffles
+    import re
+    idx_attr = re.search(r"\[(fingerprint#\d+L?)\]", idx_scan[-1]).group(1)
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    assert exchanges and all(e.startswith("fingerprint") for e in exchanges), exchanges
+    assert idx_attr not in exchanges, (idx_attr, exchanges)

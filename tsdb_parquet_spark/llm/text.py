@@ -141,6 +141,16 @@ def language_id(
     )
 
 
+def fingerprint_col(text_col: Column | str = "text") -> Column:
+    """The doc-fingerprint digest as a COLUMN expression (md5 60-bit
+    prefix of lowercase/collapsed-whitespace text) — compose it onto an
+    existing frame without a join-back (`llm/incremental.py` hangs the
+    dedup anti-join off it directly)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint")
+
+
 def doc_fingerprint(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -156,9 +166,9 @@ def doc_fingerprint(
     join/change-detection key, but ENGINE-PORTABLE — any system with md5
     reproduces it bit-exactly (the DuckDB oracle does), where xxhash64's
     seed/variant is Spark-specific.  Pure map stage, no shuffle."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    fp = F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint")
-    return df.select(F.col(id_col), fp.alias(fp_alias))
+    return df.select(
+        F.col(id_col), fingerprint_col(text_col).alias(fp_alias)
+    )
 
 
 # Rolling-hash parameters: Mersenne modulus keeps acc < 2^31, so
