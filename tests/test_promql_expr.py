@@ -737,3 +737,19 @@ def test_histogram_fraction_interpolation(spark):
     assert frac(0.5) == pytest.approx(0.80)
     assert frac(1.0) == pytest.approx(0.80)         # beyond last finite le
     assert frac(0.05) == pytest.approx(0.15)        # first bucket, lower bound 0
+
+
+def test_timestamp_function(spark, mini):
+    # plain selector: each series' own latest-sample time (t=3s at eval
+    # 3.5s); derived vector: samples are stamped at the eval instant
+    own = query_instant(mini, "timestamp(req)", at_ms=3500)
+    assert {r["value"] for r in own.collect()} == {3.0}
+    off = query_instant(mini, "timestamp(req offset 1s)", at_ms=3500)
+    assert {r["value"] for r in off.collect()} == {2.0}
+    derived = query_instant(mini, "timestamp(sum by (handler) (req))", at_ms=3500)
+    assert {r["value"] for r in derived.collect()} == {3.5}
+    # range form: per-step sample timestamps
+    rng = query_range(mini, "timestamp(req)", 1000, 3000, 1000)
+    got = {(r["label_handler"], r["label_code"], r["step_ts"]): r["value"]
+           for r in rng.collect()}
+    assert got[("/a", "200", 2000)] == 2.0 and got[("/b", "200", 3000)] == 3.0

@@ -118,6 +118,9 @@ _SCALAR_FNS = {
     "log2": (lambda v, a: F.log2(v), 0, 0),
     "log10": (lambda v, a: F.log10(v), 0, 0),
     "sgn": (lambda v, a: F.signum(v), 0, 0),
+    # timestamp() is dispatched specially in the evaluator (it reads the
+    # sample's TIME, not its value); registered here for parsing/arity
+    "timestamp": (None, 0, 0),
     "round": (_prom_round, 0, 1),
     "clamp_min": (lambda v, a: F.greatest(v, F.lit(a[0])), 1, 1),
     "clamp_max": (lambda v, a: F.least(v, F.lit(a[0])), 1, 1),
@@ -722,6 +725,24 @@ class PromQLEngine:
         if isinstance(node, TopK):
             return self._topk(self._inst(node.arg, at), node, [])
         if isinstance(node, ScalarFn):
+            if node.fn == "timestamp":
+                # Prometheus timestamp(): a plain selector yields each
+                # sample's OWN timestamp; any derived vector's samples
+                # are stamped at the evaluation instant
+                if isinstance(node.arg, Selector):
+                    n = node.arg
+                    at_eff = (n.at_ms if n.at_ms is not None else at) - n.offset_ms
+                    sel = apply_matchers(self.df, n.matchers)
+                    iv = promql.instant_vector(
+                        sel, at_eff, staleness_ms=self.staleness_ms
+                    )
+                    return iv.withColumn(
+                        VALUE_COL, F.col("sample_time") / 1000.0
+                    ).drop("sample_time")
+                arg = self._inst(node.arg, at)
+                if not isinstance(arg, DataFrame):
+                    raise ValueError("timestamp over a scalar is not a vector")
+                return arg.withColumn(VALUE_COL, F.lit(at / 1000.0))
             arg = self._inst(node.arg, at)
             fn = _SCALAR_FNS[node.fn][0]
             if not isinstance(arg, DataFrame):
@@ -870,6 +891,27 @@ class PromQLEngine:
             arg = self._rng(node.arg, start, end, step)
             return self._topk(arg, node, ["step_ts"])
         if isinstance(node, ScalarFn):
+            if node.fn == "timestamp":
+                if (
+                    isinstance(node.arg, Selector)
+                    and node.arg.at_ms is None
+                ):
+                    sel = apply_matchers(self.df, node.arg.matchers)
+                    off = node.arg.offset_ms
+                    out = promql.range_query(
+                        sel, start - off, end - off, step,
+                        staleness_ms=self.staleness_ms,
+                    )
+                    out = out.withColumn(
+                        VALUE_COL, F.col("sample_time") / 1000.0
+                    ).drop("sample_time")
+                    return self._shift_steps(out, off)
+                arg = self._rng(node.arg, start, end, step)
+                if not isinstance(arg, DataFrame):
+                    raise ValueError("timestamp over a scalar is not a vector")
+                return arg.withColumn(
+                    VALUE_COL, F.col("step_ts") / 1000.0
+                )
             arg = self._rng(node.arg, start, end, step)
             fn = _SCALAR_FNS[node.fn][0]
             if not isinstance(arg, DataFrame):
