@@ -595,6 +595,13 @@ def semdedup(
     verification).  Either way the pairwise stage shuffles once on
     cluster id and compares within clusters only.
 
+    Scale ceiling of THIS form: the seed hop collects k embedding
+    vectors, so it holds while k x dim fits the driver (k ~ n/64 means
+    tens of millions of rows per driver GB — fine to ~10^9 inputs).
+    Beyond that, run SemDeDup per IVF cell (`llm/similarity.
+    ensure_ivf_layout` partitions the space; apply semdedup inside
+    each cell independently — same semantics, seeds bounded per cell).
+
     Output: surviving (id, cluster, rank) rows.
     """
     import math
