@@ -1290,3 +1290,29 @@ def test_incremental_dedup_against_bucketed_index(spark, tmp_path):
     exchanges = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
     assert exchanges and all(e.startswith("fingerprint") for e in exchanges), exchanges
     assert idx_attr not in exchanges, (idx_attr, exchanges)
+
+
+def test_leakage_safe_split_co_splits_duplicates(spark):
+    from tsdb_parquet_spark.llm.corpus import leakage_safe_split, split_corpus
+    from tsdb_parquet_spark.llm.text import doc_fingerprint
+
+    # 3 duplicate families x many ids + singletons; with a per-ID split
+    # some family would straddle train/val at this val_frac — the
+    # cluster-keyed split may not
+    rows = [(i, f"family {i % 3} text") for i in range(60)]
+    rows += [(100 + i, f"unique text {i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    clusters = doc_fingerprint(docs).withColumnRenamed("fingerprint", "cluster_id")
+    out = leakage_safe_split(docs, clusters, val_frac=0.5).collect()
+    by_text = {}
+    for r in out:
+        by_text.setdefault(r["text"], set()).add(r["split"])
+    for text, splits in by_text.items():
+        assert len(splits) == 1, f"{text!r} straddles {splits}"
+    # sanity: with val_frac=0.5 both splits are populated
+    assert {r["split"] for r in out} == {"train", "val"}
+    # docs missing from the mapping fall back to singleton id clusters
+    part = leakage_safe_split(
+        docs, clusters.filter("doc_id < 50"), val_frac=0.5
+    )
+    assert part.filter("split IS NULL").count() == 0

@@ -102,6 +102,53 @@ def split_corpus(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    cluster_df: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    val_frac: float = 0.05,
+    salt: str = "v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/validation split that NEVER separates duplicates: the
+    Bernoulli hash is keyed on the document's DEDUP CLUSTER instead of
+    its id, so every member of a duplicate (or near-duplicate) cluster
+    lands in the same split — the leakage guard :func:`split_corpus`
+    cannot give (a val doc whose exact/near copy sits in train is a
+    leaked eval item; Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better" measures the inflation).
+
+    ``cluster_df`` is any (id, cluster) mapping from the dedup family —
+    exact fingerprints (`llm/text.doc_fingerprint`), MinHash-LSH
+    connected components (`llm/dedup.dedup_clusters`), or SemDeDup
+    clusters; the guard is as strong as the clustering is.  Same
+    md5-prefix convention as :func:`split_corpus` (nesting val sets,
+    salt re-rolls), same engine portability.
+
+    100 TB shape: one id-keyed join (broadcast when the mapping is
+    small; the mapping is also the dedup output you already have at
+    rest) + a map-stage hash compare.  Docs absent from ``cluster_df``
+    fall back to their own id as a singleton cluster, so the split
+    stays total.
+    """
+    if not (0.0 <= val_frac <= 1.0):
+        raise ValueError(f"val_frac must be in [0,1], got {val_frac}")
+    threshold = format(int(val_frac * 16 ** 8), "08x")
+    m = cluster_df.select(
+        F.col(id_col), F.col(cluster_col).alias("_clk")
+    )
+    key = F.coalesce(
+        F.col("_clk").cast("string"), F.col(id_col).cast("string")
+    )
+    h = F.substring(F.md5(F.concat(key, F.lit(salt))), 1, 8)
+    return (
+        df.join(m, id_col, "left")
+        .withColumn(split_col, F.when(h < threshold, "val").otherwise("train"))
+        .drop("_clk")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,
