@@ -30,9 +30,18 @@ from .similarity import (
     lsh_bucketed_ann,
     vector_lit,
 )
+from .incremental import (
+    ensure_fingerprint_index,
+    incremental_dedup,
+)
+from .paragraphs import (
+    boilerplate_strip,
+    segment_documents,
+)
 from .text import (
     chunk_documents,
     doc_fingerprint,
+    fingerprint_col,
     rolling_fingerprint,
     language_id,
     text_quality,
@@ -43,6 +52,7 @@ from .text import (
 )
 from .corpus import (
     decontaminate,
+    leakage_safe_split,
     repetition_stats,
     sample_mixture,
     stratified_sample,
@@ -94,6 +104,12 @@ __all__ = [
     "text_quality",
     "language_id",
     "doc_fingerprint",
+    "fingerprint_col",
+    "ensure_fingerprint_index",
+    "incremental_dedup",
+    "boilerplate_strip",
+    "segment_documents",
+    "leakage_safe_split",
     "rolling_fingerprint",
     "sample_mixture",
     "stratified_sample",
