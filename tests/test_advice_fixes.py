@@ -304,3 +304,64 @@ def test_funnel_numeric_ts_rejected(spark):
     got = {r["event_type"]: r["users"] for r in
            funnel_counts(fixed, ["a", "b"], within_ms=999).collect()}
     assert got == {"a": 1, "b": 0}
+
+
+def test_split_val_frac_boundaries_exact(spark):
+    # ADVICE r10 (low): val_frac=1.0 formatted to the 9-char '100000000',
+    # which every 8-char md5 prefix orders ABOVE lexicographically -> the
+    # whole corpus landed in 'train'.  Both ends must be exact.
+    from tsdb_parquet_spark.llm.corpus import leakage_safe_split, split_corpus
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    assert {r["split"] for r in split_corpus(df, val_frac=1.0).collect()} == {"val"}
+    assert {r["split"] for r in split_corpus(df, val_frac=0.0).collect()} == {"train"}
+    clusters = df.select("doc_id", (F.col("doc_id") % 5).alias("cluster_id"))
+    assert {r["split"] for r in
+            leakage_safe_split(df, clusters, val_frac=1.0).collect()} == {"val"}
+    assert {r["split"] for r in
+            leakage_safe_split(df, clusters, val_frac=0.0).collect()} == {"train"}
+
+
+def test_upsert_reader_recovery_is_tolerant(spark, tmp_path):
+    # ADVICE r10 (medium): read_upsert_view's recovery used the WRITER
+    # semantics — deleting .staging and bak dirs — so a reader landing
+    # mid-swap could destroy state the live writer still needed.  The
+    # reader path now never deletes: it only best-effort rolls a
+    # dangling bak back when the live dir is missing.
+    import os
+    import shutil
+
+    from tsdb_parquet_spark.streaming.upsert import (
+        read_upsert_view,
+        upsert_latest_sink,
+    )
+
+    path = str(tmp_path / "view")
+    sink = upsert_latest_sink(path, ["k"], "ver", n_buckets=4)
+    b1 = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b")], "k int, ver int, payload string"
+    )
+    sink(b1, 0)
+    buckets = [d for d in os.listdir(path) if d.startswith("__kb=")]
+    tgt = buckets[0]
+    # simulate a crash (or a live writer) between the two swap renames:
+    # live renamed away to bak, a staging dir present
+    os.rename(f"{path}/{tgt}", f"{path}/.{tgt}.__bak")
+    os.makedirs(f"{path}/.staging/{tgt}", exist_ok=True)
+    got = sorted(tuple(r) for r in read_upsert_view(spark, path).collect())
+    assert got == [(1, 1, "a"), (2, 1, "b")]  # bak rolled back to live
+    # the reader must NOT have deleted the (possibly live) writer's staging
+    assert os.path.isdir(f"{path}/.staging")
+    # post-swap state (bak + live both present): the reader leaves the
+    # bak for the writer to clean — deleting it mid-swap loses the only
+    # rollback copy if the writer then dies
+    shutil.copytree(f"{path}/{tgt}", f"{path}/.{tgt}.__bak")
+    got2 = sorted(tuple(r) for r in read_upsert_view(spark, path).collect())
+    assert got2 == got
+    assert os.path.isdir(f"{path}/.{tgt}.__bak")
+    # the next WRITER batch's recovery cleans both up
+    sink(b1, 1)
+    assert not os.path.exists(f"{path}/.{tgt}.__bak")
+    assert not os.path.exists(f"{path}/.staging")
+    got3 = sorted(tuple(r) for r in read_upsert_view(spark, path).collect())
+    assert got3 == got

@@ -199,6 +199,31 @@ def test_binop_group_right_mirrors_group_left(spark, mini):
         k: round(v, 9) for k, v in inv.items()}
 
 
+def test_binop_group_right_filter_keeps_left_value(spark, mini):
+    # Prometheus vectorElemBinop: a filtering comparison ALWAYS emits
+    # the written LEFT operand's value; group_right only decides that
+    # the label set comes from the many (right) side.  at t=3000:
+    # totals /a=33 /b=300; series /a,200=30 /a,500=3 /b,200=300.
+    out = query_instant(
+        mini, "sum by (handler) (req) > on (handler) group_right req",
+        at_ms=3000,
+    )
+    got = {(r["label_handler"], r["label_code"]): r["value"]
+           for r in out.collect()}
+    # /b: 300 > 300 is false; survivors carry the ONE side's value 33,
+    # NOT the many side's 30 / 3
+    assert got == {("/a", "200"): 33.0, ("/a", "500"): 33.0}
+    # bool mod is unaffected: 0/1 per many-side row
+    b = query_instant(
+        mini, "sum by (handler) (req) > bool on (handler) group_right req",
+        at_ms=3000,
+    )
+    gotb = {(r["label_handler"], r["label_code"]): r["value"]
+            for r in b.collect()}
+    assert gotb == {("/a", "200"): 1.0, ("/a", "500"): 1.0,
+                    ("/b", "200"): 0.0}
+
+
 def test_binop_group_left_carries_labels(spark, mini):
     # carried label: group_left(code) copies the ONE side's code label
     # onto every matched many-side row, overwriting the many side's own

@@ -480,30 +480,38 @@ def test_upsert_sink_recovers_every_crash_window(spark, tmp_path):
 
     buckets = sorted(glob.glob(os.path.join(path, "__kb=*")))
 
-    # window 1: crash after staging written, before any swap — stale
-    # staging must be dropped, live view intact
+    # window 1: crash after staging written, before any swap — the live
+    # view reads intact; the READER leaves the stale staging alone (it
+    # cannot tell a dead writer from a live one — advice r10), and the
+    # next WRITER batch drops it
     shutil.copytree(buckets[0], os.path.join(path, ".staging", os.path.basename(buckets[0])))
     assert {r["k"]: r["payload"] for r in read_upsert_view(spark, path).collect()} == want
+    assert os.path.isdir(os.path.join(path, ".staging"))
+    sink(upd, 1)
+    want[3] = "v2_3"
     assert not os.path.exists(os.path.join(path, ".staging"))
+    assert {r["k"]: r["payload"] for r in read_upsert_view(spark, path).collect()} == want
 
     # window 2: crash between live->bak and staged->live (live missing):
-    # the bak must roll BACK so no key in that bucket is lost
+    # the bak must roll BACK so no key in that bucket is lost — this the
+    # reader does perform (best-effort rename, no deletes)
     b0 = os.path.basename(buckets[0])
     os.rename(buckets[0], os.path.join(path, "." + b0 + ".__bak"))
     assert {r["k"]: r["payload"] for r in read_upsert_view(spark, path).collect()} == want
     assert os.path.isdir(buckets[0])
 
     # window 3: crash after staged->live, before bak delete (both exist):
-    # bak is the OLD data and must be discarded, live kept
+    # bak is the OLD data; the reader keeps serving the live dir and
+    # leaves the bak for the writer, which discards it
     shutil.copytree(buckets[0], os.path.join(path, "." + b0 + ".__bak"))
     assert {r["k"]: r["payload"] for r in read_upsert_view(spark, path).collect()} == want
-    assert not os.path.exists(os.path.join(path, "." + b0 + ".__bak"))
+    assert os.path.isdir(os.path.join(path, "." + b0 + ".__bak"))
 
     # and the replay after any repair converges: apply the update twice
     sink(upd, 1)
     sink(upd, 1)
+    assert not os.path.exists(os.path.join(path, "." + b0 + ".__bak"))
     got = {r["k"]: r["payload"] for r in read_upsert_view(spark, path).collect()}
-    want[3] = "v2_3"
     assert got == want
 
 

@@ -74,6 +74,20 @@ def _exploded_ngrams(df: DataFrame, cols: list[str], text_col: str,
     )
 
 
+def _split_threshold(val_frac: float) -> str:
+    """The md5-prefix cut for a Bernoulli(val_frac) hex compare.  At
+    val_frac=1.0 the naive ``format(16**8, '08x')`` is the NINE-char
+    string '100000000', which every 8-char prefix compares ABOVE
+    lexicographically (all-train instead of all-val); clamp to 'g',
+    which orders after every hex digit, so the boundary cases are exact
+    at both ends while fractional thresholds keep the nesting
+    property."""
+    if not (0.0 <= val_frac <= 1.0):
+        raise ValueError(f"val_frac must be in [0,1], got {val_frac}")
+    t = int(val_frac * 16 ** 8)
+    return "g" if t >= 16 ** 8 else format(t, "08x")
+
+
 def split_corpus(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -91,9 +105,7 @@ def split_corpus(
     ``val_frac`` only moves the boundary, so val sets nest monotonically
     — a 5% val set contains the 1% one, handy for scaling studies.
     """
-    if not (0.0 <= val_frac <= 1.0):
-        raise ValueError(f"val_frac must be in [0,1], got {val_frac}")
-    threshold = format(int(val_frac * 16 ** 8), "08x")
+    threshold = _split_threshold(val_frac)
     h = F.substring(
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
     )
@@ -132,9 +144,7 @@ def leakage_safe_split(
     fall back to their own id as a singleton cluster, so the split
     stays total.
     """
-    if not (0.0 <= val_frac <= 1.0):
-        raise ValueError(f"val_frac must be in [0,1], got {val_frac}")
-    threshold = format(int(val_frac * 16 ** 8), "08x")
+    threshold = _split_threshold(val_frac)
     m = cluster_df.select(
         F.col(id_col), F.col(cluster_col).alias("_clk")
     )

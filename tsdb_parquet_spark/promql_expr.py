@@ -1253,9 +1253,13 @@ class PromQLEngine:
         c = cond(F.col("_lv"), F.col("_rv"))
         if node.bool_mod:
             return joined.select(*keep, c.cast("double").alias(VALUE_COL))
-        # a filtering comparison keeps the MANY side's sample value
-        many_val = "_rv" if node.group_side == "right" else "_lv"
-        return joined.filter(c).select(*keep, F.col(many_val).alias(VALUE_COL))
+        # a filtering comparison keeps the LEFT operand's sample value,
+        # regardless of group side: Prometheus's vectorElemBinop swaps
+        # the operands back after the one-to-many reorientation, so the
+        # written value is always the expression's lhs — only the LABEL
+        # SET follows the many side (group_right changes which labels
+        # survive, never which value).
+        return joined.filter(c).select(*keep, F.col("_lv").alias(VALUE_COL))
 
     def _setop(self, node: BinOp, left, right, extra_keys: list[str]):
         if not isinstance(left, DataFrame) or not isinstance(right, DataFrame):

@@ -100,12 +100,43 @@ def _rename_or_die(fs, src, dst) -> None:
         raise IOError(f"upsert swap: rename {src} -> {dst} failed")
 
 
-def _recover(spark: SparkSession, path: str) -> None:
+def _swap_bucket(fs, staged, live, bak, attempts: int = 3) -> None:
+    """Swap one staged bucket dir into place: bak the live dir, rename
+    staged in (atomic), drop the bak.  A concurrent READER's tolerant
+    recovery can roll the bak back into ``live`` between the two
+    renames (read_upsert_view mid-swap); that rollback only ever
+    restores OLD data already contained in the staged merge, so the
+    swap is simply retried — re-bak and rename again — rather than
+    failing the micro-batch (advice r10).  Bounded attempts: anything
+    still failing after that is a real FS problem, not the race."""
+    for _ in range(attempts):
+        if fs.exists(live) and not fs.rename(live, bak):
+            continue  # racing reader touched live; re-check and retry
+        if fs.rename(staged, live):
+            if fs.exists(bak):
+                fs.delete(bak, True)
+            return
+    raise IOError(f"upsert swap: rename {staged} -> {live} failed "
+                  f"after {attempts} attempts")
+
+
+def _recover(spark: SparkSession, path: str, writer: bool = True) -> None:
     """Repair any interrupted swap before touching the view: a dangling
     ``.__kb=K.__bak`` rolls BACK to live if the live dir is missing
-    (crash between the two renames) and is discarded if live exists
-    (the staged dir had already swapped in); leftover staging is
-    dropped — the checkpoint's batch replay then re-derives it."""
+    (crash between the two renames) and — on the WRITER path only — is
+    discarded if live exists (the staged dir had already swapped in),
+    with leftover staging dropped (the checkpoint's batch replay then
+    re-derives it).
+
+    The READER path (``writer=False``) must tolerate a LIVE writer
+    mid-swap, not just a dead one (advice r10): it never deletes
+    anything — a reader that dropped staging or a fresh ``.__bak``
+    between the writer's two renames would destroy data the writer
+    still needs — and its bak rollback tolerates a failed rename (the
+    writer's staged dir just swapped into place, so the live dir
+    exists again and the rollback is moot).  The writer's own
+    :func:`_swap_bucket` retry absorbs the converse race, a reader's
+    rollback landing between the writer's two renames."""
     jvm, fs = _fs(spark, path)
     root = _hpath(jvm, path)
     if not fs.exists(root):
@@ -115,19 +146,24 @@ def _recover(spark: SparkSession, path: str) -> None:
         if name.startswith("." + _BUCKET_COL + "=") and name.endswith(_BAK_SUFFIX):
             live = _hpath(jvm, path, name[1:-len(_BAK_SUFFIX)])
             if fs.exists(live):
-                fs.delete(st.getPath(), True)  # roll forward: swap completed
-            else:
+                if writer:
+                    fs.delete(st.getPath(), True)  # roll forward: swap done
+            elif writer:
                 _rename_or_die(fs, st.getPath(), live)  # roll back old data
-    staging = _hpath(jvm, path, _STAGING)
-    if fs.exists(staging):
-        fs.delete(staging, True)
+            else:
+                fs.rename(st.getPath(), live)  # benign if the writer won
+    if writer:
+        staging = _hpath(jvm, path, _STAGING)
+        if fs.exists(staging):
+            fs.delete(staging, True)
 
 
 def read_upsert_view(spark: SparkSession, path: str) -> DataFrame:
     """The maintained current view, without the internal bucket key.
-    Repairs any crash-interrupted swap first, so a reader never sees a
-    bucket mid-rename."""
-    _recover(spark, path)
+    Repairs any crash-interrupted swap first (reader-tolerant mode:
+    never deletes, rollback best-effort), so a reader never sees a
+    bucket mid-rename even while the single writer is live."""
+    _recover(spark, path, writer=False)
     return spark.read.parquet(path).drop(_BUCKET_COL)
 
 
@@ -196,11 +232,7 @@ def upsert_latest_sink(
                 continue  # _SUCCESS and friends
             live = _hpath(jvm, path, name)
             bak = _hpath(jvm, path, "." + name + _BAK_SUFFIX)
-            if fs.exists(live):
-                _rename_or_die(fs, live, bak)
-            _rename_or_die(fs, st.getPath(), live)
-            if fs.exists(bak):
-                fs.delete(bak, True)
+            _swap_bucket(fs, st.getPath(), live, bak)
         fs.delete(_hpath(jvm, staging), True)
 
     return _merge
