@@ -1316,3 +1316,53 @@ def test_leakage_safe_split_co_splits_duplicates(spark):
         docs, clusters.filter("doc_id < 50"), val_frac=0.5
     )
     assert part.filter("split IS NULL").count() == 0
+
+
+def test_counts_path_matches_raw_token_family(spark):
+    """The at-rest counts tables (doc_token_counts / doc_bigram_counts)
+    must serve BIT-IDENTICAL results through unigram_logprob,
+    lexical_stats, and bigram_logprob — every statistic is a sum over
+    token/bigram multiplicities, so counting first changes nothing."""
+    from tsdb_parquet_spark.llm.text import (
+        bigram_logprob,
+        doc_bigram_counts,
+        doc_token_counts,
+        lexical_stats,
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "a"),
+            (2, "the dog\tsat  on\nthe log the dog", "a"),
+            (3, "ONE", "b"),          # 1 token -> no bigram row
+            (4, "", "b"),             # 0 tokens -> no row on either path
+            (5, "repeat repeat repeat", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    tc = doc_token_counts(docs)
+    bc = doc_bigram_counts(docs)
+
+    raw_u = sorted(tuple(r) for r in unigram_logprob(docs, vocab_size=4).collect())
+    mv_u = sorted(tuple(r) for r in
+                  unigram_logprob(None, vocab_size=4, counts_df=tc).collect())
+    assert raw_u == mv_u and len(raw_u) == 4
+
+    raw_l = sorted(tuple(r) for r in lexical_stats(docs).collect())
+    mv_l = sorted(tuple(r) for r in
+                  lexical_stats(None, counts_df=tc).collect())
+    assert raw_l == mv_l and len(raw_l) == 2
+
+    raw_b = sorted(tuple(r) for r in bigram_logprob(docs, vocab_size=3).collect())
+    mv_b = sorted(tuple(r) for r in
+                  bigram_logprob(None, vocab_size=3, counts_df=bc).collect())
+    assert raw_b == mv_b and len(raw_b) == 3  # docs 1, 2, 5 only
+
+    # pre-built LM path with counts (build-once-score-many split)
+    lm = spark.createDataFrame([("the cat", -100000)], "_b string, _li bigint")
+    raw_pb = sorted(tuple(r) for r in
+                    bigram_logprob(docs, lm_df=lm).collect())
+    mv_pb = sorted(tuple(r) for r in
+                   bigram_logprob(None, lm_df=lm, counts_df=bc).collect())
+    assert raw_pb == mv_pb

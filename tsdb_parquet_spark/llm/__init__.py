@@ -40,7 +40,9 @@ from .paragraphs import (
 )
 from .text import (
     chunk_documents,
+    doc_bigram_counts,
     doc_fingerprint,
+    doc_token_counts,
     fingerprint_col,
     rolling_fingerprint,
     language_id,
@@ -97,6 +99,8 @@ __all__ = [
     "lsh_bucketed_ann",
     "vector_lit",
     "tokenize_counts",
+    "doc_token_counts",
+    "doc_bigram_counts",
     "unigram_logprob",
     "chunk_documents",
     "tokens_col",

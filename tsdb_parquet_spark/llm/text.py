@@ -72,6 +72,74 @@ def tokenize_counts(
     return out.limit(top_n) if top_n else out
 
 
+def doc_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """The SHARED TOKENIZE PASS as a materializable table: per-document
+    token counts ``(id, *extra, w, c)`` under the whitespace-class
+    tokenizer every lexical operator uses (explicit ``[ \\t\\n\\r\\f]``,
+    lowercased — the q80 cross-engine discipline).
+
+    This is the at-rest entry point for the token family (r10 verdict
+    #1): the regex split + explode floor shared by q104/q114/q129/q132
+    (measured sf10 decomposition SCALE.md §5l) is paid ONCE when the
+    table is materialized (sources.ensure_materialized), after which
+    :func:`unigram_logprob` (``counts_df=``), :func:`lexical_stats`
+    (``counts_df=``), and :func:`tfidf_top_terms` (``tf_df=`` after a
+    per-group re-aggregate) run on pre-counted rows — identical results
+    to the raw path by construction, since every downstream statistic
+    is a sum over (doc, token) multiplicities.
+
+    100 TB shape: one explode + one (id, token) partial-combining
+    aggregate — the output is ~|docs| x |distinct tokens per doc| rows,
+    typically 5-20x smaller than the corpus text and column-pruned at
+    read.  :func:`bigram_logprob` needs ORDER, not counts — its at-rest
+    twin is :func:`doc_bigram_counts`."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
+        lambda w: w != "",
+    )
+    cols = [F.col(id_col)] + [F.col(c) for c in extra_cols]
+    return (
+        df.select(*cols, F.explode(toks).alias("w"))
+        .groupBy(id_col, *extra_cols, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def doc_bigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BIGRAM counts ``(id, b, c)`` — the order-preserving
+    at-rest twin of :func:`doc_token_counts` for
+    :func:`bigram_logprob` (``counts_df=``): bigram rows are
+    constructed exactly as the raw path does (codegen posexplode +
+    ``lead()`` over (doc, pos) — never an interpreted array HOF), then
+    collapsed to per-doc counts, which is all the LM build and the
+    scoring fold consume.  Docs with <2 tokens contribute no rows, so
+    the served scores match the raw path row-for-row."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
+        lambda w: w != "",
+    )
+    tok_rows = df.select(
+        F.col(id_col), F.posexplode(toks).alias("_pos", "_w")
+    )
+    w_next = Window.partitionBy(id_col).orderBy("_pos")
+    return (
+        tok_rows.withColumn("_w2", F.lead("_w").over(w_next))
+        .filter(F.col("_w2").isNotNull())
+        .select(F.col(id_col), F.concat("_w", F.lit(" "), "_w2").alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def token_count(df: DataFrame, text_col: str = "text", alias: str = "n_tokens") -> Column:
     """Per-document token count (whitespace tokenization), as a column."""
     return F.size(tokens_col(text_col, lowercase=False)).alias(alias)
@@ -309,6 +377,7 @@ def unigram_logprob(
     unit: int = 1_000_000,
     lm_df: DataFrame | None = None,
     score_alias: str = "lp_tok",
+    counts_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean unigram log-probability — the perplexity-proxy
     QUALITY FILTER of a pre-training pipeline (the CCNet recipe scores
@@ -331,22 +400,41 @@ def unigram_logprob(
     per-doc partial aggregate — ONE full shuffle (doc_id).  Tokens use
     the explicit whitespace class (the q80 lesson: Java ``\\s`` includes
     VT, RE2's does not).  Docs with zero tokens produce no output row.
+
+    ``counts_df`` — a pre-counted ``(id_col, w, c)`` table from
+    :func:`doc_token_counts`, usually materialized at rest — replaces
+    the tokenize+explode pass entirely: the LM build re-aggregates the
+    counts and the per-doc fold weights each distinct token by ``c``.
+    Every statistic here is a sum over token multiplicities, so the
+    served result is IDENTICAL to the raw path (same oracle).
     """
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
-        lambda w: w != "",
-    )
-    tok = df.select(F.col(id_col), F.explode(toks).alias("_w"))
+    if counts_df is not None:
+        tok = counts_df.select(
+            F.col(id_col), F.col("w").alias("_w"), F.col("c").alias("_c")
+        )
+    else:
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
+            lambda w: w != "",
+        )
+        tok = df.select(F.col(id_col), F.explode(toks).alias("_w"))
     if lm_df is None:
         # cache the token counts: total and top-V are two light jobs
         # over the SAME aggregate, and without the cache each (plus the
-        # broadcast build) would re-explode the whole corpus
-        cnt = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_c")).persist()
+        # broadcast build) would re-explode the whole corpus (already-
+        # counted input skips the persist: it is an at-rest scan)
+        if counts_df is not None:
+            cnt = tok.groupBy("_w").agg(F.sum("_c").alias("_c"))
+        else:
+            cnt = tok.groupBy("_w").agg(
+                F.count(F.lit(1)).alias("_c")
+            ).persist()
         try:
             total = cnt.agg(F.sum("_c")).first()[0]
             if total is None:
-                id_type = df.schema[id_col].dataType.simpleString()
-                return df.sparkSession.createDataFrame(
+                src = df if df is not None else counts_df
+                id_type = src.schema[id_col].dataType.simpleString()
+                return src.sparkSession.createDataFrame(
                     [], f"{id_col} {id_type}, n_tokens long, "
                         f"sum_llu long, {score_alias} double"
                 )
@@ -378,16 +466,19 @@ def unigram_logprob(
     # free when every element pays the interpreter: the §5i HOF
     # staging rule's sharper corollary, SCALE.md §5k.
     if lm_df is None:
-        lm_df = df.sparkSession.createDataFrame(
-            lm_items, "_w string, _li bigint"
-        )
+        lm_df = (df if df is not None else counts_df).sparkSession \
+            .createDataFrame(lm_items, "_w string, _li bigint")
     li = F.coalesce(F.col("_li"), F.lit(oov_li))
+    # counts path: each distinct (doc, token) row carries multiplicity
+    # _c — the integer fold is identical to summing per-token rows
+    n_tok = F.sum("_c") if counts_df is not None else F.count(F.lit(1))
+    s_llu = F.sum(F.col("_c") * li) if counts_df is not None else F.sum(li)
     out = (
         tok.join(F.broadcast(lm_df), "_w", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(li).alias("sum_llu"),
+            n_tok.alias("n_tokens"),
+            s_llu.alias("sum_llu"),
         )
     )
     return out.withColumn(
@@ -616,6 +707,7 @@ def lexical_stats(
     df: DataFrame,
     text_col: str = "text",
     group_col: str = "source",
+    counts_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-group lexical profile: token count, vocabulary size, hapax
     count (tokens occurring exactly once), type-token ratio, and the
@@ -632,13 +724,26 @@ def lexical_stats(
     map-side partial combine (the token explosion never crosses a
     shuffle un-reduced), then the per-group rollup whose input is
     already vocabulary-sized.  No windows, no driver state.
+
+    ``counts_df`` — a pre-counted table carrying ``(group_col, w, c)``
+    (e.g. the per-doc :func:`doc_token_counts` output, which includes
+    the group column) — skips the tokenize pass: the (group, token)
+    aggregate sums the stored multiplicities instead of counting
+    exploded rows; identical integers, same oracle.
     """
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
-        lambda w: w != "",
-    )
-    tok = df.select(F.col(group_col), F.explode(toks).alias("_w"))
-    per_word = tok.groupBy(group_col, "_w").agg(F.count(F.lit(1)).alias("_c"))
+    if counts_df is not None:
+        per_word = counts_df.groupBy(group_col, "w").agg(
+            F.sum("c").alias("_c")
+        )
+    else:
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
+            lambda w: w != "",
+        )
+        tok = df.select(F.col(group_col), F.explode(toks).alias("_w"))
+        per_word = tok.groupBy(group_col, "_w").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
     return (
         per_word.groupBy(group_col)
         .agg(
@@ -753,6 +858,7 @@ def bigram_logprob(
     unit: int = 1_000_000,
     lm_df: DataFrame | None = None,
     score_alias: str = "lp2_tok",
+    counts_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean BIGRAM conditional log-probability — the next
     rung of q104's unigram perplexity proxy: ``lp(w2|w1) =
@@ -783,36 +889,56 @@ def bigram_logprob(
     driver-bounded by ``vocab_size`` and broadcast (the literal-map
     fold alternative linear-scans |vocab| entries per bigram —
     measured ~200 s at sf10; the q104 r9 cutoff lesson).
+
+    ``counts_df`` — a pre-counted ``(id_col, b, c)`` table from
+    :func:`doc_bigram_counts`, usually materialized at rest — skips
+    BOTH the tokenize pass and the window: the LM re-aggregates the
+    stored counts and the scoring fold weights each distinct bigram by
+    ``c``.  Identical integers to the raw path (every statistic is a
+    sum over bigram multiplicities), same oracle.
     """
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
-        lambda w: w != "",
-    )
-    # codegen'd bigram rows: token rows with array position, next token
-    # via lead() over (doc, pos) — "w1 w2" strings, portable to the
-    # SQL oracle.  Last token of each doc has null lead -> filtered, so
-    # docs with <2 tokens contribute no bigram rows (and no output row).
-    tok_rows = df.select(
-        F.col(id_col), F.posexplode(toks).alias("_pos", "_w")
-    )
-    w_next = Window.partitionBy(id_col).orderBy("_pos")
-    bgx = (
-        tok_rows.withColumn("_w2", F.lead("_w").over(w_next))
-        .filter(F.col("_w2").isNotNull())
-        .select(F.col(id_col), F.concat("_w", F.lit(" "), "_w2").alias("_b"))
-    )
-    if lm_df is not None:
-        # pre-built model (a KenLM-grade table, or this function's own
-        # build from another corpus slice): skip the build aggregates —
-        # the production build-once-score-many split, same as q104's.
-        # Single pass, so no persist.
-        return _score_bigrams(bgx, id_col, lm_df, oov_lp, unit, score_alias)
-    # two passes (LM build + scoring) share the constructed rows; the
-    # ContextCleaner unpersists when the returned plan is GC'd, and a
-    # cache-evicted partition recomputes from lineage, so lazy callers
-    # stay correct either way.
-    bgx = bgx.persist(StorageLevel.MEMORY_AND_DISK)
-    cnt = bgx.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb")).persist()
+    if counts_df is not None:
+        bgx = counts_df.select(
+            F.col(id_col), F.col("b").alias("_b"), F.col("c").alias("_c")
+        )
+        if lm_df is not None:
+            return _score_bigrams(bgx, id_col, lm_df, oov_lp, unit,
+                                  score_alias, count_col="_c")
+        cnt = bgx.groupBy("_b").agg(F.sum("_c").alias("_cb"))
+    else:
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
+            lambda w: w != "",
+        )
+        # codegen'd bigram rows: token rows with array position, next
+        # token via lead() over (doc, pos) — "w1 w2" strings, portable
+        # to the SQL oracle.  Last token of each doc has null lead ->
+        # filtered, so docs with <2 tokens contribute no bigram rows
+        # (and no output row).
+        tok_rows = df.select(
+            F.col(id_col), F.posexplode(toks).alias("_pos", "_w")
+        )
+        w_next = Window.partitionBy(id_col).orderBy("_pos")
+        bgx = (
+            tok_rows.withColumn("_w2", F.lead("_w").over(w_next))
+            .filter(F.col("_w2").isNotNull())
+            .select(F.col(id_col),
+                    F.concat("_w", F.lit(" "), "_w2").alias("_b"))
+        )
+        if lm_df is not None:
+            # pre-built model (a KenLM-grade table, or this function's
+            # own build from another corpus slice): skip the build
+            # aggregates — the production build-once-score-many split,
+            # same as q104's.  Single pass, so no persist.
+            return _score_bigrams(bgx, id_col, lm_df, oov_lp, unit,
+                                  score_alias)
+        # two passes (LM build + scoring) share the constructed rows;
+        # the ContextCleaner unpersists when the returned plan is GC'd,
+        # and a cache-evicted partition recomputes from lineage, so
+        # lazy callers stay correct either way.  (The counts path skips
+        # the persist: its two passes are at-rest parquet scans.)
+        bgx = bgx.persist(StorageLevel.MEMORY_AND_DISK)
+        cnt = bgx.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb")).persist()
     try:
         # prefix totals: bigrams sharing the first token
         pref = (
@@ -836,10 +962,14 @@ def bigram_logprob(
         )
     finally:
         cnt.unpersist()
-    lm_df = df.sparkSession.createDataFrame(
-        [(r["_b"], r["_li"]) for r in top] or [], "_b string, _li bigint"
+    lm_df = (df if df is not None else counts_df).sparkSession \
+        .createDataFrame(
+            [(r["_b"], r["_li"]) for r in top] or [], "_b string, _li bigint"
+        )
+    return _score_bigrams(
+        bgx, id_col, lm_df, oov_lp, unit, score_alias,
+        count_col="_c" if counts_df is not None else None,
     )
-    return _score_bigrams(bgx, id_col, lm_df, oov_lp, unit, score_alias)
 
 
 def _score_bigrams(
@@ -849,20 +979,25 @@ def _score_bigrams(
     oov_lp: float,
     unit: int,
     score_alias: str,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Broadcast-join scoring over (id, bigram) ROWS (the q104 r9
     lesson: a literal-map fold linear-scans |map| entries PER BIGRAM —
     ~200 s at 200 entries x 26.6M bigrams at sf10; the join's doc_id
     shuffle partial-combines to ~one row per doc map-side, and when
-    the rows came from the lead() window it reuses that exchange)."""
+    the rows came from the lead() window it reuses that exchange).
+    With ``count_col`` the rows are (id, bigram, multiplicity) from the
+    at-rest counts table and the fold weights by it — same integers."""
     oov_li = int(round(oov_lp * unit))
     li = F.coalesce(F.col("_li"), F.lit(oov_li))
+    n_bg = F.sum(count_col) if count_col else F.count(F.lit(1))
+    s_llu = F.sum(F.col(count_col) * li) if count_col else F.sum(li)
     return (
         bgx.join(F.broadcast(lm_df), "_b", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(li).alias("sum_llu"),
+            n_bg.alias("n_bigrams"),
+            s_llu.alias("sum_llu"),
         )
         .withColumn(
             score_alias,
