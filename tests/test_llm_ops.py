@@ -1366,3 +1366,64 @@ def test_counts_path_matches_raw_token_family(spark):
     mv_pb = sorted(tuple(r) for r in
                    bigram_logprob(None, lm_df=lm, counts_df=bc).collect())
     assert raw_pb == mv_pb
+
+
+def test_incremental_near_dup_against_band_index(spark, tmp_path):
+    from tsdb_parquet_spark.llm.incremental import (
+        ensure_band_index,
+        incremental_near_dup,
+        incremental_near_dup_candidates,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"the quick brown fox number {i} jumps over the lazy dog "
+             f"while reciting paragraph {i} of the corpus charter")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(src)
+    idx = ensure_band_index(
+        spark, "incnear_test", lambda: spark.read.parquet(src),
+        num_buckets=8, source_paths=src,
+    )
+    # bands rows per doc in the index
+    assert idx.count() == 30 * 16
+
+    batch = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 3: one appended word, ~97% shingle
+            # overlap -> >=1 of 16 bands collides w.p. ~1-3e-11
+            (100, "the quick brown fox number 3 jumps over the lazy dog "
+                  "while reciting paragraph 3 of the corpus charter today"),
+            # exact copy of corpus doc 7 (near-dup subsumes exact)
+            (101, "the quick brown fox number 7 jumps over the lazy dog "
+                  "while reciting paragraph 7 of the corpus charter"),
+            # genuinely new content, zero shingle overlap
+            (102, "completely unrelated telemetry ingestion pipeline "
+                  "specification draft with novel vocabulary throughout"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_near_dup(idx, batch)
+    assert sorted(r["doc_id"] for r in out.collect()) == [102]
+
+    pairs = incremental_near_dup_candidates(idx, batch)
+    got = {(r["batch_id"], r["corpus_id"]) for r in pairs.collect()}
+    assert (100, 3) in got and (101, 7) in got
+    assert all(b != 102 for b, _ in got)
+
+    # the corpus side must come off the bucketed layout with NO
+    # Exchange (q146 discipline): every exchange keys on the BATCH
+    # side's band_key / doc_id attributes, never the index's
+    import re
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    idx_scan = [ln for ln in plan.split("\n") if "incnear_test_bandidx" in ln]
+    assert idx_scan and "Bucketed: true" in idx_scan[-1]
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    idx_attr = re.search(r"\[doc_id#\d+L?, (band_key#\d+L?)\]", idx_scan[-1])
+    if idx_attr is None:  # column-pruned scan: band_key only
+        idx_attr = re.search(r"\[(band_key#\d+L?)\]", idx_scan[-1])
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    assert exchanges and idx_attr.group(1) not in exchanges, (
+        idx_attr.group(1), exchanges)

@@ -104,3 +104,154 @@ def incremental_dedup(
         .agg(keep.alias("_r"))
         .select("_r.*", "fingerprint")
     )
+
+
+def band_index_name(name: str) -> str:
+    return f"{name}_bandidx"
+
+
+def _band_keys_col(sig_col: str, num_hashes: int, bands: int):
+    """LSH band keys from a MinHash signature column — one xxhash64 per
+    band over that band's signature slice.  The band INDEX is folded
+    into the hash (it is the first hash argument), so the single
+    ``band_key`` column is join-key-grade: rows from different bands
+    cannot collide short of an xxhash64 collision.  Mirrors
+    dedup.minhash_lsh_candidates' banding exactly (dedup.py)."""
+    rpb = num_hashes // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(b, F.slice(F.col(sig_col), b * rpb + 1, rpb)),
+    )
+
+
+def ensure_band_index(
+    spark: SparkSession,
+    name: str,
+    build_docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    shingle_n: int = 5,
+    bands: int = 16,
+    seed: int = 42,
+    num_buckets: int = 32,
+    source_paths: str | list[str] | None = None,
+) -> DataFrame:
+    """Idempotent at-rest MinHash LSH BAND index of a corpus — the
+    NEAR-dup sibling of :func:`ensure_fingerprint_index` (r10 verdict
+    #4: q146 could check a daily increment for exact copies without
+    rescanning the corpus, but an LSH check still had to re-band 100 TB
+    per increment).  One ``(id, band_key)`` row per (document, band) —
+    ``bands`` rows per doc — hash-bucketed AND sorted on the band key
+    (``sources.ensure_bucketed_table``: fingerprint-named staleness,
+    catalog/DDL/write resolution).  Signature + banding are one map
+    stage (dedup.minhash_signatures); the ONE write-time shuffle
+    amortizes over every increment."""
+    from ..sources import ensure_bucketed_table
+    from .dedup import minhash_signatures
+
+    def _build():
+        sig = minhash_signatures(
+            build_docs(), text_col=text_col, num_hashes=num_hashes,
+            shingle_n=shingle_n, seed=seed,
+        )
+        return sig.select(
+            F.col(id_col),
+            F.explode(
+                _band_keys_col("minhash", num_hashes, bands)
+            ).alias("band_key"),
+        )
+
+    return ensure_bucketed_table(
+        spark,
+        band_index_name(name),
+        _build,
+        bucket_col="band_key",
+        num_buckets=num_buckets,
+        sort_col="band_key",
+        source_paths=source_paths,
+    )
+
+
+def incremental_near_dup_candidates(
+    band_index: DataFrame,
+    batch_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    shingle_n: int = 5,
+    bands: int = 16,
+    seed: int = 42,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Distinct (batch_id, corpus_id) NEAR-dup candidate pairs of an
+    increment against the at-rest band index: batch docs sharing >=1
+    LSH band with a corpus doc.  Rerank with dedup.ngram_jaccard_pairs
+    for exact scores (the standard LSH -> rerank split).
+
+    Shape — the corpus NEVER shuffles: signature + banding are a
+    batch-side map stage; the batch's band rows repartition ONCE to the
+    index's bucket count; the equi-join consumes the index's at-rest
+    buckets (merge-hinted so a test-scale broadcast can't mask the
+    layout — the q146 discipline).  Per-increment cost is
+    O(batch x bands + collisions), independent of corpus size."""
+    from .dedup import minhash_signatures
+
+    sig = minhash_signatures(
+        batch_df, text_col=text_col, num_hashes=num_hashes,
+        shingle_n=shingle_n, seed=seed,
+    )
+    keys = sig.select(
+        F.col(id_col).alias("batch_id"),
+        F.explode(
+            _band_keys_col("minhash", num_hashes, bands)
+        ).alias("band_key"),
+    ).repartition(num_buckets, "band_key")
+    return (
+        keys.join(band_index.hint("merge"), "band_key")
+        .select("batch_id", F.col(id_col).alias("corpus_id"))
+        .distinct()
+    )
+
+
+def incremental_near_dup(
+    band_index: DataFrame,
+    batch_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    shingle_n: int = 5,
+    bands: int = 16,
+    seed: int = 42,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Rows of ``batch_df`` with NO near-dup candidate in the at-rest
+    corpus — the accept-set of an incremental ingest at LSH sensitivity
+    (a doc colliding with the corpus in >=1 of the ``bands`` bands is
+    held out; route held-out docs through
+    :func:`incremental_near_dup_candidates` + Jaccard rerank to decide
+    borderline cases).  Composes after :func:`incremental_dedup`:
+    exact first, then near (cheapest filter first).
+
+    Shape: the candidate semi-join consumes the index's at-rest buckets
+    (no corpus-side Exchange — plan-asserted in tests); the hit-id set
+    and the final anti-join are batch-sized."""
+    from .dedup import minhash_signatures
+
+    sig = minhash_signatures(
+        batch_df, text_col=text_col, num_hashes=num_hashes,
+        shingle_n=shingle_n, seed=seed,
+    )
+    keys = sig.select(
+        F.col(id_col),
+        F.explode(
+            _band_keys_col("minhash", num_hashes, bands)
+        ).alias("band_key"),
+    ).repartition(num_buckets, "band_key")
+    hits = (
+        keys.join(band_index.select("band_key").hint("merge"),
+                  "band_key", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return batch_df.join(hits, id_col, "left_anti")
