@@ -97,6 +97,13 @@ def main() -> None:
         # construction moved to posexplode+lead this round
         "q104_unigram_logprob", "q129_tfidf_topterms", "q129_mv",
         "q132_lexical_stats", "q136_bigram_logprob",
+        # round-11 promotions: the at-rest token family served from the
+        # SHARED materialized per-doc token/bigram count tables (verdict
+        # r10 #1) — the raw-vs-mv deltas quantify what the amortized
+        # tokenize pass buys each operator (DuckDB's oracle recomputes
+        # from text every time; that asymmetry is the design point, the
+        # q09_mv ladder extended across the token family)
+        "q104_mv", "q132_mv", "q136_mv",
     ]
     # optional subset (comma-separated names): the sf100 curve extension
     # runs only the cheapest queries — disk/time bound, SCALE.md §5l
