@@ -82,6 +82,10 @@ def main() -> None:
         # vs DuckDB's 14 s serialized low-cardinality window at sf10),
         # q110 the family's honest loss (2.1x); both stay in
         "q110_interval_islands", "q119_weighted_percentile",
+        # round-11 promotion: the TPC-H Q5-shape 6-table join — the
+        # join-heavy complement of q09 on the tracked curve (its
+        # customer/supplier sides moved to shuffle-hash joins in r11)
+        "q145_regional_revenue",
         # round-9 promotions: the LLM-pipeline surface gets a tracked
         # DuckDB-relative curve like the relational core — semantic
         # dedup (cluster-bounded pairwise), the Gopher rule battery

@@ -1427,3 +1427,63 @@ def test_incremental_near_dup_against_band_index(spark, tmp_path):
     exchanges = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
     assert exchanges and idx_attr.group(1) not in exchanges, (
         idx_attr.group(1), exchanges)
+
+
+def test_dsir_select_matches_python_reference(spark):
+    """dsir_select's integer importance weights must equal a pure-Python
+    DSIR computation (hashed-token unigram LMs, add-one smoothing,
+    fixed-point bucket log-ratios, per-doc integer sums)."""
+    import hashlib
+    import math
+
+    from tsdb_parquet_spark.llm.corpus import dsir_select
+
+    target = spark.createDataFrame(
+        [(900 + i, "science physics experiment data analysis") for i in range(3)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "science experiment results and data"),
+            (2, "celebrity gossip fashion week highlights"),
+            (3, "physics data analysis from the experiment"),
+            (4, "sports scores and match highlights"),
+            (5, ""),  # zero tokens -> no output row
+        ],
+        "doc_id long, text string",
+    )
+    m = 64
+    out = dsir_select(raw, target, k=4, n_buckets=m)
+    got = {r["doc_id"]: (r["n_tokens"], r["lr_units"]) for r in out.collect()}
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % m
+
+    tgt_toks = [w for _ in range(3)
+                for w in "science physics experiment data analysis".split()]
+    raw_docs = {
+        1: "science experiment results and data".split(),
+        2: "celebrity gossip fashion week highlights".split(),
+        3: "physics data analysis from the experiment".split(),
+        4: "sports scores and match highlights".split(),
+    }
+    raw_toks = [w for ws in raw_docs.values() for w in ws]
+    T, R = len(tgt_toks), len(raw_toks)
+    ct, cr = {}, {}
+    for w in tgt_toks:
+        ct[bucket(w)] = ct.get(bucket(w), 0) + 1
+    for w in raw_toks:
+        cr[bucket(w)] = cr.get(bucket(w), 0) + 1
+    li = {b: int(round((math.log((ct.get(b, 0) + 1) / (T + m))
+                        - math.log((cr.get(b, 0) + 1) / (R + m))) * 1e6))
+          for b in range(m)}
+    want = {d: (len(ws), sum(li[bucket(w)] for w in ws))
+            for d, ws in raw_docs.items()}
+    assert got == want  # k=4 keeps all scoring docs; doc 5 has no row
+    # the science-y docs must outrank the off-domain ones
+    ranked = sorted(want, key=lambda d: (-want[d][1], d))
+    assert set(ranked[:2]) == {1, 3}
+    # k nests: top-2 is a prefix of top-4
+    top2 = [r["doc_id"] for r in dsir_select(raw, target, k=2,
+                                             n_buckets=m).collect()]
+    assert sorted(top2) == sorted(ranked[:2])

@@ -829,3 +829,109 @@ def integrity_audit(
         F.sum(F.when(F.col("_l").isNull(), 1).otherwise(0)).alias("right_orphans"),
     )
     return agg
+
+
+def dsir_select(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    k: int = 100,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169
+    "Data Selection for Language Models via Importance Resampling"):
+    keep the ``k`` raw-corpus documents whose hashed-token feature
+    distribution best matches a TARGET corpus — the domain-matching
+    selection step of a pre-training recipe (filter CommonCrawl toward
+    Wikipedia+books), one rung above q123's supervised quality
+    classifier (no labels needed, just a target sample).
+
+    Model: tokens hash into ``n_buckets`` features (md5 32-bit prefix
+    mod m — engine-portable, the q148 device), a bag-of-hashed-tokens
+    unigram LM per corpus with add-one smoothing, and each raw document
+    scores the SUM over its tokens of ``ln(p_target(b) / p_raw(b))`` —
+    its importance log-weight.  Exactness: each BUCKET's log-ratio is
+    fixed-pointed ONCE to integer ``round((ln((ct+1)/(T+m)) -
+    ln((cr+1)/(R+m))) * unit)`` (the q104 discipline: per-doc scores
+    are then INTEGER sums — order/partition-independent — and the
+    fixed-point absorbs cross-libm ln ulps); selection is top-k by
+    (weight DESC, id ASC), deterministic and nesting in k.  The paper's
+    Gumbel-resampling variant is one salted md5-uniform away
+    (:func:`weighted_sample`'s device); the deterministic argmax form
+    is what the oracle checks.
+
+    100 TB shape: two (bucket) partial-combining count aggregates (one
+    per corpus, m rows out each), an m-row weight table broadcast onto
+    the raw side's token explosion, ONE per-doc aggregate (the doc_id
+    shuffle partial-combines map-side), and a TakeOrdered top-k.  The
+    only driver scalars are the two total-token counts (T, R); every
+    token maps to a bucket and every bucket has a weight, so there is
+    no OOV path.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
+        lambda w: w != "",
+    )
+
+    def bucket_of(c: Column) -> Column:
+        # md5 32-bit prefix mod m: identical in DuckDB as
+        # CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % m
+        return F.pmod(
+            F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint"),
+            F.lit(n_buckets),
+        )
+
+    raw_tok = raw_df.select(
+        F.col(id_col), F.explode(toks).alias("_w")
+    ).select(F.col(id_col), bucket_of(F.col("_w")).alias("_b"))
+    tgt_tok = target_df.select(F.explode(toks).alias("_w")).select(
+        bucket_of(F.col("_w")).alias("_b")
+    )
+
+    cr = raw_tok.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    ct = tgt_tok.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    # total-token scalars: metadata-bounded driver values (q104's total)
+    R = raw_tok.count()
+    T = tgt_tok.count()
+    spark = raw_df.sparkSession
+    domain = spark.range(n_buckets).select(F.col("id").alias("_b"))
+    weights = (
+        domain.join(ct, "_b", "left").join(cr, "_b", "left")
+        .select(
+            "_b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("_ct"), F.lit(0)) + 1).cast("double")
+                        / F.lit(float(T + n_buckets))
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("_cr"), F.lit(0)) + 1).cast("double")
+                        / F.lit(float(R + n_buckets))
+                    )
+                )
+                * F.lit(unit)
+            ).cast("bigint").alias("_li"),
+        )
+    )
+    scored = (
+        raw_tok.join(F.broadcast(weights), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_li").alias("lr_units"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("lr_units"), F.asc(id_col))
+        .limit(k)
+        .withColumn(
+            "lr_tok",
+            F.round(
+                F.col("lr_units").cast("double") / F.col("n_tokens")
+                / F.lit(unit), 6,
+            ),
+        )
+    )
