@@ -108,6 +108,9 @@ def main() -> None:
         # from text every time; that asymmetry is the design point, the
         # q09_mv ladder extended across the token family)
         "q104_mv", "q132_mv", "q136_mv",
+        # r11: DSIR importance selection — two corpus-scan passes with
+        # bucket-count partial combines + a broadcast weight join
+        "q152_dsir_select",
     ]
     # optional subset (comma-separated names): the sf100 curve extension
     # runs only the cheapest queries — disk/time bound, SCALE.md §5l
