@@ -31,16 +31,22 @@ def main() -> None:
     }
     spark_total = round(sum(sq.values()), 3)
     duck_total = round(sum(dq.values()), 3)
+    # Concurrent wall is a SUITE number: comparing it against the
+    # union-set DuckDB total is only honest for runs that executed the
+    # full union (a run missing queries posts a smaller wall for free —
+    # the set grows across rounds, so old runs are serial-minima
+    # sources only).
+    full = [r for r in runs if set(r["queries"]) == set(queries)]
+    assert full, "no run covers the full query-set union; rerun the suite"
+    conc = min(r["concurrent_wall_sec"] for r in full)
     point = {
         "sf": sf,
         "n_runs": len(runs),
         "spark_serial_sec": spark_total,
         "duckdb_serial_sec": duck_total,
         "serial_ratio": round(spark_total / duck_total, 3),
-        "concurrent_wall_sec": min(r["concurrent_wall_sec"] for r in runs),
-        "concurrent_ratio": round(
-            min(r["concurrent_wall_sec"] for r in runs) / duck_total, 3
-        ),
+        "concurrent_wall_sec": conc,
+        "concurrent_ratio": round(conc / duck_total, 3),
         "rows_total": max(r["rows_total"] for r in runs),
         "queries": sq,
         "duckdb_queries": dq,
