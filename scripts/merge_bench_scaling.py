@@ -24,9 +24,18 @@ def main() -> None:
         for q in r["queries"]:
             if q not in queries:
                 queries.append(q)
-    sq = {q: min(r["queries"][q] for r in runs if q in r["queries"]) for q in queries}
+    def _min_pos(vals: list[float]) -> float:
+        # bench.py records errors as -1.0 — an error is a missing
+        # sample, never a candidate minimum (a -1 poisoned the q113
+        # fold in r11 when one DuckDB rep errored after its timeout)
+        pos = [v for v in vals if v > 0]
+        return min(pos) if pos else -1.0
+
+    sq = {q: _min_pos([r["queries"][q] for r in runs if q in r["queries"]])
+          for q in queries}
     dq = {
-        q: min(r["duckdb_queries"][q] for r in runs if q in r["duckdb_queries"])
+        q: _min_pos([r["duckdb_queries"][q] for r in runs
+                     if q in r["duckdb_queries"]])
         for q in queries
     }
     spark_total = round(sum(sq.values()), 3)
