@@ -109,8 +109,10 @@ def main() -> None:
         # q09_mv ladder extended across the token family)
         "q104_mv", "q132_mv", "q136_mv",
         # r11: DSIR importance selection — two corpus-scan passes with
-        # bucket-count partial combines + a broadcast weight join
-        "q152_dsir_select",
+        # bucket-count partial combines + a broadcast weight join; the
+        # mv twin serves the same oracle from the shared at-rest
+        # token-count table (no tokenize pass)
+        "q152_dsir_select", "q152_mv",
     ]
     # optional subset (comma-separated names): the sf100 curve extension
     # runs only the cheapest queries — disk/time bound, SCALE.md §5l

@@ -1487,3 +1487,33 @@ def test_dsir_select_matches_python_reference(spark):
     top2 = [r["doc_id"] for r in dsir_select(raw, target, k=2,
                                              n_buckets=m).collect()]
     assert sorted(top2) == sorted(ranked[:2])
+
+
+def test_dsir_counts_path_matches_raw(spark):
+    from tsdb_parquet_spark.llm.corpus import dsir_select
+    from tsdb_parquet_spark.llm.text import doc_token_counts
+
+    import pytest as _pytest
+
+    target = spark.createDataFrame(
+        [(900, "science physics experiment data analysis")],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "science experiment results and data data"),
+            (2, "celebrity gossip fashion week highlights"),
+            (3, "physics data analysis from the experiment"),
+        ],
+        "doc_id long, text string",
+    )
+    rc = doc_token_counts(raw, extra_cols=())
+    tc = doc_token_counts(target, extra_cols=())
+    raw_res = sorted(tuple(r) for r in
+                     dsir_select(raw, target, k=3, n_buckets=64).collect())
+    mv_res = sorted(tuple(r) for r in
+                    dsir_select(None, None, k=3, n_buckets=64,
+                                raw_counts=rc, target_counts=tc).collect())
+    assert raw_res == mv_res and len(raw_res) == 3
+    with _pytest.raises(ValueError, match="together"):
+        dsir_select(raw, target, raw_counts=rc)

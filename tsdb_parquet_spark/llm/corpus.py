@@ -839,6 +839,8 @@ def dsir_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     unit: int = 1_000_000,
+    raw_counts: DataFrame | None = None,
+    target_counts: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169
     "Data Selection for Language Models via Importance Resampling"):
@@ -869,7 +871,17 @@ def dsir_select(
     only driver scalars are the two total-token counts (T, R); every
     token maps to a bucket and every bucket has a weight, so there is
     no OOV path.
+
+    ``raw_counts`` / ``target_counts`` — pre-counted ``(id_col, w, c)``
+    tables from :func:`llm.text.doc_token_counts`, usually materialized
+    at rest — replace the tokenize passes entirely: bucket counts and
+    the per-doc fold weight each distinct token by ``c``.  Every DSIR
+    statistic is a sum over token multiplicities, so the result is
+    IDENTICAL to the raw path (same oracle) — the q104_mv device
+    applied to selection.  Both sides must be given together.
     """
+    if (raw_counts is None) != (target_counts is None):
+        raise ValueError("raw_counts and target_counts must be given together")
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
         lambda w: w != "",
@@ -883,25 +895,36 @@ def dsir_select(
             F.lit(n_buckets),
         )
 
-    raw_tok = raw_df.select(
-        F.col(id_col), F.explode(toks).alias("_w")
-    ).select(F.col(id_col), bucket_of(F.col("_w")).alias("_b"))
-    tgt_tok = target_df.select(F.explode(toks).alias("_w")).select(
-        bucket_of(F.col("_w")).alias("_b")
-    )
+    if raw_counts is not None:
+        raw_tok = raw_counts.select(
+            F.col(id_col), bucket_of(F.col("w")).alias("_b"),
+            F.col("c").alias("_c"),
+        )
+        tgt_tok = target_counts.select(
+            bucket_of(F.col("w")).alias("_b"), F.col("c").alias("_c")
+        )
+    else:
+        raw_tok = raw_df.select(
+            F.col(id_col), F.explode(toks).alias("_w")
+        ).select(F.col(id_col), bucket_of(F.col("_w")).alias("_b"))
+        tgt_tok = target_df.select(F.explode(toks).alias("_w")).select(
+            bucket_of(F.col("_w")).alias("_b")
+        )
 
     # persist the m-row bucket counts: the total-token scalar and the
     # weight table are two jobs over the SAME aggregate, and without the
     # persist each would re-tokenize its whole corpus (measured: 9.4 s
     # -> ~5.5 s at sf1 from collapsing five corpus passes to three —
-    # the LM build over each corpus plus the scoring pass over raw)
-    cr = raw_tok.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr")).persist()
-    ct = tgt_tok.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct")).persist()
+    # the LM build over each corpus plus the scoring pass over raw; the
+    # counts path keeps the persist for the same two-job reason)
+    _one = F.sum("_c") if raw_counts is not None else F.count(F.lit(1))
+    cr = raw_tok.groupBy("_b").agg(_one.alias("_cr")).persist()
+    ct = tgt_tok.groupBy("_b").agg(_one.alias("_ct")).persist()
     # total-token scalars from the bucket counts: metadata-bounded
     # driver values (q104's total), no extra corpus pass
     R = cr.agg(F.sum("_cr")).first()[0] or 0
     T = ct.agg(F.sum("_ct")).first()[0] or 0
-    spark = raw_df.sparkSession
+    spark = (raw_df if raw_df is not None else raw_counts).sparkSession
     domain = spark.range(n_buckets).select(F.col("id").alias("_b"))
     weights = (
         domain.join(ct, "_b", "left").join(cr, "_b", "left")
@@ -922,12 +945,15 @@ def dsir_select(
             ).cast("bigint").alias("_li"),
         )
     )
+    n_tok = F.sum("_c") if raw_counts is not None else F.count(F.lit(1))
+    s_lr = (F.sum(F.col("_c") * F.col("_li")) if raw_counts is not None
+            else F.sum("_li"))
     scored = (
         raw_tok.join(F.broadcast(weights), "_b")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("_li").alias("lr_units"),
+            n_tok.alias("n_tokens"),
+            s_lr.alias("lr_units"),
         )
     )
     return (
