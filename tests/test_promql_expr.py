@@ -778,3 +778,90 @@ def test_timestamp_function(spark, mini):
     got = {(r["label_handler"], r["label_code"], r["step_ts"]): r["value"]
            for r in rng.collect()}
     assert got[("/a", "200", 2000)] == 2.0 and got[("/b", "200", 3000)] == 3.0
+
+
+def test_predict_linear_instant_and_range(spark, mini):
+    # /a,200 rises 10/s; /a,500 1/s; /b,200 100/s — perfectly linear, so
+    # the extrapolation is exact: v(at) + slope * horizon
+    n = parse_expr("predict_linear(req[1m], 10)")
+    assert isinstance(n, RangeFn) and n.fn == "predict_linear"
+    assert n.param == (10.0,)
+    out = query_instant(mini, "predict_linear(req[1m], 10)", at_ms=3000)
+    got = {(r["label_handler"], r["label_code"]): round(r["value"], 6)
+           for r in out.collect()}
+    assert got == {("/a", "200"): 130.0, ("/a", "500"): 13.0,
+                   ("/b", "200"): 1300.0}
+    # negative horizon looks backward
+    back = query_instant(mini, "predict_linear(req[1m], -1)", at_ms=3000)
+    gb = {(r["label_handler"], r["label_code"]): round(r["value"], 6)
+          for r in back.collect()}
+    assert gb[("/a", "200")] == 20.0
+    # range form: per-step regression over the trailing window — at
+    # step 2000 the window holds t=0..2000, still the same line
+    rng = query_range(mini, "predict_linear(req[1m], 10)", 1000, 3000, 1000)
+    gr = {(r["label_handler"], r["label_code"], r["step_ts"]):
+          round(r["value"], 6) for r in rng.collect()}
+    assert gr[("/a", "200", 2000)] == 120.0
+    assert gr[("/b", "200", 3000)] == 1300.0
+
+
+def test_predict_linear_single_sample_drops(spark, mini):
+    # a 500ms window at t=3000 sees exactly one sample — undefined slope
+    out = query_instant(mini, "predict_linear(req[500ms], 10)", at_ms=3000)
+    assert out.count() == 0
+
+
+def test_holt_winters_instant_matches_reference(spark, mini):
+    # linear series: double exponential smoothing tracks exactly
+    out = query_instant(mini, "holt_winters(req[1m], 0.5, 0.3)", at_ms=3000)
+    got = {(r["label_handler"], r["label_code"]): round(r["value"], 9)
+           for r in out.collect()}
+    assert got == {("/a", "200"): 30.0, ("/a", "500"): 3.0,
+                   ("/b", "200"): 300.0}
+
+
+def test_holt_winters_wiggly_matches_python_recurrence(spark):
+    vals = [5.0, 9.0, 2.0, 14.0, 3.0, 8.0, 11.0]
+    rows = [(i * 1000, v, "sig", "/x") for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "time long, value double, label_name string, "
+        "label_handler string")
+    sf, tf = 0.4, 0.2
+
+    def ref(v):
+        s, b = v[0], v[1] - v[0]
+        for x in v[1:]:
+            s_prev = s
+            s = sf * x + (1 - sf) * (s + b)
+            b = tf * (s - s_prev) + (1 - tf) * b
+        return s
+
+    out = query_instant(df, "holt_winters(sig[1m], 0.4, 0.2)", at_ms=6000)
+    assert out.first()["value"] == pytest.approx(ref(vals), abs=1e-12)
+    # trailing-window range form reproduces the per-window recurrence
+    rng = query_range(df, "holt_winters(sig[3s], 0.4, 0.2)", 3000, 6000, 1000)
+    got = {r["step_ts"]: r["value"] for r in rng.collect()}
+    # window (0,3]s -> samples 1..3 of the list (t in (0,3000])
+    assert got[3000] == pytest.approx(ref(vals[1:4]), abs=1e-12)
+    assert got[6000] == pytest.approx(ref(vals[4:7]), abs=1e-12)
+
+
+def test_holt_winters_validation_and_min_samples(spark, mini):
+    with pytest.raises(ValueError):
+        parse_expr("holt_winters(req[1m], 1.5, 0.3)")
+    with pytest.raises(ValueError):
+        parse_expr("holt_winters(req[1m], 0.5, 0)")
+    # <2 samples in window: series drops
+    out = query_instant(mini, "holt_winters(req[500ms], 0.5, 0.3)",
+                        at_ms=3000)
+    assert out.count() == 0
+
+
+def test_predict_linear_subquery_form(spark, mini):
+    # inner grid of sum-by-handler at 1s steps, regression over the grid
+    out = query_instant(
+        mini, "predict_linear(sum by (handler) (req)[3s:1s], 1)",
+        at_ms=3000)
+    got = {r["label_handler"]: round(r["value"], 6) for r in out.collect()}
+    # /a totals at 1,2,3s: 11,22,33 -> slope 11/s, predict at +1s = 44
+    assert got["/a"] == 44.0 and got["/b"] == 400.0

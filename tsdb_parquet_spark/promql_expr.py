@@ -25,6 +25,8 @@ Grammar (the working subset, PromQL precedence order)::
                | 'quantile' byc? '(' number ',' expr ')' byc?
                | 'count_values' byc? '(' string ',' expr ')' byc?
                | 'quantile_over_time' '(' number ',' sel '[' dur ']' ')'
+               | 'predict_linear' '(' sel '[' dur ']' ',' number ')'
+               | 'holt_winters' '(' sel '[' dur ']' ',' number ',' number ')'
                | 'histogram_quantile' '(' number ',' expr ')'
                | ('absent'|'sort'|'sort_desc'|'scalar') '(' expr ')'
                | 'label_replace' '(' expr ',' string{4} ')'
@@ -38,7 +40,17 @@ Grammar (the working subset, PromQL precedence order)::
 
 Range functions: rate, increase, irate, delta, idelta, deriv, resets,
 changes, avg/min/max/sum/count/last/stddev/stdvar/present/absent_over_time,
-quantile_over_time(q, …).  A subquery ``fn(expr[range:step])`` evaluates
+quantile_over_time(q, …), predict_linear(…, horizon_s) (least-squares
+extrapolation ``horizon_s`` seconds past the evaluation time; exact
+DECIMAL(38,0) regression moments over 1e-9-quantized values with time
+centered on the evaluation instant — the linreg_per_series exactness
+contract, so engines agree bit-for-bit where native ``regr_slope``
+built-ins don't), and holt_winters(…, sf, tf) (double exponential
+smoothing; the level/trend recurrence folds JVM-side over the sorted
+per-window sample array via ``aggregate()`` — sequential per series
+exactly as Prometheus holds it, Python-free, the fixed fold order making
+the IEEE double stream reproducible on any engine).  A subquery
+``fn(expr[range:step])`` evaluates
 the inner expression on a fine grid and applies the range function over
 the grid points (step defaults to 60s when omitted, documented
 engine-default in place of Prometheus's global evaluation interval).
@@ -176,7 +188,9 @@ class RangeFn(Node):
     fn: str
     arg: Selector
     window_ms: int
-    param: Optional[float] = None  # quantile_over_time's q
+    # quantile_over_time's q; (horizon_s,) for predict_linear;
+    # (sf, tf) for holt_winters
+    param: Optional[object] = None
 
 
 @dataclass
@@ -188,7 +202,7 @@ class Subquery(Node):
     range_ms: int
     step_ms: int
     offset_ms: int = 0
-    param: Optional[float] = None
+    param: Optional[object] = None  # same convention as RangeFn.param
 
 
 @dataclass
@@ -444,6 +458,8 @@ class _Parser:
                 return self.range_fn()
             if val == "quantile_over_time" and called:
                 return self.quantile_over_time()
+            if val in ("predict_linear", "holt_winters") and called:
+                return self.trailing_param_range_fn(val)
             if val in ("topk", "bottomk") and (
                 called or (nxt and nxt[1] in ("by", "without"))
             ):
@@ -516,9 +532,12 @@ class _Parser:
         self.eat("]")
         return rng, step, is_subq
 
-    def _range_call(self, fn: str, param: Optional[float]) -> Node:
+    def _range_call(self, fn: str, param: Optional[object],
+                    trailing: int = 0) -> Node:
         """Shared tail of ``fn(... '[' ... )`` for plain + parameterized
-        range functions: a selector range or a subquery."""
+        range functions: a selector range or a subquery.  ``trailing``
+        scalar arguments (predict_linear's horizon, holt_winters' sf/tf)
+        are parsed after the range and stored as the param tuple."""
         arg = self.expr()
         rng, step, is_subq = self._range_suffix()
         offset_ms = 0
@@ -526,6 +545,17 @@ class _Parser:
         if self.peek() and self.peek()[1] == "offset":
             self.eat("offset")
             offset_ms = parse_duration_ms(self.eat("duration")[1])
+        if trailing:
+            vals = []
+            for _ in range(trailing):
+                self.eat(",")
+                neg = False
+                if self.peek() and self.peek()[1] == "-":
+                    self.eat("-")
+                    neg = True
+                v = float(self.eat("number")[1])
+                vals.append(-v if neg else v)
+            param = tuple(vals)
         self.eat(")")
         if is_subq:
             return Subquery(fn, arg, rng, step or _DEFAULT_SUBQUERY_STEP_MS,
@@ -548,6 +578,20 @@ class _Parser:
         q = float(self.eat("number")[1])
         self.eat(",")
         return self._range_call("quantile", q)
+
+    def trailing_param_range_fn(self, fn: str) -> Node:
+        """``predict_linear(v[d], t)`` / ``holt_winters(v[d], sf, tf)`` —
+        range functions whose scalar arguments FOLLOW the range."""
+        self.eat(fn)
+        self.eat("(")
+        node = self._range_call(fn, None,
+                                trailing=1 if fn == "predict_linear" else 2)
+        if fn == "holt_winters":
+            p = node.param
+            if not (0 < p[0] < 1 and 0 < p[1] < 1):
+                raise ValueError(
+                    "holt_winters smoothing factors must be in (0, 1)")
+        return node
 
     def _opt_by(self) -> tuple[list[str], bool, bool]:
         if self.peek() and self.peek()[1] in ("by", "without"):
@@ -709,7 +753,8 @@ class PromQLEngine:
                     .select(F.lit(1.0).alias(VALUE_COL))
                 )
             labels = label_columns(w)
-            return self._range_fn_agg(node.fn, node.param, w, labels, [])
+            return self._range_fn_agg(node.fn, node.param, w, labels, [],
+                                      eval_ts=F.lit(at_eff))
         if isinstance(node, Subquery):
             at_eff = at - node.offset_ms
             inner = self._rng(node.arg, at_eff - node.range_ms, at_eff, node.step_ms)
@@ -719,7 +764,8 @@ class PromQLEngine:
                 & (F.col(TIME_COL) > at_eff - node.range_ms)
             )
             labels = [c for c in w.columns if c not in (TIME_COL, VALUE_COL)]
-            return self._range_fn_agg(node.fn, node.param, w, labels, [])
+            return self._range_fn_agg(node.fn, node.param, w, labels, [],
+                                      eval_ts=F.lit(at_eff))
         if isinstance(node, Agg):
             return self._agg_node(self._inst(node.arg, at), node, [])
         if isinstance(node, TopK):
@@ -1057,11 +1103,91 @@ class PromQLEngine:
         )
 
     def _range_fn_agg(self, fn: str, param, w: DataFrame, labels: list[str],
-                      extra_keys: list[str]) -> DataFrame:
+                      extra_keys: list[str],
+                      eval_ts=None) -> DataFrame:
         """Whole-window evaluation of a range function, grouped by
-        (labels, extra_keys) — extra_keys carries step_ts for grids."""
+        (labels, extra_keys) — extra_keys carries step_ts for grids.
+        ``eval_ts`` is the evaluation instant as a Column (a literal for
+        instant queries, the step_ts column for grids) — only
+        predict_linear anchors on it."""
         v = F.col(VALUE_COL)
         t = F.col(TIME_COL)
+        if fn == "predict_linear":
+            # Least-squares extrapolation param[0] seconds past the
+            # evaluation instant — Prometheus's linearRegression
+            # (promql/functions.go) centers time on the evaluation
+            # timestamp; here additionally under the exactness contract
+            # of timeseries.linreg_per_series (1e-9-quantized values,
+            # DECIMAL(38,0) moments, ONE final double expression) so any
+            # engine reproduces the value bit-for-bit where native
+            # regr_slope built-ins legitimately differ.
+            horizon_ms = float(param[0]) * 1000.0
+            unit = 1e-9
+            dec = "decimal(38,0)"
+            x = (t - eval_ts).cast(dec)
+            q = F.floor(v / F.lit(unit) + F.lit(0.5)).cast(dec)
+            d = w.select(*labels, *extra_keys, x.alias("_x"), q.alias("_q"))
+            n = F.count(F.lit(1)).cast(dec)
+            agg = d.groupBy(*labels, *extra_keys).agg(
+                n.alias("_n"),
+                F.sum("_x").alias("_sx"),
+                F.sum("_q").alias("_sq"),
+                F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+                F.sum(F.col("_x") * F.col("_q")).alias("_sxq"),
+            )
+            cov = (F.col("_n") * F.col("_sxq")
+                   - F.col("_sx") * F.col("_sq")).cast("double")
+            vt = (F.col("_n") * F.col("_sxx")
+                  - F.col("_sx") * F.col("_sx")).cast("double")
+            ok = (F.col("_n") >= 2) & (vt > 0)
+            # slope = cov/vt (units/ms); intercept at x=0 = the instant
+            val = (
+                (F.col("_sq").cast("double")
+                 - cov / vt * F.col("_sx").cast("double"))
+                / F.col("_n").cast("double")
+                + cov / vt * F.lit(horizon_ms)
+            ) * F.lit(unit)
+            return (
+                agg.filter(ok)
+                .withColumn(VALUE_COL, val)
+                .select(*labels, *extra_keys, VALUE_COL)
+            )
+        if fn == "holt_winters":
+            # double exponential smoothing: the level/trend recurrence
+            # folds JVM-side over the window's time-sorted sample array
+            # (aggregate() — codegen, Python-free); per-series sequential
+            # exactly as Prometheus holds it, and the fixed fold order
+            # makes the IEEE double stream engine-reproducible.  Series
+            # with <2 samples drop (undefined trend), like Prometheus.
+            sfp, tfp = float(param[0]), float(param[1])
+            arr = F.sort_array(
+                F.collect_list(F.struct(t.alias("t"), v.alias("v")))
+            )
+            g = w.groupBy(*labels, *extra_keys).agg(arr.alias("_a"))
+            n = F.size("_a")
+            vals = F.transform(F.col("_a"), lambda s: s["v"])
+            init = F.struct(
+                F.get(vals, 0).alias("s"),
+                (F.get(vals, 1) - F.get(vals, 0)).alias("b"),
+            )
+            one_sf = F.lit(1.0 - sfp)
+            one_tf = F.lit(1.0 - tfp)
+
+            def _hw_step(acc, x):
+                s_new = F.lit(sfp) * x + one_sf * (acc["s"] + acc["b"])
+                return F.struct(
+                    s_new.alias("s"),
+                    (F.lit(tfp) * (s_new - acc["s"])
+                     + one_tf * acc["b"]).alias("b"),
+                )
+
+            smoothed = F.aggregate(
+                F.slice(vals, 2, F.greatest(n - 1, F.lit(0))),
+                init, _hw_step,
+            )["s"]
+            return (
+                g.filter(n >= 2).withColumn(VALUE_COL, smoothed).drop("_a")
+            )
         if fn in ("rate", "increase"):
             from .timeseries import counter_rate
 
@@ -1144,9 +1270,10 @@ class PromQLEngine:
             .withColumn("_k", F.explode(F.sequence(k_min, k_max)))
             .withColumn("step_ts", F.lit(start) + F.col("_k") * F.lit(step))
         )
-        return self._range_fn_agg(fn, param, exploded, labels, ["step_ts"]).select(
-            *labels, "step_ts", VALUE_COL
-        )
+        return self._range_fn_agg(
+            fn, param, exploded, labels, ["step_ts"],
+            eval_ts=F.col("step_ts"),
+        ).select(*labels, "step_ts", VALUE_COL)
 
     def _match_keys(self, node: BinOp, left: DataFrame, right: DataFrame,
                     extra: list[str]) -> list[str]:
