@@ -865,3 +865,68 @@ def test_predict_linear_subquery_form(spark, mini):
     got = {r["label_handler"]: round(r["value"], 6) for r in out.collect()}
     # /a totals at 1,2,3s: 11,22,33 -> slope 11/s, predict at +1s = 44
     assert got["/a"] == 44.0 and got["/b"] == 400.0
+
+
+def test_parse_power_precedence():
+    # right-assoc: 2^3^2 = 2^(3^2) = 512; unary minus binds looser: -2^2 = -4
+    n = parse_expr("m * 2^3^2")
+    assert isinstance(n, BinOp) and n.op == "*"
+    assert isinstance(n.right, Scalar) and n.right.value == 512.0
+    n = parse_expr("m + -2^2")
+    assert isinstance(n.right, Scalar) and n.right.value == -4.0
+    # scalar folding through functions and pi()
+    n = parse_expr("m * sin(pi()/2)")
+    assert isinstance(n.right, Scalar) and n.right.value == 1.0
+
+
+def test_trig_and_power_eval(spark, mini):
+    import math
+
+    out = query_instant(mini, 'cos(req{handler="/a"} * 0)', at_ms=3000)
+    vals = {r["value"] for r in out.collect()}
+    assert vals == {1.0}
+    out = query_instant(mini, 'req{handler="/a",code="200"} ^ 2', at_ms=3000)
+    assert out.collect()[0]["value"] == 900.0
+    # deg/rad roundtrip
+    out = query_instant(mini, 'deg(rad(req{code="500"}))', at_ms=3000)
+    assert round(out.collect()[0]["value"], 9) == 3.0
+    # vector atan2 scalar
+    out = query_instant(mini, 'req{handler="/b"} atan2 0', at_ms=3000)
+    assert out.collect()[0]["value"] == math.atan2(300.0, 0.0)
+
+
+def test_atan2_vector_vector(spark, mini):
+    import math
+
+    # y atan2 x between the two /a series, matching on shared labels minus code
+    out = query_instant(
+        mini,
+        'req{code="200"} atan2 ignoring(code) req{code="500"}',
+        at_ms=3000,
+    )
+    got = {r["label_handler"]: r["value"] for r in out.collect()}
+    assert got["/a"] == math.atan2(30.0, 3.0)
+
+
+def test_vector_matching_absent_labels(spark):
+    # Prometheus matches an absent label with an absent label (both "");
+    # on the wide layout absent = NULL, so matching must be null-safe.
+    rows = [
+        (1000, 10.0, "m", "/a", None),
+        (1000, 3.0, "n", "/a", None),
+        (1000, 7.0, "m", "/b", "x"),
+        (1000, 2.0, "n", "/b", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "time long, value double, label_name string, label_handler string, "
+        "label_extra string",
+    )
+    out = query_instant(df, "m - ignoring(name) n", at_ms=1000)
+    got = {r["label_handler"]: r["value"] for r in out.collect()}
+    assert got == {"/a": 7.0, "/b": 5.0}
+    # set ops are null-safe too
+    out = query_instant(df, "m and ignoring(name) n", at_ms=1000)
+    assert out.count() == 2
+    out = query_instant(df, "m unless ignoring(name) n", at_ms=1000)
+    assert out.count() == 0

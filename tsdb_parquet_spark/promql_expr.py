@@ -15,8 +15,9 @@ Grammar (the working subset, PromQL precedence order)::
     and_expr  := cmp_expr (('and'|'unless') vmatch? cmp_expr)*
     cmp_expr  := sum_expr (CMP 'bool'? vmatch? sum_expr)*
     sum_expr  := term (('+'|'-') vmatch? term)*
-    term      := unary (('*'|'/'|'%') vmatch? unary)*
-    unary     := '-' unary | primary
+    term      := unary (('*'|'/'|'%'|'atan2') vmatch? unary)*
+    unary     := '-' unary | power
+    power     := primary ('^' vmatch? unary)?        # right-assoc, -2^2 = -4
     vmatch    := ('on'|'ignoring') '(' labels ')'
                  (('group_left'|'group_right') ('(' labels ')')?)?
     primary   := number | call | aggregate | selector_expr | '(' expr ')'
@@ -80,6 +81,7 @@ interval, the same bound Prometheus itself holds in memory per series.
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 from typing import Optional
@@ -147,8 +149,48 @@ _SCALAR_FNS = {
     "days_in_month": (lambda v, a: F.dayofmonth(F.last_day(_ts(v))).cast("double"), 0, 0),
     "month": (lambda v, a: F.month(_ts(v)).cast("double"), 0, 0),
     "year": (lambda v, a: F.year(_ts(v)).cast("double"), 0, 0),
+    # trigonometric functions (Prometheus 2.31+, all radians-based;
+    # JVM-side java.lang.Math so values match any IEEE-754 engine)
+    "sin": (lambda v, a: F.sin(v), 0, 0),
+    "cos": (lambda v, a: F.cos(v), 0, 0),
+    "tan": (lambda v, a: F.tan(v), 0, 0),
+    "asin": (lambda v, a: F.asin(v), 0, 0),
+    "acos": (lambda v, a: F.acos(v), 0, 0),
+    "atan": (lambda v, a: F.atan(v), 0, 0),
+    "sinh": (lambda v, a: F.sinh(v), 0, 0),
+    "cosh": (lambda v, a: F.cosh(v), 0, 0),
+    "tanh": (lambda v, a: F.tanh(v), 0, 0),
+    "asinh": (lambda v, a: F.asinh(v), 0, 0),
+    "acosh": (lambda v, a: F.acosh(v), 0, 0),
+    "atanh": (lambda v, a: F.atanh(v), 0, 0),
+    "deg": (lambda v, a: F.degrees(v), 0, 0),
+    "rad": (lambda v, a: F.radians(v), 0, 0),
     # internal: unary minus
     "neg": (lambda v, a: -v, 0, 0),
+}
+
+# scalar∘scalar arithmetic, python-side (IEEE doubles — same results the
+# JVM column expressions produce), used for parse/eval constant folding
+_SCALAR_BINOP_FOLD = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b if b != 0 else math.nan,
+    "%": lambda a, b: math.fmod(a, b) if b != 0 else math.nan,
+    "^": lambda a, b: math.pow(a, b),
+    "atan2": lambda a, b: math.atan2(a, b),
+}
+
+# argless pure-math subset of _SCALAR_FNS, python-side for constant folding
+_PY_SCALAR_FOLD = {
+    "abs": abs, "ceil": math.ceil, "floor": math.floor, "sqrt": math.sqrt,
+    "exp": math.exp, "ln": math.log, "log2": math.log2, "log10": math.log10,
+    "sgn": lambda v: float((v > 0) - (v < 0)),
+    "sin": math.sin, "cos": math.cos, "tan": math.tan,
+    "asin": math.asin, "acos": math.acos, "atan": math.atan,
+    "sinh": math.sinh, "cosh": math.cosh, "tanh": math.tanh,
+    "asinh": math.asinh, "acosh": math.acosh, "atanh": math.atanh,
+    "deg": math.degrees, "rad": math.radians,
 }
 
 _DURATION_RE = re.compile(r"^(\d+)(ms|s|m|h|d|w)$")
@@ -301,7 +343,7 @@ _TOKEN_RE = re.compile(
         (?P<brace>\{(?:[^"}]|"(?:[^"\\]|\\.)*")*\}) |
         (?P<string>"(?:[^"\\]|\\.)*")           |
         (?P<cmp>==|!=|>=|<=|>|<)                |
-        (?P<op>[-+*/%(),\[\]:@])
+        (?P<op>[-+*/%^(),\[\]:@])
     )""",
     re.VERBOSE,
 )
@@ -413,20 +455,31 @@ class _Parser:
             node = BinOp(op, node, self.sum_expr(), on, ign, bool_mod, gs, gl)
         return node
 
+    @staticmethod
+    def _fold_binop(op, left, right, on, ign, gs, gl) -> Node:
+        """Constant-fold scalar∘scalar arithmetic at parse time; otherwise
+        build the BinOp node."""
+        if isinstance(left, Scalar) and isinstance(right, Scalar) and not (
+            on or ign or gs or gl
+        ):
+            return Scalar(_SCALAR_BINOP_FOLD[op](left.value, right.value))
+        return BinOp(op, left, right, on, ign, False, gs, gl)
+
     def sum_expr(self) -> Node:
         node = self.term()
         while self.peek() and self.peek()[1] in ("+", "-"):
             op = self.eat()[1]
             on, ign, gs, gl = self._vmatch()
-            node = BinOp(op, node, self.term(), on, ign, False, gs, gl)
+            node = self._fold_binop(op, node, self.term(), on, ign, gs, gl)
         return node
 
     def term(self) -> Node:
+        # atan2 is an infix keyword operator at * precedence (PromQL 2.31+)
         node = self.unary()
-        while self.peek() and self.peek()[1] in ("*", "/", "%"):
+        while self.peek() and self.peek()[1] in ("*", "/", "%", "atan2"):
             op = self.eat()[1]
             on, ign, gs, gl = self._vmatch()
-            node = BinOp(op, node, self.unary(), on, ign, False, gs, gl)
+            node = self._fold_binop(op, node, self.unary(), on, ign, gs, gl)
         return node
 
     def unary(self) -> Node:
@@ -436,7 +489,18 @@ class _Parser:
             if isinstance(node, Scalar):
                 return Scalar(-node.value)
             return ScalarFn("neg", node, [])
-        return self.primary()
+        return self.power()
+
+    def power(self) -> Node:
+        # '^' binds tighter than unary minus on its left and is
+        # RIGHT-associative (-2^2 == -4, 2^3^2 == 2^(3^2)); the exponent
+        # re-enters unary so 2^-3 parses — exactly Prometheus's grammar
+        node = self.primary()
+        if self.peek() and self.peek()[1] == "^":
+            self.eat("^")
+            on, ign, gs, gl = self._vmatch()
+            node = self._fold_binop("^", node, self.unary(), on, ign, gs, gl)
+        return node
 
     def primary(self) -> Node:
         tok = self.peek()
@@ -479,6 +543,11 @@ class _Parser:
                 self.eat("(")
                 self.eat(")")
                 return TimeFn()
+            if val == "pi" and called:
+                self.eat("pi")
+                self.eat("(")
+                self.eat(")")
+                return Scalar(math.pi)
             if val in _SCALAR_FNS and called:
                 return self.scalar_fn()
             if val in _AGG_OPS and nxt and nxt[1] in ("by", "without", "("):
@@ -679,6 +748,10 @@ class _Parser:
         lo, hi = _SCALAR_FNS[fn][1], _SCALAR_FNS[fn][2]
         if not (lo <= len(args) <= hi):
             raise ValueError(f"{fn} takes {lo}..{hi} numeric arg(s), got {len(args)}")
+        if isinstance(arg, Scalar) and fn in _PY_SCALAR_FOLD:
+            # pure-math function of a literal: constant-fold driver-side
+            # so e.g. sin(pi()/2) stays a scalar operand
+            return Scalar(_PY_SCALAR_FOLD[fn](arg.value))
         return ScalarFn(fn, arg, args)
 
     def histogram_quantile(self) -> HistogramQuantile:
@@ -1303,10 +1376,14 @@ class PromQLEngine:
             "*": lambda a, b: a * b,
             "/": lambda a, b: F.when(b != 0, a / b),
             "%": lambda a, b: F.when(b != 0, a % b),
+            "^": lambda a, b: F.pow(a, b),
+            "atan2": lambda a, b: F.atan2(a, b),
         }
         op = ops[node.op]
         if not isinstance(left, DataFrame) and not isinstance(right, DataFrame):
-            raise ValueError("scalar-scalar expressions are not vectors")
+            # scalar-scalar arithmetic constant-folds driver-side
+            # (Prometheus allows it; the result stays a scalar operand)
+            return _SCALAR_BINOP_FOLD[node.op](left, right)
         if not isinstance(left, DataFrame):
             return right.withColumn(VALUE_COL, op(F.lit(left), F.col(VALUE_COL)))
         if not isinstance(right, DataFrame):
@@ -1349,8 +1426,19 @@ class PromQLEngine:
             o = one.select(F.col(VALUE_COL).alias(one_val), *carry)
             joined = m.crossJoin(F.broadcast(o))
         else:
-            o = one.select(*keys, F.col(VALUE_COL).alias(one_val), *carry)
-            joined = m.join(o, keys)
+            # NULL-SAFE key equality: on the wide layout a label the
+            # series doesn't carry is NULL on both sides, and Prometheus
+            # matches absent-with-absent (both are ""), so the join must
+            # be <=> not = — EqualNullSafe keys still plan as hash joins.
+            o = one.select(
+                *[F.col(k).alias(f"__rk_{k}") for k in keys],
+                F.col(VALUE_COL).alias(one_val), *carry,
+            )
+            cond = None
+            for k in keys:
+                c = m[k].eqNullSafe(o[f"__rk_{k}"])
+                cond = c if cond is None else (cond & c)
+            joined = m.join(o, cond).drop(*[f"__rk_{k}" for k in keys])
         return joined, keep
 
     def _cmp(self, node: BinOp, left, right, extra_keys: list[str]):
@@ -1392,23 +1480,35 @@ class PromQLEngine:
         if not isinstance(left, DataFrame) or not isinstance(right, DataFrame):
             raise ValueError(f"{node.op} requires vector operands")
         keys = self._match_keys(node, left, right, extra_keys)
+        def _nullsafe(l: DataFrame, r: DataFrame, how: str) -> DataFrame:
+            # semi/anti probe with <=> keys (absent label matches absent,
+            # the Prometheus "" rule — see _vv_join)
+            probe = r.select(
+                *[F.col(k).alias(f"__rk_{k}") for k in keys]
+            ).distinct()
+            cond = None
+            for k in keys:
+                c = l[k].eqNullSafe(probe[f"__rk_{k}"])
+                cond = c if cond is None else (cond & c)
+            return l.join(probe, cond, how)
+
         if node.op == "and":
             if not keys:
                 # keyless: keep left iff right is non-empty
                 n = right.agg(F.count(F.lit(1)).alias("_n"))
                 return left.crossJoin(F.broadcast(n)).filter(F.col("_n") > 0).drop("_n")
-            return left.join(right.select(*keys).distinct(), keys, "left_semi")
+            return _nullsafe(left, right, "left_semi")
         if node.op == "unless":
             if not keys:
                 n = right.agg(F.count(F.lit(1)).alias("_n"))
                 return left.crossJoin(F.broadcast(n)).filter(F.col("_n") == 0).drop("_n")
-            return left.join(right.select(*keys).distinct(), keys, "left_anti")
+            return _nullsafe(left, right, "left_anti")
         # or: left, plus right elements whose match-key set is absent from left
         if not keys:
             n = left.agg(F.count(F.lit(1)).alias("_n"))
             fallback = right.crossJoin(F.broadcast(n)).filter(F.col("_n") == 0).drop("_n")
             return left.unionByName(fallback, allowMissingColumns=True)
-        fallback = right.join(left.select(*keys).distinct(), keys, "left_anti")
+        fallback = _nullsafe(right, left, "left_anti")
         return left.unionByName(fallback, allowMissingColumns=True)
 
 
