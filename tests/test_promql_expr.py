@@ -930,3 +930,12 @@ def test_vector_matching_absent_labels(spark):
     assert out.count() == 2
     out = query_instant(df, "m unless ignoring(name) n", at_ms=1000)
     assert out.count() == 0
+
+
+def test_mad_over_time(spark, mini):
+    # /a code=200 window values 0,10,20,30: median 15, |dev| 15,5,5,15,
+    # MAD = 10; /a code=500 scaled by 10: MAD = 1
+    out = query_instant(mini, 'mad_over_time(req{handler="/a"}[1m])',
+                        at_ms=3000)
+    got = {r["label_code"]: r["value"] for r in out.collect()}
+    assert got == {"200": 10.0, "500": 1.0}

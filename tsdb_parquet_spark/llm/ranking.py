@@ -259,8 +259,10 @@ def mmr_rerank(
 
     100 TB shape: candidates per query are bounded (top-N from BM25/
     ANN), so per-group work is O(k·N·dim); the heavy corpus work stayed
-    in the retrievers.  Pinned by a pure-Python reference test, not an
-    oracle (greedy recurrence).
+    in the retrievers.  Pinned by a pure-Python reference test AND
+    (since r11) a recursive-CTE oracle that replays the greedy
+    recurrence over precomputed pairwise sims (q124); rows sort by id
+    on entry so the tie-break is engine-independent.
     """
     import numpy as np
     import pandas as pd
@@ -274,6 +276,11 @@ def mmr_rerank(
     schema = ", ".join(out_fields)
 
     def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic input order: Spark hands the group's rows in
+        # arbitrary (shuffle) order, and the argmax tie-break is
+        # first-index — sort by id so ties resolve to the lowest id on
+        # every run/engine (the repo's D1 determinism rule)
+        pdf = pdf.sort_values(id_col)
         embs = np.array(pdf[emb_col].tolist(), dtype=np.float64)
         norms = np.linalg.norm(embs, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0

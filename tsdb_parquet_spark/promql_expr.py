@@ -40,7 +40,7 @@ Grammar (the working subset, PromQL precedence order)::
     mods      := ('offset' duration | '@' number)*
 
 Range functions: rate, increase, irate, delta, idelta, deriv, resets,
-changes, avg/min/max/sum/count/last/stddev/stdvar/present/absent_over_time,
+changes, avg/min/max/sum/count/last/stddev/stdvar/present/absent/mad_over_time,
 quantile_over_time(q, …), predict_linear(…, horizon_s) (least-squares
 extrapolation ``horizon_s`` seconds past the evaluation time; exact
 DECIMAL(38,0) regression moments over 1e-9-quantized values with time
@@ -99,7 +99,7 @@ _RANGE_FNS = {
     "avg_over_time", "min_over_time", "max_over_time",
     "sum_over_time", "count_over_time", "last_over_time",
     "stddev_over_time", "stdvar_over_time", "present_over_time",
-    "absent_over_time",
+    "absent_over_time", "mad_over_time",
 }
 _AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar", "group"}
 _PARAM_AGGS = {"topk", "bottomk", "quantile", "count_values"}
@@ -1307,6 +1307,29 @@ class PromQLEngine:
         if fn == "quantile":  # quantile_over_time(q, …)
             return w.groupBy(*labels, *extra_keys).agg(
                 F.percentile(v, F.lit(float(param))).alias(VALUE_COL)
+            )
+        if fn == "mad_over_time":
+            # median absolute deviation around the window median
+            # (Prometheus experimental fn): both medians computed with
+            # the linear-interpolation rule over the window's sorted
+            # sample array — JVM HOFs, one aggregate, array bounded by
+            # the range window like holt_winters above.
+            def _arr_median(a):
+                n = F.size(a)
+                lo = F.get(a, F.floor((n - 1) / 2).cast("int"))
+                hi = F.get(a, F.floor(n / 2).cast("int"))
+                return (lo + hi) / 2
+
+            g = w.groupBy(*labels, *extra_keys).agg(
+                F.sort_array(F.collect_list(v)).alias("_a")
+            )
+            g = g.withColumn("_m", _arr_median(F.col("_a")))
+            dev = F.sort_array(
+                F.transform(F.col("_a"), lambda x: F.abs(x - F.col("_m")))
+            )
+            return (
+                g.withColumn(VALUE_COL, _arr_median(dev))
+                .select(*labels, *extra_keys, VALUE_COL)
             )
         base = fn.removesuffix("_over_time") if fn.endswith("_over_time") else fn
         exprs = {
