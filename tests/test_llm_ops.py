@@ -1517,3 +1517,46 @@ def test_dsir_counts_path_matches_raw(spark):
     assert raw_res == mv_res and len(raw_res) == 3
     with _pytest.raises(ValueError, match="together"):
         dsir_select(raw, target, raw_counts=rc)
+
+
+def test_ffd_pack_reference_and_capacity(spark):
+    from tsdb_parquet_spark.llm.corpus import ffd_pack
+
+    rows = [(i, t) for i, t in enumerate([7, 5, 5, 4, 3, 2, 2, 1, 9, 12])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = ffd_pack(df, cap=10, n_shards=1)
+    got = {r["doc_id"]: r["bin_id"] for r in out.collect()}
+
+    # pure-python FFD reference: sort tokens desc (id asc), first fit
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    rem, want = [], {}
+    for i, t in order:
+        for j, r in enumerate(rem):
+            if r >= t:
+                rem[j] = r - t
+                want[i] = j
+                break
+        else:
+            rem.append(10 - t)
+            want[i] = len(rem) - 1
+    assert got == want
+    # oversize doc (12 > cap) opened its own bin and nothing joined it
+    big_bin = got[9]
+    assert [d for d, b in got.items() if b == big_bin] == [9]
+    # capacity: every bin except the oversize one sums <= cap
+    sums = {}
+    for (i, t) in rows:
+        sums[got[i]] = sums.get(got[i], 0) + t
+    assert all(s <= 10 for b, s in sums.items() if b != big_bin)
+
+
+def test_ffd_pack_sharding_is_deterministic(spark):
+    from tsdb_parquet_spark.llm.corpus import ffd_pack
+
+    rows = [(i, 3 + i % 5) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    a = sorted(map(tuple, ffd_pack(df, cap=8, n_shards=4).collect()))
+    b = sorted(map(tuple, ffd_pack(
+        df.repartition(7), cap=8, n_shards=4).collect()))
+    assert a == b
+    assert {r[0] for r in a} == {0, 1, 2, 3}

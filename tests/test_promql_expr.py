@@ -939,3 +939,33 @@ def test_mad_over_time(spark, mini):
                         at_ms=3000)
     got = {r["label_code"]: r["value"] for r in out.collect()}
     assert got == {"200": 10.0, "500": 1.0}
+
+
+def test_ts_of_extremes_over_time(spark, mini):
+    # /a 200: values 0,10,20,30 at t=0..3s -> max at 3s, min at 0s
+    out = query_instant(mini, 'ts_of_max_over_time(req{code="200"}[1m])',
+                        at_ms=3000)
+    got = {r["label_handler"]: r["value"] for r in out.collect()}
+    assert got == {"/a": 3.0, "/b": 3.0}
+    out = query_instant(mini, 'ts_of_min_over_time(req{code="200"}[1m])',
+                        at_ms=3000)
+    got = {r["label_handler"]: r["value"] for r in out.collect()}
+    assert got == {"/a": 0.0, "/b": 0.0}
+    out = query_instant(mini, 'ts_of_last_over_time(req[1m])', at_ms=2500)
+    assert {r["value"] for r in out.collect()} == {2.0}
+
+
+def test_ts_of_max_tie_keeps_latest(spark):
+    rows = [(0, 5.0, "m"), (1000, 5.0, "m"), (2000, 1.0, "m")]
+    df = spark.createDataFrame(rows, "time long, value double, label_name string")
+    out = query_instant(df, "ts_of_max_over_time(m[1m])", at_ms=2000)
+    assert out.collect()[0]["value"] == 1.0  # the LATER of the two maxima
+    out = query_instant(df, "ts_of_min_over_time(m[500ms])", at_ms=1000)
+    assert out.collect()[0]["value"] == 1.0
+
+
+def test_double_exponential_smoothing_alias(spark, mini):
+    a = query_instant(mini, "holt_winters(req[1m], 0.5, 0.25)", at_ms=3000)
+    b = query_instant(
+        mini, "double_exponential_smoothing(req[1m], 0.5, 0.25)", at_ms=3000)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -967,3 +967,72 @@ def dsir_select(
             ),
         )
     )
+
+
+def ffd_pack(
+    df: DataFrame,
+    cap: int,
+    token_col: str = "n_tok",
+    id_col: str = "doc_id",
+    n_shards: int = 1,
+    shard_alias: str = "shard",
+    bin_alias: str = "bin_id",
+) -> DataFrame:
+    """First-Fit-Decreasing bin packing of documents into
+    fixed-capacity training sequences — the padding-waste reducer that
+    concat-and-chunk packing (:func:`operators.prefix.packed_sequences`)
+    trades away: no document is split, each bin holds whole documents
+    totalling <= ``cap`` tokens, and FFD's sort-descending + first-fit
+    rule is the classic 11/9-OPT guarantee.
+
+    Scale shape (the LTTB/MMR ``applyInPandas`` family): packing is
+    inherently sequential in its bin state, so the corpus is first cut
+    into ``n_shards`` deterministic shards (``pmod(id, n_shards)`` —
+    portable arithmetic any engine replays; at 100 TB pick
+    shard ~ 10-100k docs so each Arrow group is bounded) and FFD runs
+    per shard, shards parallel across executors.  Bin ids are local to
+    a shard; (shard, bin) is the global sequence key.  Waste vs a
+    global pack is the per-shard boundary slack — amortized away by
+    shard size exactly like the per-file remainder in any sharded
+    packer.
+
+    Determinism (D1): docs sort (tokens DESC, id ASC); first-fit scans
+    bins in creation order; all arithmetic is integer — the assignment
+    replays bit-exactly in the q157 recursive-CTE oracle (the q95/q124
+    precedent).  A document longer than ``cap`` opens its own
+    (overfull) bin; its negative remainder never admits a second doc.
+
+    Output: (shard, id, tokens, bin_id), one row per document.
+    """
+    import pandas as pd
+
+    d = df.select(
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias(shard_alias),
+        F.col(id_col),
+        F.col(token_col).cast("long").alias(token_col),
+    )
+    schema = (
+        f"{shard_alias} int, `{id_col}` long, `{token_col}` long, "
+        f"{bin_alias} int"
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        rem: list[int] = []  # remaining capacity per bin, creation order
+        bins: list[int] = []
+        for t in pdf[token_col].astype("int64"):
+            t = int(t)
+            for j, r in enumerate(rem):
+                if r >= t:
+                    rem[j] = r - t
+                    bins.append(j)
+                    break
+            else:
+                rem.append(cap - t)
+                bins.append(len(rem) - 1)
+        pdf[bin_alias] = pd.array(bins, dtype="int32")
+        return pdf[[shard_alias, id_col, token_col, bin_alias]]
+
+    return d.groupBy(shard_alias).applyInPandas(_pack, schema)

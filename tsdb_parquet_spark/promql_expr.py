@@ -100,6 +100,7 @@ _RANGE_FNS = {
     "sum_over_time", "count_over_time", "last_over_time",
     "stddev_over_time", "stdvar_over_time", "present_over_time",
     "absent_over_time", "mad_over_time",
+    "ts_of_max_over_time", "ts_of_min_over_time", "ts_of_last_over_time",
 }
 _AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar", "group"}
 _PARAM_AGGS = {"topk", "bottomk", "quantile", "count_values"}
@@ -522,7 +523,8 @@ class _Parser:
                 return self.range_fn()
             if val == "quantile_over_time" and called:
                 return self.quantile_over_time()
-            if val in ("predict_linear", "holt_winters") and called:
+            if val in ("predict_linear", "holt_winters",
+                       "double_exponential_smoothing") and called:
                 return self.trailing_param_range_fn(val)
             if val in ("topk", "bottomk") and (
                 called or (nxt and nxt[1] in ("by", "without"))
@@ -650,8 +652,12 @@ class _Parser:
 
     def trailing_param_range_fn(self, fn: str) -> Node:
         """``predict_linear(v[d], t)`` / ``holt_winters(v[d], sf, tf)`` —
-        range functions whose scalar arguments FOLLOW the range."""
+        range functions whose scalar arguments FOLLOW the range.
+        ``double_exponential_smoothing`` (the Prometheus 3.x name) is an
+        alias for holt_winters."""
         self.eat(fn)
+        if fn == "double_exponential_smoothing":
+            fn = "holt_winters"
         self.eat("(")
         node = self._range_call(fn, None,
                                 trailing=1 if fn == "predict_linear" else 2)
@@ -1343,6 +1349,13 @@ class PromQLEngine:
             "stddev": F.stddev_pop(v),
             "stdvar": F.var_pop(v),
             "present": F.max(F.lit(1.0)),
+            # ts_of_* (Prometheus 3.1 experimental): the timestamp, in
+            # seconds, of the extreme sample — value ties keep the
+            # LATEST sample (the engine's >= / <= update rule), pinned
+            # here by the lexicographic (value, time) argmax
+            "ts_of_max": F.max_by(t, F.struct(v, t)) / 1000.0,
+            "ts_of_min": F.min_by(t, F.struct(v, -t)) / 1000.0,
+            "ts_of_last": F.max(t) / 1000.0,
         }
         return w.groupBy(*labels, *extra_keys).agg(exprs[base].alias(VALUE_COL))
 
