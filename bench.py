@@ -86,6 +86,10 @@ def main() -> None:
         # join-heavy complement of q09 on the tracked curve (its
         # customer/supplier sides moved to shuffle-hash joins in r11)
         "q145_regional_revenue",
+        # late-r11 promotion: the Q8-shape 8-table market share — one
+        # full-lineitem exchange, selective part/supplier joins consume
+        # the reduced remainder (plan-guarded tests/test_plans.py)
+        "q159_market_share",
         # round-9 promotions: the LLM-pipeline surface gets a tracked
         # DuckDB-relative curve like the relational core — semantic
         # dedup (cluster-bounded pairwise), the Gopher rule battery

@@ -493,3 +493,24 @@ def test_q145_broadcast_dims_one_fact_shuffle(entry, spark):
     shuffle_lines = [ln for ln in plan.split("\n")
                      if "ShuffledHashJoin" in ln or "SortMergeJoin" in ln]
     assert any("l_orderkey" in ln for ln in shuffle_lines)
+
+
+def test_q159_market_share_fact_discipline(entry, spark):
+    """TPC-H Q8 shape: only the two nation-chain broadcasts (region onto
+    nation, the AMERICA nations onto customer, n2 names onto supplier);
+    customer / part / supplier / orders / lineitem scale with SF so every
+    join touching them is a shuffle join, and the orderkey fact x fact
+    edge joins before the selective part/supplier joins."""
+    df = entry.q159_market_share(spark, SF)
+    plan = plan_of(df)
+    # region->nation, amer->customer, nation->supplier = 3 broadcasts;
+    # never a SF-scaling table
+    assert plan.count("BroadcastHashJoin") == 3
+    n_shuffle_joins = plan.count("ShuffledHashJoin") + plan.count("SortMergeJoin")
+    assert n_shuffle_joins >= 4  # cust, orderkey, part, supplier
+    shuffle_lines = [ln for ln in plan.split("\n")
+                     if "ShuffledHashJoin" in ln or "SortMergeJoin" in ln]
+    assert any("l_orderkey" in ln for ln in shuffle_lines)
+    assert any("p_partkey" in ln for ln in shuffle_lines)
+    # the p_type filter pushes into the part scan
+    assert "p_type" in plan
