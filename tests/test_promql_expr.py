@@ -969,3 +969,21 @@ def test_double_exponential_smoothing_alias(spark, mini):
     b = query_instant(
         mini, "double_exponential_smoothing(req[1m], 0.5, 0.25)", at_ms=3000)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_at_start_end_modifiers(spark, mini):
+    # instant: @ start() == @ end() == the eval instant
+    a = query_instant(mini, "req @ start()", at_ms=3000).collect()
+    b = query_instant(mini, "req", at_ms=3000).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # range: @ end() pins every step to the range end's instant vector
+    out = query_range(mini, "req @ end()", start_ms=1000, end_ms=3000,
+                      step_ms=1000)
+    rows = out.filter("label_handler = '/b' and label_code = '200'").collect()
+    assert {r["step_ts"] for r in rows} == {1000, 2000, 3000}
+    assert {r["value"] for r in rows} == {300.0}
+    # range: @ start() pins to the range start
+    out = query_range(mini, "req @ start()", start_ms=1000, end_ms=3000,
+                      step_ms=1000)
+    rows = out.filter("label_handler = '/b' and label_code = '200'").collect()
+    assert {r["value"] for r in rows} == {100.0}

@@ -37,7 +37,7 @@ Grammar (the working subset, PromQL precedence order)::
     aggregate := OP byc? '(' expr ')' byc?
     byc       := ('by'|'without') '(' labels ')'
     selector  := (metric? '{' matchers '}' | metric) mods
-    mods      := ('offset' duration | '@' number)*
+    mods      := ('offset' duration | '@' (number|'start()'|'end()'))*
 
 Range functions: rate, increase, irate, delta, idelta, deriv, resets,
 changes, avg/min/max/sum/count/last/stddev/stdvar/present/absent/mad_over_time,
@@ -223,7 +223,10 @@ class Scalar(Node):
 class Selector(Node):
     matchers: list[Matcher] = field(default_factory=list)
     offset_ms: int = 0  # `offset 5m` time-shift modifier
-    at_ms: Optional[int] = None  # `@ <ts>` fixed-evaluation-time modifier
+    # `@ <ts>` fixed-evaluation-time modifier; the strings "start"/"end"
+    # stand for `@ start()` / `@ end()` and resolve to the query range
+    # at evaluation time (instant queries: both are the eval instant)
+    at_ms: Optional[int | str] = None
 
 
 @dataclass
@@ -569,7 +572,17 @@ class _Parser:
                 sel.offset_ms = parse_duration_ms(self.eat("duration")[1])
             else:
                 self.eat("@")
-                sel.at_ms = int(float(self.eat("number")[1]) * 1000)
+                nxt = self.peek()
+                if nxt and nxt[1] in ("start", "end") and (
+                    self.peek(1) and self.peek(1)[1] == "("
+                ):
+                    # `@ start()` / `@ end()` — resolved to the query's
+                    # time range at evaluation (instant: both = eval ts)
+                    sel.at_ms = self.eat()[1]
+                    self.eat("(")
+                    self.eat(")")
+                else:
+                    sel.at_ms = int(float(self.eat("number")[1]) * 1000)
 
     def selector(self) -> Selector:
         parts = []
@@ -794,6 +807,16 @@ class PromQLEngine:
 
     # -- instant ----------------------------------------------------------
 
+    @staticmethod
+    def _at(v: int | str | None, start: int, end: int) -> Optional[int]:
+        """Resolve a selector's `@` modifier: "start"/"end" bind to the
+        query range (both the eval instant for instant queries)."""
+        if v == "start":
+            return start
+        if v == "end":
+            return end
+        return v
+
     def eval_instant(self, expr: str | Node, at_ms: int) -> DataFrame:
         node = parse_expr(expr, self.metric_label) if isinstance(expr, str) else expr
         out = self._inst(node, at_ms)
@@ -809,7 +832,8 @@ class PromQLEngine:
         if isinstance(node, TimeFn):
             return at / 1000.0
         if isinstance(node, Selector):
-            at_eff = (node.at_ms if node.at_ms is not None else at) - node.offset_ms
+            base = self._at(node.at_ms, at, at)
+            at_eff = (base if base is not None else at) - node.offset_ms
             sel = apply_matchers(self.df, node.matchers)
             iv = promql.instant_vector(
                 sel, at_eff, staleness_ms=self.staleness_ms
@@ -817,7 +841,8 @@ class PromQLEngine:
             return iv
         if isinstance(node, RangeFn):
             sel = apply_matchers(self.df, node.arg.matchers)
-            base = node.arg.at_ms if node.arg.at_ms is not None else at
+            fixed = self._at(node.arg.at_ms, at, at)
+            base = fixed if fixed is not None else at
             at_eff = base - node.arg.offset_ms
             w = sel.filter(
                 (F.col(TIME_COL) <= at_eff)
@@ -856,7 +881,8 @@ class PromQLEngine:
                 # are stamped at the evaluation instant
                 if isinstance(node.arg, Selector):
                     n = node.arg
-                    at_eff = (n.at_ms if n.at_ms is not None else at) - n.offset_ms
+                    fx = self._at(n.at_ms, at, at)
+                    at_eff = (fx if fx is not None else at) - n.offset_ms
                     sel = apply_matchers(self.df, n.matchers)
                     iv = promql.instant_vector(
                         sel, at_eff, staleness_ms=self.staleness_ms
@@ -956,7 +982,8 @@ class PromQLEngine:
             if node.at_ms is not None:
                 # fixed evaluation time: same instant replicated per step
                 iv = promql.instant_vector(
-                    sel, node.at_ms - node.offset_ms, staleness_ms=self.staleness_ms
+                    sel, self._at(node.at_ms, start, end) - node.offset_ms,
+                    staleness_ms=self.staleness_ms
                 ).drop("sample_time")
                 return iv.withColumn(
                     "step_ts",
