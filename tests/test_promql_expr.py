@@ -987,3 +987,17 @@ def test_at_start_end_modifiers(spark, mini):
                       step_ms=1000)
     rows = out.filter("label_handler = '/b' and label_code = '200'").collect()
     assert {r["value"] for r in rows} == {100.0}
+
+
+def test_sort_by_label_and_day_of_year(spark, mini):
+    out = query_instant(mini, 'sort_by_label(req, "handler")', at_ms=3000)
+    handlers = [r["label_handler"] for r in out.collect()]
+    assert handlers == sorted(handlers)
+    out = query_instant(mini, 'sort_by_label_desc(req, "code")', at_ms=3000)
+    codes = [r["label_code"] for r in out.collect()]
+    assert codes == sorted(codes, reverse=True)
+    with pytest.raises(ValueError):
+        parse_expr("sort_by_label(req)")
+    # day_of_year over epoch-seconds values: 0 -> Jan 1 -> 1.0
+    out = query_instant(mini, "day_of_year(req * 0)", at_ms=3000)
+    assert {r["value"] for r in out.collect()} == {1.0}

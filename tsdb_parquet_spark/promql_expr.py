@@ -30,6 +30,7 @@ Grammar (the working subset, PromQL precedence order)::
                | 'holt_winters' '(' sel '[' dur ']' ',' number ',' number ')'
                | 'histogram_quantile' '(' number ',' expr ')'
                | ('absent'|'sort'|'sort_desc'|'scalar') '(' expr ')'
+               | ('sort_by_label'|'sort_by_label_desc') '(' expr (',' string)+ ')'
                | 'label_replace' '(' expr ',' string{4} ')'
                | 'label_join' '(' expr ',' string{3,} ')'
                | 'vector' '(' expr ')' | 'time' '(' ')'
@@ -41,6 +42,7 @@ Grammar (the working subset, PromQL precedence order)::
 
 Range functions: rate, increase, irate, delta, idelta, deriv, resets,
 changes, avg/min/max/sum/count/last/stddev/stdvar/present/absent/mad_over_time,
+ts_of_max/ts_of_min/ts_of_last_over_time (latest sample on value ties),
 quantile_over_time(q, …), predict_linear(…, horizon_s) (least-squares
 extrapolation ``horizon_s`` seconds past the evaluation time; exact
 DECIMAL(38,0) regression moments over 1e-9-quantized values with time
@@ -77,6 +79,15 @@ into the scan, one agg per rollup, bounded explodes for grids).  The only
 per-group array materialization (irate/idelta/resets/changes) collects a
 single range-window of samples per series — bounded by window/scrape
 interval, the same bound Prometheus itself holds in memory per series.
+
+Coverage: with the r11 additions (trig/deg/rad/pi, ^ and atan2,
+day_of_year, mad_over_time, ts_of_*, @ start()/end(),
+double_exponential_smoothing, sort_by_label) this engine implements the
+full Prometheus 3.x function and operator surface for float samples —
+the remaining gaps are native-histogram functions (no histogram sample
+type here; classic-histogram histogram_quantile/fraction ARE supported),
+`info()` (needs the experimental info-metric catalog), and the
+non-deterministic samplers limitk/limit_ratio.
 """
 
 from __future__ import annotations
@@ -147,6 +158,7 @@ _SCALAR_FNS = {
     # Prometheus: 0=Sunday..6=Saturday; Spark dayofweek: 1=Sunday..7
     "day_of_week": (lambda v, a: (F.dayofweek(_ts(v)) - 1).cast("double"), 0, 0),
     "day_of_month": (lambda v, a: F.dayofmonth(_ts(v)).cast("double"), 0, 0),
+    "day_of_year": (lambda v, a: F.dayofyear(_ts(v)).cast("double"), 0, 0),
     "days_in_month": (lambda v, a: F.dayofmonth(F.last_day(_ts(v))).cast("double"), 0, 0),
     "month": (lambda v, a: F.month(_ts(v)).cast("double"), 0, 0),
     "year": (lambda v, a: F.year(_ts(v)).cast("double"), 0, 0),
@@ -305,6 +317,9 @@ class Absent(Node):
 class Sort(Node):
     arg: Node
     desc: bool = False
+    # sort_by_label(_desc): order by the listed LABELS (then the full
+    # label set for determinism) instead of the sample value
+    by_labels: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -541,6 +556,8 @@ class _Parser:
                 return self.histogram_quantile()
             if val in ("absent", "sort", "sort_desc", "scalar", "vector") and called:
                 return self.simple_call(val)
+            if val in ("sort_by_label", "sort_by_label_desc") and called:
+                return self.sort_by_label(val)
             if val in ("label_replace", "label_join") and called:
                 return self.label_fn(val)
             if val == "time" and called:
@@ -773,6 +790,20 @@ class _Parser:
             return Scalar(_PY_SCALAR_FOLD[fn](arg.value))
         return ScalarFn(fn, arg, args)
 
+    def sort_by_label(self, fn: str) -> Sort:
+        # sort_by_label(v, "lbl", ...) — Prometheus 3.x experimental
+        self.eat(fn)
+        self.eat("(")
+        arg = self.expr()
+        labels: list[str] = []
+        while self.peek() and self.peek()[1] == ",":
+            self.eat(",")
+            labels.append(self.eat("string")[1][1:-1])
+        self.eat(")")
+        if not labels:
+            raise ValueError(f"{fn} needs at least one label argument")
+        return Sort(arg, desc=fn.endswith("_desc"), by_labels=labels)
+
     def histogram_quantile(self) -> HistogramQuantile:
         self.eat("histogram_quantile")
         self.eat("(")
@@ -909,6 +940,13 @@ class PromQLEngine:
         if isinstance(node, Sort):
             arg = self._inst(node.arg, at)
             labels = [c for c in arg.columns if c != VALUE_COL]
+            if node.by_labels:
+                keys = [self._label_col(arg, l) for l in node.by_labels]
+                order = [
+                    (F.desc_nulls_last(k) if node.desc
+                     else F.asc_nulls_first(k)) for k in keys
+                ] + [F.asc_nulls_first(c) for c in labels if c not in keys]
+                return arg.orderBy(*order)
             v = F.desc(VALUE_COL) if node.desc else F.asc(VALUE_COL)
             return arg.orderBy(v, *[F.asc_nulls_first(c) for c in labels])
         if isinstance(node, VectorFn):
