@@ -514,3 +514,14 @@ def test_q159_market_share_fact_discipline(entry, spark):
     assert any("p_partkey" in ln for ln in shuffle_lines)
     # the p_type filter pushes into the part scan
     assert "p_type" in plan
+
+
+def test_q155_nullsafe_matching_plans_hash_join(entry, spark):
+    """The <=> keys of PromQL vector matching must plan as hash joins
+    (Catalyst's coalesce/isnull rewrite), never nested-loop/cartesian —
+    the 100 TB guarantee that absent-label matching costs one exchange."""
+    df = entry.q155_promql_trig(spark, SF)
+    plan = plan_of(df)
+    assert "Join" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

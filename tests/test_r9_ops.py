@@ -430,3 +430,43 @@ def test_source_vocab_overlap_jaccard(spark):
     assert r12.jaccard == 0.5
     # disjoint pairs produce NO row (inner join on shared terms)
     assert ("s1", "s3") not in got and ("s2", "s3") not in got
+
+
+def test_pagerank_integer_reference(spark):
+    """Integer PageRank matches a pure-Python replay of the exact
+    integer recurrence; sink node accumulates the most rank."""
+    from tsdb_parquet_spark.operators.graph import pagerank_integer
+
+    edges = [(1, 3), (2, 3), (3, 4), (4, 3), (5, 3), (5, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_units"]
+           for r in pagerank_integer(df, iters=5).collect()}
+
+    MASS = 10 ** 12
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    base = (3 * MASS) // (20 * n)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: MASS // n for v in nodes}
+    for _ in range(5):
+        s = {v: 0 for v in nodes}
+        for u, v in edges:
+            s[v] += r[u] // outdeg[u]
+        r = {v: base + (17 * s[v]) // 20 for v in nodes}
+    assert got == r
+    assert max(got, key=got.get) == 3
+
+
+def test_pagerank_partitioning_independent(spark):
+    from tsdb_parquet_spark.operators.graph import pagerank_integer
+
+    import random
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, pagerank_integer(df, iters=4).collect()))
+    b = sorted(map(tuple,
+                   pagerank_integer(df.repartition(13), iters=4).collect()))
+    assert a == b
