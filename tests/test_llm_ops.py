@@ -1560,3 +1560,21 @@ def test_ffd_pack_sharding_is_deterministic(spark):
         df.repartition(7), cap=8, n_shards=4).collect()))
     assert a == b
     assert {r[0] for r in a} == {0, 1, 2, 3}
+
+
+def test_minhash_lsh_portable_finds_dups(spark):
+    from tsdb_parquet_spark.llm.dedup import minhash_lsh_portable
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup -> jaccard 1.0
+        (3, base.replace("lazy", "sleepy")),   # near dup
+        (4, "completely different content about spark and parquet " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in minhash_lsh_portable(df, threshold=0.5).collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and got[(1, 3)] < 1.0
+    assert not any(4 in p for p in got)

@@ -793,3 +793,129 @@ def dedup_keep_best(
         .filter((F.col("cluster_size") >= 2) & (F.col(id_col) != F.col("keep_id")))
         .select(id_col, "keep_id", "cluster_size")
     )
+
+
+def portable_shingle_hashes(
+    text_col: Column | str, shingle_n: int = 5, out_bits: int = 60
+) -> Column:
+    """Distinct char-shingle hashes as ``array<bigint>`` in [0, 2^31-1),
+    ENGINE-PORTABLE: md5 prefix → hex-to-int → mod p, no xxhash64 — the
+    hash-family choice that lets a MinHash pipeline be replayed by any
+    engine with md5 (the repo's md5-portability convention, extended
+    from sampling/splits to the LSH rung)."""
+    grams = char_shingles(text_col, shingle_n)
+    return F.transform(
+        grams,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(_MERSENNE),
+        ),
+    )
+
+
+def minhash_lsh_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash→LSH→exact-Jaccard near-dup pairs with a FULLY PORTABLE
+    hash family — the oracle-gated twin of the xxhash64 pipeline
+    (minhash_signatures → minhash_lsh_candidates → rerank):
+
+    - shingle hash: md5-prefix → int mod p (2^31-1), so any engine
+      reproduces it;
+    - num_hashes affine mixes (a·h+b mod p) with coefficients drawn
+      once from a FIXED seed and inlined as literals on both engines;
+    - band key: md5 over the band's '-'-joined minhash values (not
+      xxhash64);
+    - rerank: EXACT Jaccard over the distinct shingle sets of
+      band-colliding pairs only.
+
+    Same scale shape as the production pipeline: signatures are one
+    per-row JVM map stage (hash each distinct shingle ONCE, then
+    array_min per mix — the CollapseProject discipline of
+    minhash_signatures); candidates shuffle O(n·bands) on band keys,
+    never n²; the exact rerank touches candidate pairs only.  The
+    xxhash64 family stays the production default (one 64-bit hash per
+    shingle vs an md5 + string-decode here — measured cheaper); this
+    portable twin exists so the LSH rung itself is driver-hash-gated
+    (q162) instead of rows-only.
+
+    Returns (id_a, id_b, jaccard) for pairs with jaccard >= threshold,
+    id_a < id_b.
+    """
+    rng = np.random.RandomState(seed)
+    coeffs = [
+        (int(rng.randint(1, _MERSENNE)), int(rng.randint(0, _MERSENNE)))
+        for _ in range(num_hashes)
+    ]
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    rpb = num_hashes // bands
+    tmp = "_pmh_shingle_hashes"
+    hashed = portable_shingle_hashes(text_col, shingle_n)
+
+    def _minhash(a: int, b: int):
+        return F.array_min(
+            F.transform(
+                F.col(tmp),
+                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)),
+            )
+        )
+
+    sig = F.array(*[_minhash(a, b) for a, b in coeffs])
+    d = (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn(tmp, hashed)
+        .withColumn("_sig", sig)
+        .withColumn("_sh", F.array_distinct(F.col(tmp)))
+        .drop(tmp)
+    )
+    buckets = d.select(
+        F.col(id_col).alias("_id"),
+        F.col("_sh"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.transform(
+                            F.slice(F.col("_sig"), bi * rpb + 1, rpb),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("_band", "_bkey"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bkey") == F.col("b._bkey"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sh").alias("_sha"),
+            F.col("b._sh").alias("_shb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("_sha", "_shb")) / F.size(
+        F.array_union("_sha", "_shb")
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
