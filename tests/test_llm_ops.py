@@ -1578,3 +1578,24 @@ def test_minhash_lsh_portable_finds_dups(spark):
     assert got[(1, 2)] == 1.0
     assert (1, 3) in got and got[(1, 3)] < 1.0
     assert not any(4 in p for p in got)
+
+
+def test_simhash_portable_pairs(spark):
+    from tsdb_parquet_spark.llm.dedup import simhash_portable_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [(1, base), (2, base), (3, base.replace("lazy", "sleepy")),
+            (4, "totally different words entirely here about engines " * 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_portable_pairs(df, max_hamming=10).collect()}
+    assert got[(1, 2)] == 0
+    assert 0 < got[(1, 3)] <= 10
+    assert not any(4 in p for p in got)
+    # tokenizer regression: 'f' must NOT be a separator (the SQL-escape
+    # trap — a single-backslash \f in the F.expr literal becomes a
+    # literal 'f' in the class and changes every signature)
+    one = spark.createDataFrame([(9, "fof fff off")], "doc_id long, text string")
+    two = spark.createDataFrame([(9, "xox xxx oxx")], "doc_id long, text string")
+    s1 = simhash_portable_pairs(one.union(one.withColumn("doc_id", one.doc_id + 1)))
+    assert s1.count() == 1  # identical docs pair up; tokens survived

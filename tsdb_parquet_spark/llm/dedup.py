@@ -919,3 +919,75 @@ def minhash_lsh_portable(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def simhash_portable_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with the PORTABLE hash family — the
+    oracle-gated twin of simhash_signatures + simhash_neardup_pairs
+    (q162's md5 convention applied to the Charikar signature): token
+    hash = md5-prefix 60-bit int, signature = 60 sign-sum bits, blocks
+    = 4 x 15 bits (pigeonhole: Hamming <= 3 implies >= 1 exact block
+    match), exact popcount filter on candidates.  Tokens split on the
+    engine-wide '[ \\t\\n\\r\\f]+' class so both engines tokenize
+    identically; every stage is integer/bit arithmetic — DuckDB
+    replays it end-to-end.  The xxhash64 64-bit family stays the
+    production default.  Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    # NOTE the doubled backslashes: this pattern goes through the SQL
+    # string parser (F.expr), which interprets escapes — a single '\\f'
+    # would silently become a literal 'f' IN THE CLASS and strip f's
+    # from every token (the simhash_signatures '\\\\s+' precedent)
+    hs = (
+        "transform(filter(split({t}, '[ \\\\t\\\\n\\\\r\\\\f]+'), w -> w != ''), "
+        "t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"
+    ).format(t=text_col)
+    sums = (
+        f"aggregate({hs}, array_repeat(0, 60), (acc, h) -> zip_with(acc, "
+        "transform(sequence(0, 59), i -> CASE WHEN shiftright(h, i) & 1 = 1 "
+        "THEN 1 ELSE -1 END), (a, b) -> a + b))"
+    )
+    sig = (
+        "aggregate(zip_with(_ssums, sequence(0, 59), (s, i) -> "
+        "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), i) "
+        "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    d = (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn("_ssums", F.expr(sums))
+        .withColumn("_sig", F.expr(sig))
+        .drop("_ssums")
+    )
+    blocks = d.select(
+        F.col(id_col).alias("_id"),
+        F.col("_sig"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "b -> shiftright(_sig, b * 15) & 32767)"
+            )
+        ).alias("_b", "_bv"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._b") == F.col("b._b"))
+            & (F.col("a._bv") == F.col("b._bv"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
