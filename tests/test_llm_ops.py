@@ -1599,3 +1599,21 @@ def test_simhash_portable_pairs(spark):
     two = spark.createDataFrame([(9, "xox xxx oxx")], "doc_id long, text string")
     s1 = simhash_portable_pairs(one.union(one.withColumn("doc_id", one.doc_id + 1)))
     assert s1.count() == 1  # identical docs pair up; tokens survived
+
+
+def test_embedding_neardup_portable(spark):
+    from tsdb_parquet_spark.llm.dedup import embedding_neardup_portable
+
+    import random
+    rng = random.Random(3)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    near = [x + 0.01 for x in base]
+    far = [rng.gauss(0, 1) for _ in range(16)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)],
+        "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in embedding_neardup_portable(
+               df, threshold=0.9, num_planes=4).collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.99
+    assert not any(3 in p for p in got)

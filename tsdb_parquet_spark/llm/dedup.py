@@ -991,3 +991,70 @@ def simhash_portable_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_neardup_portable(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    seed: int = 42,
+    unit: float = 1e6,
+    plane_scale: int = 1000,
+) -> DataFrame:
+    """SRP embedding near-dup with an ENGINE-EXACT bucketing stage — the
+    oracle-gated twin of embedding_neardup_pairs (q162/q163's portable
+    convention applied to the vector rung): embeddings quantize to
+    integer 1e-6 units (floor(x*1e6+0.5) — exact identical arithmetic
+    on any engine), the hyperplanes are INTEGER vectors (standard
+    normals × 1000, rounded, drawn once from a fixed seed and inlined
+    as literals on both engines), so every sign bit is the sign of an
+    exact integer dot product — no float fold order anywhere in the
+    bucketing.  The candidate rerank is the exact float cosine rounded
+    to 4dp (the q26 oracle convention).  Returns (id_a, id_b, cosine),
+    id_a < id_b, cosine >= threshold.
+    """
+    dim = len(df.select(emb_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = [
+        [int(round(x * plane_scale)) for x in rng.standard_normal(dim)]
+        for _ in range(num_planes)
+    ]
+    qcol = F.transform(
+        F.col("_emb"),
+        lambda x: F.floor(x.cast("double") * unit + F.lit(0.5)).cast("long"),
+    )
+
+    def bit(plane: list[int]) -> Column:
+        lit_plane = F.array(*[F.lit(p) for p in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col("_q"), lit_plane, lambda x, p: x * p),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, "1").otherwise("0")
+
+    bucketed = (
+        df.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"))
+        .withColumn("_q", qcol)
+        .withColumn("_bucket", F.concat_ws("", *[bit(p) for p in planes]))
+        .drop("_q")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    from .similarity import cosine_cols
+
+    sim = cosine_cols(F.col("a._emb"), F.col("b._emb"))
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(sim, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
