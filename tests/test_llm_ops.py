@@ -1429,6 +1429,59 @@ def test_incremental_near_dup_against_band_index(spark, tmp_path):
         idx_attr.group(1), exchanges)
 
 
+def test_incremental_near_dup_portable_matches_and_no_corpus_exchange(
+    spark, tmp_path
+):
+    """The portable-family twin (r12, q146c): same accept/hold-out
+    behavior as the xxhash64 path on the same fixture, and the same
+    no-corpus-Exchange plan property off its bucketed band index."""
+    import re
+
+    from tsdb_parquet_spark.llm.incremental import (
+        ensure_band_index_portable,
+        incremental_near_dup_portable,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"the quick brown fox number {i} jumps over the lazy dog "
+             f"while reciting paragraph {i} of the corpus charter")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "pcorpus.parquet")
+    corpus.write.parquet(src)
+    idx = ensure_band_index_portable(
+        spark, "incnearp_test", lambda: spark.read.parquet(src),
+        num_buckets=8, source_paths=src,
+    )
+    assert idx.count() == 30 * 8  # 8 bands per doc (q162 defaults)
+
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox number 3 jumps over the lazy dog "
+                  "while reciting paragraph 3 of the corpus charter today"),
+            (101, "the quick brown fox number 7 jumps over the lazy dog "
+                  "while reciting paragraph 7 of the corpus charter"),
+            (102, "completely unrelated telemetry ingestion pipeline "
+                  "specification draft with novel vocabulary throughout"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_near_dup_portable(idx, batch)
+    assert sorted(r["doc_id"] for r in out.collect()) == [102]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    idx_scan = [ln for ln in plan.split("\n") if "incnearp_test_bandidx" in ln]
+    assert idx_scan and "Bucketed: true" in idx_scan[-1]
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    idx_attr = re.search(r"\[doc_id#\d+L?, (band_key#\d+)\]", idx_scan[-1])
+    if idx_attr is None:  # column-pruned scan: band_key only
+        idx_attr = re.search(r"\[(band_key#\d+)\]", idx_scan[-1])
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    assert exchanges and idx_attr.group(1) not in exchanges, (
+        idx_attr.group(1), exchanges)
+
+
 def test_dsir_select_matches_python_reference(spark):
     """dsir_select's integer importance weights must equal a pure-Python
     DSIR computation (hashed-token unigram LMs, add-one smoothing,
@@ -1594,11 +1647,17 @@ def test_simhash_portable_pairs(spark):
     assert not any(4 in p for p in got)
     # tokenizer regression: 'f' must NOT be a separator (the SQL-escape
     # trap — a single-backslash \f in the F.expr literal becomes a
-    # literal 'f' in the class and changes every signature)
+    # literal 'f' in the class).  With the bug, "fof fff off" splits ON
+    # the f's too and tokenizes to ["o", "o"] — IDENTICAL to "o o" —
+    # so the pair below would collide at hamming 0.  With the correct
+    # class the tokens are ["fof", "fff", "off"] vs ["o", "o"] and the
+    # signatures differ (advice r11: the old form never exercised this).
     one = spark.createDataFrame([(9, "fof fff off")], "doc_id long, text string")
-    two = spark.createDataFrame([(9, "xox xxx oxx")], "doc_id long, text string")
+    bug_twin = spark.createDataFrame([(11, "o o")], "doc_id long, text string")
     s1 = simhash_portable_pairs(one.union(one.withColumn("doc_id", one.doc_id + 1)))
     assert s1.count() == 1  # identical docs pair up; tokens survived
+    cross = simhash_portable_pairs(one.union(bug_twin), max_hamming=0)
+    assert cross.count() == 0  # 'f' survived in tokens => signatures differ
 
 
 def test_embedding_neardup_portable(spark):
@@ -1617,3 +1676,10 @@ def test_embedding_neardup_portable(spark):
                df, threshold=0.9, num_planes=4).collect()}
     assert (1, 2) in got and got[(1, 2)] > 0.99
     assert not any(3 in p for p in got)
+    # advice r11: empty input returns an empty pair frame instead of
+    # crashing the dim inference; explicit dim skips the inference job
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_neardup_portable(empty).count() == 0
+    got_dim = {(r["id_a"], r["id_b"]) for r in embedding_neardup_portable(
+        df, threshold=0.9, num_planes=4, dim=16).collect()}
+    assert (1, 2) in got_dim

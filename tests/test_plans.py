@@ -47,11 +47,23 @@ def test_q02_scan_prunes_columns(entry, spark):
 
 def test_q09_dim_broadcasts_facts_shuffle_join(entry, spark):
     plan = plan_of(entry.q09_join_agg(spark, SF))
-    # customer (dim) broadcasts; orders ⋈ lineitem (fact ⋈ fact) is an
-    # explicitly hinted shuffle join — a size mis-estimate must never be
-    # able to broadcast a fact side (observed 10x regression at sf1)
-    assert "BroadcastHashJoin" in plan
-    assert "ShuffledHashJoin" in plan, plan
+    # r12 (verdict r11 #1): NO SF-scaling table behind a broadcast —
+    # customer takes the q145 fact discipline.  The only broadcasts are
+    # the 5-row segment-code table (onto customer, and back onto the
+    # 5-row aggregate); orders ⋈ lineitem AND the customer join are
+    # explicitly hinted shuffle joins — a size mis-estimate must never
+    # be able to broadcast a fact side (observed 10x regression at sf1;
+    # a customer broadcast scales linearly with SF and OOMs at 100x)
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    broadcast_lines = [ln for ln in plan.split("\n") if "BroadcastHashJoin" in ln]
+    assert all("_seg" in ln or "c_mktsegment" in ln for ln in broadcast_lines)
+    # orderkey fact x fact + custkey customer join both shuffle joins
+    shuffle_lines = [ln for ln in plan.split("\n")
+                     if "ShuffledHashJoin" in ln or "SortMergeJoin" in ln]
+    assert any("orderkey" in ln for ln in shuffle_lines), plan
+    assert any("custkey" in ln for ln in shuffle_lines), plan
+    # the custkey exchange partial-combines map-side before the join
+    assert "partial_sum" in plan
     # lineitem scan reads only the 3 needed columns
     assert "l_extendedprice" in plan and "l_shipdate" not in plan
 
@@ -72,6 +84,22 @@ def test_q09_bucketed_join_exchange_free(entry, spark):
     assert "hashpartitioning(l_orderkey" not in plan, plan
     # result identical to the unbucketed q09
     a = sorted(entry.q09_join_agg(spark, SF).collect())
+    assert sorted(df.collect()) == a
+
+
+def test_q16_bucketed_pair_dedup_exchange_free(entry, spark):
+    """q16 over user-bucketed events (r12): the global (event_type,
+    user_id) pair dedup consumes the bucket partitioning — hash on a
+    SUBSET of the aggregate keys satisfies the clustering — so there is
+    NO pair-width exchange; the only hash exchange carries the 5-row
+    event_type count partials."""
+    df = entry.q16_bucketed(spark, SF)
+    plan = plan_of(df)
+    assert "Bucketed: true" in plan, plan
+    assert "hashpartitioning(user_id" not in plan, plan
+    assert "hashpartitioning(event_type, user_id" not in plan, plan
+    # result identical to the unbucketed q16
+    a = sorted(entry.q16_count_distinct(spark, SF).collect())
     assert sorted(df.collect()) == a
 
 
@@ -514,6 +542,24 @@ def test_q159_market_share_fact_discipline(entry, spark):
     assert any("p_partkey" in ln for ln in shuffle_lines)
     # the p_type filter pushes into the part scan
     assert "p_type" in plan
+
+
+def test_q159_bucketed_no_lineitem_exchange(entry, spark):
+    """q159 over the orderkey-bucketed layout (r12): the full-lineitem
+    exchange — the raw plan's dominant cost at sf100 — must be gone;
+    the orderkey edge is a merge join consuming the at-rest buckets,
+    and no exchange keys on a lineitem attribute (the reduced remainder
+    shuffles on part/supplier keys only)."""
+    df = entry.q159_bucketed(spark, SF)
+    plan = plan_of(df)
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 1, plan  # lineitem only
+    assert "hashpartitioning(l_orderkey" not in plan, plan
+    # still never broadcasts an SF-scaling table
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    # result identical to the unbucketed q159
+    a = sorted(map(tuple, entry.q159_market_share(spark, SF).collect()))
+    assert sorted(map(tuple, df.collect())) == a
 
 
 def test_q155_nullsafe_matching_plans_hash_join(entry, spark):

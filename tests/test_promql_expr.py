@@ -1001,3 +1001,45 @@ def test_sort_by_label_and_day_of_year(spark, mini):
     # day_of_year over epoch-seconds values: 0 -> Jan 1 -> 1.0
     out = query_instant(mini, "day_of_year(req * 0)", at_ms=3000)
     assert {r["value"] for r in out.collect()} == {1.0}
+
+
+def test_constant_fold_ieee_semantics():
+    """Advice r11: out-of-domain literals must FOLD to IEEE values
+    (NaN/±Inf) exactly as Prometheus's Go float64 engine evaluates
+    them, never crash the parser with ValueError/OverflowError."""
+    import math
+
+    def fold(expr):
+        node = parse_expr(expr)
+        assert isinstance(node, Scalar), f"{expr} did not fold: {node}"
+        return node.value
+
+    # division by zero: ±Inf by the sign product, NaN only for 0/0
+    assert fold("1 / 0") == math.inf
+    assert fold("-1 / 0") == -math.inf
+    assert math.isnan(fold("0 / 0"))
+    # out-of-domain unary → NaN, defined limits → their IEEE values
+    assert math.isnan(fold("sqrt(0 - 1)"))
+    assert math.isnan(fold("ln(0 - 1)"))
+    assert math.isnan(fold("asin(2)"))
+    assert math.isnan(fold("acosh(0.5)"))
+    assert fold("ln(0)") == -math.inf
+    assert fold("log10(0)") == -math.inf
+    assert fold("atanh(1)") == math.inf
+    assert fold("atanh(0 - 1)") == -math.inf
+    # pow: negative base ^ non-integer exponent is NaN (IEEE pow),
+    # overflow saturates to ±Inf with the right sign
+    assert math.isnan(fold("(0 - 2) ^ 0.5"))
+    assert fold("10 ^ 400") == math.inf
+    assert fold("(0 - 10) ^ 401") == -math.inf
+    # exp/cosh/sinh overflow → ±Inf; fmod stays NaN at 0 divisor
+    assert fold("exp(1000)") == math.inf
+    assert fold("cosh(0 - 1000)") == math.inf
+    assert fold("sinh(0 - 1000)") == -math.inf
+    assert math.isnan(fold("5 % 0"))
+    # ceil/floor pass non-finite through instead of raising
+    assert fold("ceil(1 / 0)") == math.inf
+    assert math.isnan(fold("floor(0 / 0)"))
+    # sanity: in-domain folds unchanged
+    assert fold("sqrt(9)") == 3.0
+    assert fold("2 ^ 10") == 1024.0

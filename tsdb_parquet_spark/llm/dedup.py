@@ -796,13 +796,16 @@ def dedup_keep_best(
 
 
 def portable_shingle_hashes(
-    text_col: Column | str, shingle_n: int = 5, out_bits: int = 60
+    text_col: Column | str, shingle_n: int = 5
 ) -> Column:
     """Distinct char-shingle hashes as ``array<bigint>`` in [0, 2^31-1),
     ENGINE-PORTABLE: md5 prefix → hex-to-int → mod p, no xxhash64 — the
     hash-family choice that lets a MinHash pipeline be replayed by any
     engine with md5 (the repo's md5-portability convention, extended
-    from sampling/splits to the LSH rung)."""
+    from sampling/splits to the LSH rung).  The 15-hex-char (60-bit)
+    prefix and the 2^31-1 modulus are part of the ORACLE CONTRACT
+    (every replay hard-codes them), so they are deliberately not
+    parameters (advice r11 removed an ignored ``out_bits`` knob)."""
     grams = char_shingles(text_col, shingle_n)
     return F.transform(
         grams,
@@ -810,6 +813,57 @@ def portable_shingle_hashes(
             F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
             F.lit(_MERSENNE),
         ),
+    )
+
+
+def portable_minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """The (a, b) affine-mix coefficients of the portable MinHash
+    family: drawn ONCE from numpy RandomState(seed) and inlined as
+    integer literals on BOTH engines (the q162 oracle replays the same
+    list), so the signature is engine-exact by construction."""
+    rng = np.random.RandomState(seed)
+    return [
+        (int(rng.randint(1, _MERSENNE)), int(rng.randint(0, _MERSENNE)))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Portable-family MinHash signatures: md5-prefix shingle hashes
+    (portable_shingle_hashes) + ``num_hashes`` affine mixes mod 2^31-1
+    with :func:`portable_minhash_coeffs` literals.  Returns
+    (id_col, _sig array<bigint>, _sh distinct-shingle-hash array) — one
+    per-row JVM map stage, each distinct shingle hashed ONCE.  Shared
+    by minhash_lsh_portable (q162) and the portable incremental band
+    index (q146c): both rungs replay in DuckDB from the same three
+    literal constants (md5 prefix 15, modulus 2^31-1, the coeff list).
+    """
+    coeffs = portable_minhash_coeffs(num_hashes, seed)
+    tmp = "_pmh_shingle_hashes"
+    hashed = portable_shingle_hashes(text_col, shingle_n)
+
+    def _minhash(a: int, b: int):
+        return F.array_min(
+            F.transform(
+                F.col(tmp),
+                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)),
+            )
+        )
+
+    sig = F.array(*[_minhash(a, b) for a, b in coeffs])
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn(tmp, hashed)
+        .withColumn("_sig", sig)
+        .withColumn("_sh", F.array_distinct(F.col(tmp)))
+        .drop(tmp)
     )
 
 
@@ -849,32 +903,12 @@ def minhash_lsh_portable(
     Returns (id_a, id_b, jaccard) for pairs with jaccard >= threshold,
     id_a < id_b.
     """
-    rng = np.random.RandomState(seed)
-    coeffs = [
-        (int(rng.randint(1, _MERSENNE)), int(rng.randint(0, _MERSENNE)))
-        for _ in range(num_hashes)
-    ]
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     rpb = num_hashes // bands
-    tmp = "_pmh_shingle_hashes"
-    hashed = portable_shingle_hashes(text_col, shingle_n)
-
-    def _minhash(a: int, b: int):
-        return F.array_min(
-            F.transform(
-                F.col(tmp),
-                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)),
-            )
-        )
-
-    sig = F.array(*[_minhash(a, b) for a, b in coeffs])
-    d = (
-        df.select(F.col(id_col), F.col(text_col))
-        .withColumn(tmp, hashed)
-        .withColumn("_sig", sig)
-        .withColumn("_sh", F.array_distinct(F.col(tmp)))
-        .drop(tmp)
+    d = minhash_signatures_portable(
+        df, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, shingle_n=shingle_n, seed=seed,
     )
     buckets = d.select(
         F.col(id_col).alias("_id"),
@@ -1002,6 +1036,7 @@ def embedding_neardup_portable(
     seed: int = 42,
     unit: float = 1e6,
     plane_scale: int = 1000,
+    dim: int | None = None,
 ) -> DataFrame:
     """SRP embedding near-dup with an ENGINE-EXACT bucketing stage — the
     oracle-gated twin of embedding_neardup_pairs (q162/q163's portable
@@ -1014,8 +1049,18 @@ def embedding_neardup_portable(
     bucketing.  The candidate rerank is the exact float cosine rounded
     to 4dp (the q26 oracle convention).  Returns (id_a, id_b, cosine),
     id_a < id_b, cosine >= threshold.
+
+    ``dim``: embedding width; when omitted it is inferred from the
+    first row (one bounded Spark job).  An empty input returns an
+    empty pair frame instead of failing the inference (advice r11).
     """
-    dim = len(df.select(emb_col).first()[0])
+    if dim is None:
+        first = df.select(emb_col).first()
+        if first is None or first[0] is None:
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        dim = len(first[0])
     rng = np.random.RandomState(seed)
     planes = [
         [int(round(x * plane_scale)) for x in rng.standard_normal(dim)]

@@ -214,6 +214,120 @@ def incremental_near_dup_candidates(
     )
 
 
+def _portable_band_keys_col(sig_col: str, num_hashes: int, bands: int):
+    """Portable LSH band keys from a portable MinHash signature — md5
+    over ``bi ':' <'-'-joined slice values>``, the band index folded
+    into the digest so the single ``band_key`` column is join-key-grade
+    (the xxhash64 ``_band_keys_col`` convention re-expressed in the
+    engine-portable q162 hash family; any engine with md5 + string
+    concat replays it)."""
+    rpb = num_hashes // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bi: F.md5(
+            F.concat_ws(
+                ":",
+                bi.cast("string"),
+                F.concat_ws(
+                    "-",
+                    F.transform(
+                        F.slice(F.col(sig_col), bi * rpb + 1, rpb),
+                        lambda v: v.cast("string"),
+                    ),
+                ),
+            )
+        ),
+    )
+
+
+def ensure_band_index_portable(
+    spark: SparkSession,
+    name: str,
+    build_docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 5,
+    bands: int = 8,
+    seed: int = 42,
+    num_buckets: int = 32,
+    source_paths: str | list[str] | None = None,
+) -> DataFrame:
+    """:func:`ensure_band_index` in the PORTABLE hash family (r12,
+    verdict r11 #5): signatures via dedup.minhash_signatures_portable
+    (md5-prefix shingles, inlined affine coefficients), band keys via
+    :func:`_portable_band_keys_col` — every constant replayable by the
+    DuckDB oracle, so the incremental accept/hold-out decision is
+    driver-hash-gated (q146c), not just pytest-pinned.  Same at-rest
+    shape as the xxhash64 index: (id, band_key) bucketed + sorted on
+    band_key, one write-time shuffle.  Defaults match q162 (32 hashes,
+    8 bands) so both portable rungs share one coefficient list."""
+    from ..sources import ensure_bucketed_table
+    from .dedup import minhash_signatures_portable
+
+    def _build():
+        sig = minhash_signatures_portable(
+            build_docs(), text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, shingle_n=shingle_n, seed=seed,
+        )
+        return sig.select(
+            F.col(id_col),
+            F.explode(
+                _portable_band_keys_col("_sig", num_hashes, bands)
+            ).alias("band_key"),
+        )
+
+    return ensure_bucketed_table(
+        spark,
+        band_index_name(name),
+        _build,
+        bucket_col="band_key",
+        num_buckets=num_buckets,
+        sort_col="band_key",
+        source_paths=source_paths,
+    )
+
+
+def incremental_near_dup_portable(
+    band_index: DataFrame,
+    batch_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 5,
+    bands: int = 8,
+    seed: int = 42,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """:func:`incremental_near_dup` in the portable hash family: rows
+    of ``batch_df`` with NO band collision against a
+    :func:`ensure_band_index_portable` corpus index.  Identical scale
+    shape — batch-side map stage, ONE batch repartition to the index's
+    buckets, merge-hinted semi-join consuming the at-rest bucketing (no
+    corpus Exchange, plan-asserted), batch-sized anti-join — with every
+    hash constant engine-portable, so the full accept-set replays in
+    the DuckDB oracle (q146c)."""
+    from .dedup import minhash_signatures_portable
+
+    sig = minhash_signatures_portable(
+        batch_df, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, shingle_n=shingle_n, seed=seed,
+    )
+    keys = sig.select(
+        F.col(id_col),
+        F.explode(
+            _portable_band_keys_col("_sig", num_hashes, bands)
+        ).alias("band_key"),
+    ).repartition(num_buckets, "band_key")
+    hits = (
+        keys.join(band_index.select("band_key").hint("merge"),
+                  "band_key", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return batch_df.join(hits, id_col, "left_anti")
+
+
 def incremental_near_dup(
     band_index: DataFrame,
     batch_df: DataFrame,

@@ -134,10 +134,21 @@ def grouped_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame
 
 
 def exact_count_distinct(df: DataFrame, keys: list[str], col: str, alias: str) -> DataFrame:
-    """Exact COUNT(DISTINCT col) per group.  Spark plans this as a two-phase
-    expand+agg — exact but shuffle-heavy; at 100 TB prefer
-    ``approx_count_distinct`` (HLL) unless exactness is required (the
-    approximate form is engine surface but never oracle-declared,
+    """Exact COUNT(DISTINCT col) per group.
+
+    Plan-shape finding (r12, verdict r11 #4 measured): Catalyst already
+    rewrites the single-distinct aggregate INTO the distinct-collapse
+    form — ``F.countDistinct`` and ``distinct().groupBy().count()``
+    compile to byte-identical physical plans (map-side partial dedup on
+    (keys, col), exchange on the FULL pair tuple — full parallelism,
+    not a group-key-skewed shuffle — then a second pair-row exchange on
+    keys).  Same-session sf100 A/B: 9.9 s vs 9.5 s, inside noise.  The
+    residual vs DuckDB is the pair exchange itself, which an in-process
+    engine never materializes; the engine's scale answer is the at-rest
+    layout (q16_bucketed: value-bucketed input makes the wide exchange
+    vanish — hash(col) co-locates every (keys, col) pair).  At 100 TB
+    prefer ``approx_count_distinct`` (HLL) unless exactness is required
+    (the approximate form is engine surface but never oracle-declared,
     SURVEY.md §2.3)."""
     return df.groupBy(*keys).agg(F.countDistinct(col).alias(alias))
 

@@ -120,4 +120,11 @@ def pagerank_integer(
             new_ranks.count()
         old.unpersist()
         ranks = new_ranks
+    # the loop inputs are dead once ranks is materialized (count() /
+    # eager checkpoint above) — drop them so repeated calls in one
+    # session (bench loops) don't accumulate cached partitions.  The
+    # returned ranks stays cached; callers that keep the session alive
+    # after consuming it own ranks.unpersist() (advice r11).
+    deg.unpersist()
+    e.unpersist()
     return ranks

@@ -183,26 +183,138 @@ _SCALAR_FNS = {
 }
 
 # scalar∘scalar arithmetic, python-side (IEEE doubles — same results the
-# JVM column expressions produce), used for parse/eval constant folding
+# JVM column expressions produce), used for parse/eval constant folding.
+# Python's math module raises where IEEE-754 (and therefore Prometheus,
+# whose engine runs on Go float64s) returns ±Inf/NaN, so every fold that
+# can leave the domain goes through an IEEE wrapper (advice r11): a
+# valid expression like `sqrt(-1)` or `1/0` must fold to NaN / +Inf,
+# never crash the parser.
+
+
+def _ieee_div(a: float, b: float) -> float:
+    if b == 0:
+        # IEEE x/±0: NaN for 0/0 (and NaN/0), else Inf with the sign of
+        # the operand-sign product (copysign sees -0.0's sign bit)
+        if a == 0 or math.isnan(a):
+            return math.nan
+        return math.copysign(math.inf, a) * math.copysign(1.0, b)
+    return a / b
+
+
+def _ieee_fmod(a: float, b: float) -> float:
+    try:
+        # math.fmod raises for fmod(±Inf, y) and fmod(x, 0); IEEE → NaN
+        return math.fmod(a, b) if b != 0 else math.nan
+    except (ValueError, OverflowError):
+        return math.nan
+
+
+def _ieee_pow(a: float, b: float) -> float:
+    try:
+        # math.pow raises ValueError for e.g. (-2)^0.5 where IEEE pow
+        # (Go/Java Math.pow) returns NaN, and OverflowError where IEEE
+        # returns ±Inf (sign: negative only for negative base ^ odd int)
+        return math.pow(a, b)
+    except ValueError:
+        return math.nan
+    except OverflowError:
+        neg = a < 0 and float(b).is_integer() and int(b) % 2 == 1
+        return -math.inf if neg else math.inf
+
+
 _SCALAR_BINOP_FOLD = {
     "+": lambda a, b: a + b,
     "-": lambda a, b: a - b,
     "*": lambda a, b: a * b,
-    "/": lambda a, b: a / b if b != 0 else math.nan,
-    "%": lambda a, b: math.fmod(a, b) if b != 0 else math.nan,
-    "^": lambda a, b: math.pow(a, b),
-    "atan2": lambda a, b: math.atan2(a, b),
+    "/": _ieee_div,
+    "%": _ieee_fmod,
+    "^": _ieee_pow,
+    "atan2": math.atan2,
 }
 
-# argless pure-math subset of _SCALAR_FNS, python-side for constant folding
+# argless pure-math subset of _SCALAR_FNS, python-side for constant
+# folding.  Same IEEE discipline as the binop folds (advice r11): Python
+# math raises where Go/Java float64 math returns NaN/±Inf, so
+# out-of-domain literals (sqrt(-1), ln(-1), asin(2)) fold to NaN, the
+# limits that ARE defined fold to them (ln(0) → -Inf, atanh(±1) → ±Inf,
+# exp overflow → +Inf), and ceil/floor pass non-finite inputs through
+# (math.ceil(inf) raises; IEEE ceil(Inf)=Inf, ceil(NaN)=NaN).
+
+
+def _nan_on_err(fn):
+    def wrapped(v: float) -> float:
+        try:
+            return fn(v)
+        except (ValueError, OverflowError):
+            return math.nan
+    return wrapped
+
+
+def _ieee_log_fn(fn):
+    def wrapped(v: float) -> float:
+        if v == 0:
+            return -math.inf
+        try:
+            return fn(v)
+        except ValueError:
+            return math.nan
+    return wrapped
+
+
+def _ieee_round_fn(fn):
+    def wrapped(v: float) -> float:
+        if not math.isfinite(v):
+            return v
+        return float(fn(v))
+    return wrapped
+
+
+def _ieee_exp(v: float) -> float:
+    try:
+        return math.exp(v)
+    except OverflowError:
+        return math.inf
+
+
+def _ieee_cosh(v: float) -> float:
+    try:
+        return math.cosh(v)
+    except OverflowError:
+        return math.inf
+
+
+def _ieee_sinh(v: float) -> float:
+    try:
+        return math.sinh(v)
+    except OverflowError:
+        return math.copysign(math.inf, v)
+
+
+def _ieee_atanh(v: float) -> float:
+    if v == 1:
+        return math.inf
+    if v == -1:
+        return -math.inf
+    try:
+        return math.atanh(v)
+    except ValueError:
+        return math.nan
+
+
 _PY_SCALAR_FOLD = {
-    "abs": abs, "ceil": math.ceil, "floor": math.floor, "sqrt": math.sqrt,
-    "exp": math.exp, "ln": math.log, "log2": math.log2, "log10": math.log10,
+    "abs": abs,
+    "ceil": _ieee_round_fn(math.ceil), "floor": _ieee_round_fn(math.floor),
+    "sqrt": _nan_on_err(math.sqrt),
+    "exp": _ieee_exp,
+    "ln": _ieee_log_fn(math.log), "log2": _ieee_log_fn(math.log2),
+    "log10": _ieee_log_fn(math.log10),
     "sgn": lambda v: float((v > 0) - (v < 0)),
     "sin": math.sin, "cos": math.cos, "tan": math.tan,
-    "asin": math.asin, "acos": math.acos, "atan": math.atan,
-    "sinh": math.sinh, "cosh": math.cosh, "tanh": math.tanh,
-    "asinh": math.asinh, "acosh": math.acosh, "atanh": math.atanh,
+    "asin": _nan_on_err(math.asin), "acos": _nan_on_err(math.acos),
+    "atan": math.atan,
+    "sinh": _ieee_sinh, "cosh": _ieee_cosh, "tanh": math.tanh,
+    "asinh": math.asinh, "acosh": _nan_on_err(math.acosh),
+    "atanh": _ieee_atanh,
     "deg": math.degrees, "rad": math.radians,
 }
 
