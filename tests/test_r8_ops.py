@@ -699,3 +699,175 @@ def test_profile_table_one_pass_and_values(spark):
     # one scan: a single aggregate (Expand handles the multi-distinct)
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan") == 1, plan
+
+
+def test_manifest_sink_idempotent_and_batch_order_independent(spark, tmp_path):
+    from tsdb_parquet_spark.operators.aggregates import latest_by_key
+    from tsdb_parquet_spark.streaming.commitlog import (
+        read_manifest_view,
+        upsert_latest_sink_manifest,
+    )
+
+    rows = [(i % 5, i, f"p{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, ver long, payload string")
+    want = sorted(
+        tuple(r) for r in latest_by_key(df, ["k"], "ver", "payload").collect()
+    )
+
+    path = str(tmp_path / "mview")
+    sink = upsert_latest_sink_manifest(path, ["k"], "ver", "payload")
+    for lo, hi in ((30, 40), (0, 10), (20, 30), (10, 20)):
+        sink(df.filter((F.col("ver") >= lo) & (F.col("ver") < hi)), hi)
+    got = sorted(
+        tuple(r) for r in
+        read_manifest_view(spark, path).select("k", "ver", "payload").collect()
+    )
+    assert got == want
+    # at-least-once replay: re-applying an old batch is a no-op
+    sink(df.filter(F.col("ver") < 10), 99)
+    got2 = sorted(
+        tuple(r) for r in
+        read_manifest_view(spark, path).select("k", "ver", "payload").collect()
+    )
+    assert got2 == want
+
+
+def test_manifest_sink_immutable_generations_and_touched_only(spark, tmp_path):
+    """The object-store property: a micro-batch NEVER rewrites or
+    renames an existing file — untouched buckets' generation dirs stay
+    byte-identical and the new manifest carries their entries forward;
+    only touched buckets get a new generation."""
+    import glob
+    import os
+
+    from tsdb_parquet_spark.streaming.commitlog import (
+        latest_manifest,
+        read_manifest_view,
+        upsert_latest_sink_manifest,
+    )
+
+    path = str(tmp_path / "mview")
+    sink = upsert_latest_sink_manifest(path, ["k"], "ver", "payload", n_buckets=8)
+    df = spark.createDataFrame(
+        [(i, 1, f"v1_{i}") for i in range(64)], "k long, ver long, payload string"
+    )
+    sink(df, 0)
+    v1, m1 = latest_manifest(spark, path)
+    assert v1 == 1 and len(m1) == 8
+    files_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(path, "data", "*", "*", "*.parquet"))
+    }
+
+    upd = spark.createDataFrame(
+        [(7, 2, "v2_7")], "k long, ver long, payload string"
+    )
+    sink(upd, 1)
+    v2, m2 = latest_manifest(spark, path)
+    assert v2 == 2
+    # every pre-existing data file is untouched (immutability)
+    for f, mt in files_before.items():
+        assert os.path.exists(f) and os.path.getmtime(f) == mt
+    # exactly one bucket entry moved to a new generation
+    moved = [k for k in m1 if m1[k] != m2[k]]
+    assert len(moved) == 1
+    view = {
+        r["k"]: r["payload"] for r in read_manifest_view(spark, path).collect()
+    }
+    assert view[7] == "v2_7" and view[6] == "v1_6" and len(view) == 64
+
+
+def test_manifest_crash_windows_and_torn_commit(spark, tmp_path):
+    """Every crash window of the commit protocol leaves a readable
+    view with NO repair step: (a) generation written but no manifest ->
+    old version stays current, replay converges; (b) torn manifest
+    (half-written JSON) -> reader falls back one version."""
+    import os
+
+    from tsdb_parquet_spark.operators.aggregates import latest_by_key
+    from tsdb_parquet_spark.streaming.commitlog import (
+        latest_manifest,
+        read_manifest_view,
+        upsert_latest_sink_manifest,
+    )
+
+    path = str(tmp_path / "mview")
+    sink = upsert_latest_sink_manifest(path, ["k"], "ver", "payload", n_buckets=4)
+    df1 = spark.createDataFrame(
+        [(k, 1, f"v1_{k}") for k in range(8)], "k long, ver long, payload string"
+    )
+    sink(df1, 0)
+    want1 = sorted(
+        tuple(r) for r in
+        read_manifest_view(spark, path).select("k", "ver", "payload").collect()
+    )
+
+    # (a) orphan generation: simulate a crash after the data write but
+    # before the commit — write a generation dir by hand, no manifest
+    os.makedirs(os.path.join(path, "data", "borphan-deadbeef", "__kb=0"))
+    assert sorted(
+        tuple(r) for r in
+        read_manifest_view(spark, path).select("k", "ver", "payload").collect()
+    ) == want1
+    # replay of the "crashed" batch converges
+    df2 = spark.createDataFrame(
+        [(3, 2, "v2_3")], "k long, ver long, payload string"
+    )
+    sink(df2, 1)
+    v, _ = latest_manifest(spark, path)
+    assert v == 2
+
+    # (b) torn manifest: half-written JSON at the next version
+    with open(os.path.join(path, "_commits", f"{3:020d}.json"), "w") as fh:
+        fh.write('{"version": 3, "buckets": {"0": "data/')
+    got = {
+        r["k"]: r["payload"] for r in read_manifest_view(spark, path).collect()
+    }
+    assert got[3] == "v2_3" and len(got) == 8  # fell back to version 2
+    # and the full history still equals the batch oracle
+    all_rows = df1.unionByName(df2)
+    want = sorted(
+        tuple(r)
+        for r in latest_by_key(all_rows, ["k"], "ver", "payload").collect()
+    )
+    assert sorted(
+        tuple(r) for r in
+        read_manifest_view(spark, path).select("k", "ver", "payload").collect()
+    ) == want
+
+
+def test_manifest_vacuum_keeps_reader_window(spark, tmp_path):
+    """Vacuum drops manifests past the kept tail and every generation
+    dir none of them references; a reader pinned to the newest-kept
+    version still scans successfully afterwards."""
+    import glob
+    import os
+
+    from tsdb_parquet_spark.streaming.commitlog import (
+        latest_manifest,
+        read_manifest_view,
+        upsert_latest_sink_manifest,
+        vacuum_manifest_view,
+    )
+
+    path = str(tmp_path / "mview")
+    sink = upsert_latest_sink_manifest(path, ["k"], "ver", "payload", n_buckets=2)
+    for v in range(1, 5):
+        df = spark.createDataFrame(
+            [(k, v, f"v{v}_{k}") for k in range(4)],
+            "k long, ver long, payload string",
+        )
+        sink(df, v)
+    assert latest_manifest(spark, path)[0] == 4
+    n_gens_before = len(glob.glob(os.path.join(path, "data", "*")))
+    assert n_gens_before == 4
+
+    stats = vacuum_manifest_view(spark, path, keep_manifests=2)
+    assert stats["manifests_dropped"] == 2
+    assert stats["generations_dropped"] >= 1
+    # newest two manifests survive; the view still reads fine
+    assert latest_manifest(spark, path)[0] == 4
+    got = {
+        r["k"]: r["payload"] for r in read_manifest_view(spark, path).collect()
+    }
+    assert got == {k: f"v4_{k}" for k in range(4)}
