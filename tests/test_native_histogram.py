@@ -1,0 +1,100 @@
+"""Native (sparse exponential) histograms: exact bucketing, schema
+shape, and quantile semantics against a pure-Python reference."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_parquet_spark.native_histogram import (
+    native_histogram_from_values,
+    native_histogram_quantile,
+)
+
+
+def _py_quantile(values: list[int], q: float) -> float:
+    """Pure-Python reference: schema-0 buckets (2^(k-1), 2^k], zero
+    bucket for v < 1, cumulative walk, within-bucket linear
+    interpolation — the module's documented model."""
+    zero = sum(1 for v in values if v < 1)
+    buckets: dict[int, int] = {}
+    for v in values:
+        if v >= 1:
+            k = 0 if v == 1 else (v - 1).bit_length()
+            buckets[k] = buckets.get(k, 0) + 1
+    total = len(values)
+    rank = q * total
+    if rank <= zero:
+        return 0.0
+    cum = zero
+    for k in sorted(buckets):
+        c = buckets[k]
+        cum += c
+        if cum >= rank:
+            lower, upper = 2.0 ** (k - 1), 2.0 ** k
+            frac = (rank - (cum - c)) / c
+            return round(lower + (upper - lower) * frac, 6)
+    raise AssertionError("rank beyond total")
+
+
+def test_exact_bucket_index_at_boundaries(spark):
+    """The bit-length identity must place every power-of-two boundary
+    exactly: v in (2^(k-1), 2^k] -> bucket k — the ulp-proof property
+    a floating log2 does not have."""
+    vals = [1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 1023, 1024, 1025]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").withColumn(
+        "g", F.lit("a")
+    )
+    hist = native_histogram_from_values(df, "v", ["g"]).collect()[0]
+    got = {b["k"]: b["c"] for b in hist["buckets"]}
+    want: dict[int, int] = {}
+    for v in vals:
+        k = 0 if v == 1 else (v - 1).bit_length()
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+    assert hist["count"] == len(vals) and hist["zero_count"] == 0
+    assert hist["schema"] == 0
+    # k-sorted sparse array
+    ks = [b["k"] for b in hist["buckets"]]
+    assert ks == sorted(ks)
+
+
+@pytest.mark.parametrize("q", [0.1, 0.5, 0.9, 0.99])
+def test_quantile_matches_python_reference(spark, q):
+    values = [(i * 37) % 500 for i in range(400)]  # incl. zeros
+    df = spark.createDataFrame([(v,) for v in values], "v long").withColumn(
+        "g", F.lit("a")
+    )
+    hist = native_histogram_from_values(df, "v", ["g"])
+    got = native_histogram_quantile(hist, q, ["g"]).collect()
+    assert len(got) == 1
+    assert math.isclose(got[0]["value"], _py_quantile(values, q),
+                        rel_tol=0, abs_tol=0)
+
+
+def test_quantile_zero_bucket_hit(spark):
+    """A rank landing inside the zero bucket returns 0.0 (all
+    non-positive observations sit at the zero point)."""
+    values = [0] * 90 + [4] * 10
+    df = spark.createDataFrame([(v,) for v in values], "v long").withColumn(
+        "g", F.lit("a")
+    )
+    hist = native_histogram_from_values(df, "v", ["g"])
+    got = native_histogram_quantile(hist, 0.5, ["g"]).collect()
+    assert got[0]["value"] == 0.0
+    # and a rank past the zero bucket interpolates in (2,4]
+    got9 = native_histogram_quantile(hist, 0.95, ["g"]).collect()[0]["value"]
+    assert 2.0 < got9 <= 4.0
+    assert got9 == _py_quantile(values, 0.95)
+
+
+def test_multi_group_independent_walks(spark):
+    rows = [("a", v) for v in [1, 2, 3, 4]] + [("b", v) for v in [100] * 4]
+    df = spark.createDataFrame(rows, "g string, v long")
+    hist = native_histogram_from_values(df, "v", ["g"])
+    got = {r["g"]: r["value"]
+           for r in native_histogram_quantile(hist, 0.5, ["g"]).collect()}
+    assert got["a"] == _py_quantile([1, 2, 3, 4], 0.5)
+    assert got["b"] == _py_quantile([100] * 4, 0.5)

@@ -1,0 +1,149 @@
+"""Prometheus NATIVE (sparse, exponential-bucket) histograms — the
+modern sample type the classic ``_bucket``/``le`` machinery predates
+(verdict r11 #8).
+
+Reference scope: the converter iterates float samples only
+(``hello.go:489-497`` walks ``chunkenc.ValFloat``), so native
+histograms are an EXTENSION surface here, not reference parity — this
+module lands the schema and the quantile machinery so a Prometheus 3.x
+user has somewhere to put native-histogram data.
+
+The model (the standard exponential schema): a native histogram sample
+is ``(count, sum, zero_count, schema, buckets)`` where ``buckets`` is a
+SPARSE array of ``(k, c)`` pairs and bucket ``k`` covers
+``(base^(k-1), base^k]`` with ``base = 2^(2^-schema)``.  This module
+implements ``schema = 0`` (``base = 2``) — coarser resolutions differ
+only in the base; the plumbing (sparse array column, cumulative walk,
+within-bucket linear interpolation) is identical.
+
+EXACT BUCKETING: for integer-valued observations the bucket index
+``k = ceil(log2(v))`` is computed WITHOUT floating logs — ``v = 1 ->
+0``, else ``length(bin(v - 1))`` (the bit-length identity
+``ceil(log2(v)) = bit_length(v-1)``) — so Spark and any replaying
+engine agree bit-for-bit at every power-of-two boundary, where a libm
+``log2`` can land one ulp off and flip the bucket (the q155/q156 ulp
+lesson applied to bucketing).  Float observations would take the same
+plan with a documented boundary tolerance.
+
+Scale shape: building histograms is ONE groupBy over (labels, k) —
+shuffle carries one row per populated bucket per label set (sparse:
+~64 buckets max for long-range data at schema 0), then a collect_list
+per label set.  The quantile walk runs on the BUCKET rows (label-set ×
+populated-bucket cardinality — thousands, not raw-sample billions):
+a per-label cumulative window + first-bucket pick + one interpolation.
+Raw samples cross the exchange once, pre-aggregated to bucket counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucket_index_exact(value_col) -> "F.Column":
+    """schema-0 bucket index ``k = ceil(log2(v))`` for INTEGER v >= 1,
+    via the bit-length identity — no floating log anywhere."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    return (
+        F.when(v == 1, F.lit(0))
+        .otherwise(F.length(F.bin(v - F.lit(1))))
+        .cast("int")
+    )
+
+
+def native_histogram_from_values(
+    df: DataFrame,
+    value_col: str,
+    labels: list[str],
+) -> DataFrame:
+    """Aggregate integer observations into one native-histogram row per
+    label set: ``(labels..., count, sum, zero_count, schema, buckets)``
+    with ``buckets`` a k-sorted sparse ``array<struct<k int, c long>>``
+    — the storage schema a native-histogram ingest would persist.
+    Zero/negative observations land in ``zero_count`` (the Prometheus
+    zero bucket; negative-bucket spans are symmetrical and omitted
+    here)."""
+    v = F.col(value_col)
+    pos = df.filter(v >= 1).withColumn("_k", bucket_index_exact(v))
+    per_bucket = pos.groupBy(*labels, "_k").agg(
+        F.count(F.lit(1)).alias("_c"), F.sum(v).alias("_s")
+    )
+    zero = (
+        df.filter(v < 1)
+        .groupBy(*labels)
+        .agg(F.count(F.lit(1)).alias("zero_count"))
+    )
+    hist = per_bucket.groupBy(*labels).agg(
+        F.sum("_c").alias("pos_count"),
+        F.sum("_s").alias("sum"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_k").alias("k"), F.col("_c").alias("c")))
+        ).alias("buckets"),
+    )
+    out = hist.join(zero, labels, "left").withColumn(
+        "zero_count", F.coalesce(F.col("zero_count"), F.lit(0)).cast("long")
+    )
+    return out.select(
+        *labels,
+        (F.col("pos_count") + F.col("zero_count")).alias("count"),
+        "sum",
+        "zero_count",
+        F.lit(0).alias("schema"),
+        "buckets",
+    )
+
+
+def native_histogram_quantile(
+    hist_df: DataFrame,
+    q: float,
+    labels: list[str],
+    round_dp: int = 6,
+) -> DataFrame:
+    """``histogram_quantile(q, <native histogram>)``: per label set,
+    walk the sparse buckets cumulatively, pick the first bucket whose
+    cumulative count reaches ``rank = q * count`` (zero bucket first —
+    observations <= 0 all sit at 0), and interpolate linearly within
+    the bucket's ``(2^(k-1), 2^k]`` bounds — the Prometheus
+    within-bucket model.  Returns ``(labels..., value)``.  Runs on
+    bucket rows, never raw samples."""
+    b = hist_df.select(
+        *labels,
+        F.col("count"),
+        F.col("zero_count"),
+        F.posexplode("buckets").alias("_i", "_b"),
+    ).select(
+        *labels,
+        "count",
+        "zero_count",
+        F.col("_b.k").alias("k"),
+        F.col("_b.c").alias("c"),
+    )
+    w = (
+        Window.partitionBy(*labels)
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rank = F.lit(q) * F.col("count")
+    cum = (F.sum("c").over(w) + F.col("zero_count")).alias("cum")
+    walked = b.select(*labels, "count", "zero_count", "k", "c", cum, rank.alias("rank"))
+    # rank inside the zero bucket -> quantile 0 (all non-positive obs
+    # are modeled at the zero point)
+    hit = walked.filter(
+        (F.col("cum") >= F.col("rank"))
+        & (F.col("rank") > F.col("zero_count"))
+    )
+    first = hit.withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy(*labels).orderBy("k")),
+    ).filter(F.col("_rn") == 1)
+    lower = F.pow(F.lit(2.0), F.col("k") - 1)
+    upper = F.pow(F.lit(2.0), F.col("k"))
+    frac = (F.col("rank") - (F.col("cum") - F.col("c"))) / F.col("c")
+    val = lower + (upper - lower) * frac
+    zero_hit = (
+        hist_df.filter(F.lit(q) * F.col("count") <= F.col("zero_count"))
+        .select(*labels, F.lit(0.0).alias("value"))
+    )
+    return first.select(
+        *labels, F.round(val, round_dp).alias("value")
+    ).unionByName(zero_hit)
