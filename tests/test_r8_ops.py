@@ -871,3 +871,53 @@ def test_manifest_vacuum_keeps_reader_window(spark, tmp_path):
         r["k"]: r["payload"] for r in read_manifest_view(spark, path).collect()
     }
     assert got == {k: f"v4_{k}" for k in range(4)}
+
+
+def test_manifest_compaction_is_a_commit(spark, tmp_path):
+    """Compaction of a manifest view is just another commit: small
+    files coalesce into a fresh generation, the result is unchanged,
+    NO rename happens (old generation files still on disk until
+    vacuum), and a subsequent vacuum reclaims the superseded dirs."""
+    import glob
+    import os
+
+    from tsdb_parquet_spark.streaming.commitlog import (
+        compact_manifest_view,
+        latest_manifest,
+        read_manifest_view,
+        upsert_latest_sink_manifest,
+        vacuum_manifest_view,
+    )
+
+    path = str(tmp_path / "mview")
+    sink = upsert_latest_sink_manifest(path, ["k"], "ver", "payload", n_buckets=2)
+    df = spark.createDataFrame(
+        [(k, 1, f"v1_{k}") for k in range(8)], "k long, ver long, payload string"
+    )
+    sink(df, 0)
+    before = sorted(
+        tuple(r) for r in
+        read_manifest_view(spark, path).select("k", "ver", "payload").collect()
+    )
+    v_before, m_before = latest_manifest(spark, path)
+    old_files = set(glob.glob(os.path.join(path, "data", "*", "*", "*.parquet")))
+
+    rewritten = compact_manifest_view(spark, path, min_files=1)
+    assert sorted(rewritten) == ["0", "1"]
+    v_after, m_after = latest_manifest(spark, path)
+    assert v_after == v_before + 1
+    assert all(m_after[k] != m_before[k] for k in rewritten)
+    # no renames: every pre-compaction file still exists
+    assert all(os.path.exists(f) for f in old_files)
+    # result identical
+    assert sorted(
+        tuple(r) for r in
+        read_manifest_view(spark, path).select("k", "ver", "payload").collect()
+    ) == before
+    # vacuum with keep=1 reclaims the superseded generation
+    stats = vacuum_manifest_view(spark, path, keep_manifests=1)
+    assert stats["generations_dropped"] >= 1
+    assert sorted(
+        tuple(r) for r in
+        read_manifest_view(spark, path).select("k", "ver", "payload").collect()
+    ) == before

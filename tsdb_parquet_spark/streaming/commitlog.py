@@ -226,6 +226,56 @@ def read_manifest_view(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(*[f"{path}/{d}" for d in buckets.values()])
 
 
+def compact_manifest_view(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> list[str]:
+    """Object-store-safe compaction of a manifest view — the
+    maintenance twin of ``maintenance.compact_table``, which stages
+    via directory RENAMES and therefore needs a rename-capable FS
+    (its documented limitation).  Here compaction is just another
+    commit: buckets of the CURRENT manifest with >= ``min_files``
+    small files (average under half the target) rewrite into a fresh
+    generation dir — ``coalesce(ceil(bytes/target))`` — and a new
+    manifest points at them.  NO renames, no reader-visible window;
+    readers pinned to older manifests keep their files until
+    :func:`vacuum_manifest_view` reclaims them.  Returns the bucket
+    ids rewritten."""
+    import math
+
+    jvm, fs = _fs(spark, path)
+    ver, buckets = _latest_manifest(jvm, fs, path)
+    if not buckets:
+        return []
+    gen = f"{_DATA}/compact-{uuid.uuid4().hex[:12]}"
+    new_buckets = dict(buckets)
+    rewritten: list[str] = []
+    for k in sorted(buckets):
+        d = buckets[k]
+        files = [
+            st for st in fs.listStatus(_hpath(jvm, path, d))
+            if st.getPath().getName().endswith(".parquet")
+        ]
+        total = sum(st.getLen() for st in files)
+        if len(files) < min_files or (
+            files and total / len(files) >= target_file_bytes / 2
+        ):
+            continue
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        (
+            spark.read.parquet(f"{path}/{d}")
+            .coalesce(n_out)
+            .write.parquet(f"{path}/{gen}/{_BUCKET_COL}={k}")
+        )
+        new_buckets[k] = f"{gen}/{_BUCKET_COL}={k}"
+        rewritten.append(k)
+    if rewritten:
+        _commit(jvm, fs, path, ver + 1, new_buckets)
+    return rewritten
+
+
 def vacuum_manifest_view(
     spark: SparkSession, path: str, keep_manifests: int = 2
 ) -> dict[str, int]:
