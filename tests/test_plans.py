@@ -562,6 +562,22 @@ def test_q159_bucketed_no_lineitem_exchange(entry, spark):
     assert sorted(map(tuple, df.collect())) == a
 
 
+def test_q145_bucketed_shares_q159_layout_no_lineitem_exchange(entry, spark):
+    """q145 over the SAME bucketed lineitem table as q159_bucketed:
+    the scan must come off the q159b layout (cross-query amortization)
+    with no lineitem-key exchange; broadcasts stay the two nation
+    chains only."""
+    df = entry.q145_bucketed(spark, SF)
+    plan = plan_of(df)
+    assert "q159b_lineitem" in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 1, plan
+    assert "hashpartitioning(l_orderkey" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    a = sorted(map(tuple, entry.q145_regional_revenue(spark, SF).collect()))
+    assert sorted(map(tuple, df.collect())) == a
+
+
 def test_q155_nullsafe_matching_plans_hash_join(entry, spark):
     """The <=> keys of PromQL vector matching must plan as hash joins
     (Catalyst's coalesce/isnull rewrite), never nested-loop/cartesian —
