@@ -308,6 +308,21 @@ def main() -> None:
             out["spark_vs_duckdb"] = round(total / dtotal, 3)
 
     print(json.dumps(out))
+    # ALSO persist the full line next to the repo (verdict r11: the
+    # driver's BENCH_r*.json keeps only a 2000-char stdout tail, losing
+    # the per-query table) — one file per run is the durable artifact;
+    # failures here must never fail the bench
+    try:
+        art = os.environ.get(
+            "SPARK_GRAFT_BENCH_OUT",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LAST.json"),
+        )
+        with open(art, "w") as fh:
+            json.dump(out, fh)
+            fh.write("\n")
+    except OSError as e:  # noqa: BLE001
+        print(f"bench artifact write failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
