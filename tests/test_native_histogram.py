@@ -98,3 +98,51 @@ def test_multi_group_independent_walks(spark):
            for r in native_histogram_quantile(hist, 0.5, ["g"]).collect()}
     assert got["a"] == _py_quantile([1, 2, 3, 4], 0.5)
     assert got["b"] == _py_quantile([100] * 4, 0.5)
+
+
+def test_fraction_matches_python_reference(spark):
+    from tsdb_parquet_spark.native_histogram import (
+        native_histogram_fraction,
+    )
+
+    values = [(i * 37) % 500 for i in range(400)]
+    df = spark.createDataFrame([(v,) for v in values], "v long").withColumn(
+        "g", F.lit("a")
+    )
+    hist = native_histogram_from_values(df, "v", ["g"])
+    for upper in (0.7, 1.0, 3.0, 100.0, 300.0, 1024.0):
+        got = native_histogram_fraction(hist, upper, ["g"]).collect()[0][
+            "fraction"
+        ]
+        # pure-Python reference on the same bucket model
+        zero = sum(1 for v in values if v < 1)
+        import math
+        m, e = math.frexp(upper)
+        k = e - 1 if m == 0.5 else e
+        lo, hi = 2.0 ** (k - 1), 2.0 ** k
+        acc = float(zero)
+        buckets: dict[int, int] = {}
+        for v in values:
+            if v >= 1:
+                kk = 0 if v == 1 else (v - 1).bit_length()
+                buckets[kk] = buckets.get(kk, 0) + 1
+        for kk, c in buckets.items():
+            if kk < k:
+                acc += c
+            elif kk == k:
+                acc += c * ((upper - lo) / (hi - lo))
+        # HALF_UP like Spark/DuckDB round (Python round() is
+        # half-even: 0.2034375 -> .203437 vs the engines' .203438)
+        want = math.floor(acc / len(values) * 1e6 + 0.5) / 1e6
+        assert got == want, (upper, got, want)
+
+
+def test_fraction_rejects_nonpositive_upper(spark):
+    from tsdb_parquet_spark.native_histogram import (
+        native_histogram_fraction,
+    )
+
+    df = spark.createDataFrame([(4,)], "v long").withColumn("g", F.lit("a"))
+    hist = native_histogram_from_values(df, "v", ["g"])
+    with pytest.raises(ValueError):
+        native_histogram_fraction(hist, 0.0, ["g"])

@@ -93,6 +93,50 @@ def native_histogram_from_values(
     )
 
 
+def native_histogram_fraction(
+    hist_df: DataFrame,
+    upper: float,
+    labels: list[str],
+    round_dp: int = 6,
+) -> DataFrame:
+    """``histogram_fraction(0, upper, <native histogram>)``: per label
+    set, the interpolated share of observations at or under ``upper``
+    — the classic-bucket q122 arithmetic on the sparse schema.  The
+    containing bucket index ``ceil(log2(upper))`` and its bounds are
+    computed DRIVER-SIDE in exact Python (math.frexp — no engine log
+    anywhere), then folded in as literals: buckets wholly below count
+    fully, the containing bucket contributes its linear share, the
+    zero bucket counts fully.  Returns ``(labels..., fraction)``."""
+    import math
+
+    if upper <= 0:
+        raise ValueError("upper must be positive (zero bucket is the floor)")
+    m, e = math.frexp(upper)  # upper = m * 2^e, m in [0.5, 1)
+    k = e - 1 if m == 0.5 else e  # ceil(log2(upper)); exact
+    lo, hi = 2.0 ** (k - 1), 2.0 ** k
+    part = (upper - lo) / (hi - lo)
+    b = hist_df.select(
+        *labels,
+        "count",
+        "zero_count",
+        F.explode("buckets").alias("_b"),
+    )
+    contrib = (
+        F.when(F.col("_b.k") < k, F.col("_b.c").cast("double"))
+        .when(F.col("_b.k") == k, F.col("_b.c") * F.lit(part))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        b.groupBy(*labels)
+        .agg(
+            F.round(
+                (F.first("zero_count") + F.sum(contrib)) / F.first("count"),
+                round_dp,
+            ).alias("fraction")
+        )
+    )
+
+
 def native_histogram_quantile(
     hist_df: DataFrame,
     q: float,
