@@ -1683,3 +1683,50 @@ def test_embedding_neardup_portable(spark):
     got_dim = {(r["id_a"], r["id_b"]) for r in embedding_neardup_portable(
         df, threshold=0.9, num_planes=4, dim=16).collect()}
     assert (1, 2) in got_dim
+
+
+def test_batch_cosine_topk_two_phase_exact(spark):
+    """The salted two-phase top-k must equal a single global ranking —
+    including across 4-dp cosine TIES (broken by id) and when k exceeds
+    a salt group's population."""
+    import math
+    import random
+
+    import pyspark.sql.functions as F
+
+    from tsdb_parquet_spark.llm.similarity import batch_cosine_topk
+
+    rng = random.Random(7)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    # inject exact duplicates of vector 0 -> cosine ties at any dp
+    vecs += [(100, list(vecs[0][1])), (101, list(vecs[0][1]))]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    probes = df.filter(F.col("vec_id") < 2)
+    got = [
+        (r["qid"], r["rank"], r["vec_id"])
+        for r in batch_cosine_topk(df, probes, k=7, salt_buckets=5)
+        .orderBy("qid", "rank").collect()
+    ]
+
+    # single-phase python reference (float32 storage -> float64 math,
+    # sequential fold like the engine)
+    rows = df.collect()
+    stored = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 4)
+    want = []
+    for qid in (0, 1):
+        scored = sorted(
+            ((cos(v, stored[qid]), vid) for vid, v in stored.items()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        want += [(qid, i + 1, vid) for i, (_, vid) in enumerate(scored[:7])]
+    assert got == want
+    # the duplicate ids 100/101 tie with vec 0 at cosine 1.0 for qid 0
+    top_qid0 = [vid for q, _, vid in got if q == 0][:3]
+    assert top_qid0 == [0, 100, 101]

@@ -91,6 +91,67 @@ def cosine_topk_exact(
     return out.orderBy(F.desc(sim_alias), id_col).limit(k)
 
 
+def batch_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_dp: int = 4,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Exact top-k nearest (cosine) corpus vectors for EVERY query
+    vector at once — the multi-query generalization of
+    :func:`cosine_topk_exact` (r12): the primitive behind
+    dedup-against-an-eval-set and batch retrieval evaluation.
+
+    Ranking key: (round(cosine, 4) DESC, id) — rounded BEFORE ranking
+    so the order is engine-portable (the q164 convention: raw float
+    folds agree at 4dp; the id tiebreak makes 4dp tie groups
+    deterministic).
+
+    Scale shape: queries broadcast (keep |Q| bounded — a constant probe
+    set, not a fraction of the corpus); scores are one JVM map stage
+    (codegen HOFs, no UDF); top-k is the SALTED TWO-PHASE form — phase
+    1 ranks within (query, pmod(id, salt_buckets)) so the full-score
+    exchange spreads over |Q| x salt_buckets reducers (a plain
+    per-query window would land |corpus| rows on |Q| reducers — the
+    q16 skew shape), phase 2 ranks the surviving |Q| x salt x k rows.
+    Exact: every global top-k row survives its own salt group's phase-1
+    cut.  Returns (qid, rank, id_col, cosine)."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(emb_col).alias("_qe")
+    )
+    scored = corpus.select(F.col(id_col), F.col(emb_col)).join(
+        F.broadcast(q)
+    ).select(
+        "qid",
+        F.col(id_col),
+        F.round(cosine_cols(F.col(emb_col), F.col("_qe")), round_dp).alias(
+            "cosine"
+        ),
+    )
+    from pyspark.sql import Window
+
+    salted = scored.withColumn(
+        "_salt", F.pmod(F.col(id_col), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy("qid", "_salt").orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    cand = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_rn1", "_salt")
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", id_col, "cosine")
+    )
+
+
 def cosine_topk_np(
     df: DataFrame,
     query_vec: Sequence[float],
