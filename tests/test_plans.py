@@ -578,6 +578,21 @@ def test_q145_bucketed_shares_q159_layout_no_lineitem_exchange(entry, spark):
     assert sorted(map(tuple, df.collect())) == a
 
 
+def test_q167_batch_topk_salted_two_phase(entry, spark):
+    """Batch KNN: probes broadcast (never a corpus broadcast), scores
+    stay JVM-side (no python UDF), and the top-k is two-phase — the
+    first window exchange keys on (qid, salt) so no |Q|-reducer skew,
+    the second on qid over candidate rows only."""
+    df = entry.q167_batch_cosine_topk(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "pythonUDF" not in plan and "ArrowEval" not in plan, plan
+    assert "hashpartitioning(qid" in plan, plan
+    salted = [ln for ln in plan.split("\n")
+              if "hashpartitioning(qid" in ln and "_salt" in ln]
+    assert salted, plan
+
+
 def test_q155_nullsafe_matching_plans_hash_join(entry, spark):
     """The <=> keys of PromQL vector matching must plan as hash joins
     (Catalyst's coalesce/isnull rewrite), never nested-loop/cartesian —
