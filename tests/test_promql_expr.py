@@ -1043,3 +1043,55 @@ def test_constant_fold_ieee_semantics():
     # sanity: in-domain folds unchanged
     assert fold("sqrt(9)") == 3.0
     assert fold("2 ^ 10") == 1024.0
+
+
+def test_limitk_and_limit_ratio_semantics(spark):
+    """Deterministic samplers: limitk respects by-groups and the
+    global form; limit_ratio(r) and limit_ratio(r-1) partition the
+    input EXACTLY (the Prometheus complement contract, deterministic
+    here by md5 identity)."""
+    import __spark_entry__ as em
+    from tsdb_parquet_spark.tables import load_table
+
+    tsdb = load_table(spark, "/root/testdata/sf0.001", "tsdb")
+    by = query_instant(
+        tsdb, "limitk by (label_code) (3, prometheus_http_requests_total)",
+        em.T1,
+    )
+    rows = by.collect()
+    assert len(rows) == 12
+    from collections import Counter
+    assert set(Counter(r["label_code"] for r in rows).values()) == {3}
+
+    glob = query_instant(
+        tsdb, "limitk(5, prometheus_http_requests_total)", em.T1
+    )
+    assert glob.count() == 5
+
+    keep = query_instant(
+        tsdb, "limit_ratio(0.35, prometheus_http_requests_total)", em.T1
+    )
+    comp = query_instant(
+        tsdb, "limit_ratio(-0.65, prometheus_http_requests_total)", em.T1
+    )
+    key = lambda r: (r["label_code"], r["label_handler"])
+    ks, cs = {key(r) for r in keep.collect()}, {key(r) for r in comp.collect()}
+    assert not (ks & cs)
+    total = query_instant(
+        tsdb, "prometheus_http_requests_total", em.T1
+    ).count()
+    assert len(ks) + len(cs) == total == 280
+    # determinism: a second evaluation returns the identical sample
+    keep2 = {key(r) for r in query_instant(
+        tsdb, "limit_ratio(0.35, prometheus_http_requests_total)", em.T1
+    ).collect()}
+    assert keep2 == ks
+
+
+def test_limitk_parse_errors():
+    with pytest.raises(ValueError):
+        parse_expr("limit_ratio(1.5, up)")
+    with pytest.raises(ValueError):
+        parse_expr("limit_ratio by (label_code) (0.5, up)")
+    with pytest.raises(ValueError):
+        parse_expr("limitk without (label_code) (3, up)")

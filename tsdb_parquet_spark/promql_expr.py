@@ -393,6 +393,24 @@ class TopK(Node):
 
 
 @dataclass
+class LimitK(Node):
+    """limitk / limit_ratio samplers (Prometheus 3.x experimental).
+
+    DOCUMENTED DIVERGENCE: Prometheus samples limitk pseudo-randomly
+    per evaluation; this engine defines DETERMINISTIC md5-order
+    sampling over the series identity (sorted 'label=value' join) —
+    reproducible across runs, partitionings, and engines, so the
+    sampler is oracle-gateable.  limit_ratio keeps series whose
+    md5-derived uniform in [0,1) falls under the ratio (negative ratio
+    = the exact complement, so limit_ratio(r) ∪ limit_ratio(r-1)
+    partitions the input — the Prometheus contract)."""
+    k: float  # series count (limitk) or ratio in [-1, 1] (limit_ratio)
+    arg: Node = None
+    ratio: bool = False
+    by: list[str] = field(default_factory=list)
+
+
+@dataclass
 class BinOp(Node):
     op: str
     left: Node
@@ -660,6 +678,10 @@ class _Parser:
                 called or (nxt and nxt[1] in ("by", "without"))
             ):
                 return self.topk()
+            if val in ("limitk", "limit_ratio") and (
+                called or (nxt and nxt[1] in ("by", "without"))
+            ):
+                return self.limitk()
             if val in ("quantile", "count_values") and (
                 called or (nxt and nxt[1] in ("by", "without"))
             ):
@@ -856,6 +878,34 @@ class _Parser:
             raise ValueError(f"{op} supports `by`, not `without`")
         return TopK(k, arg, bottom=(op == "bottomk"), by=by)
 
+    def limitk(self) -> LimitK:
+        op = self.eat()[1]
+        by, without, had = self._opt_by()
+        self.eat("(")
+        param = float(self.eat_signed_number())
+        self.eat(",")
+        arg = self.expr()
+        self.eat(")")
+        if not had:
+            by, without, _ = self._opt_by()
+        if without:
+            raise ValueError(f"{op} supports `by`, not `without`")
+        if op == "limit_ratio":
+            if by:
+                raise ValueError(
+                    "limit_ratio samples per-series (hash), `by` has no effect"
+                )
+            if not -1.0 <= param <= 1.0:
+                raise ValueError("limit_ratio expects r in [-1, 1]")
+            return LimitK(param, arg, ratio=True)
+        return LimitK(float(int(param)), arg, ratio=False, by=by)
+
+    def eat_signed_number(self) -> str:
+        if self.peek() and self.peek()[1] == "-":
+            self.eat("-")
+            return "-" + self.eat("number")[1]
+        return self.eat("number")[1]
+
     def simple_call(self, fn: str) -> Node:
         self.eat(fn)
         self.eat("(")
@@ -1017,6 +1067,8 @@ class PromQLEngine:
             return self._agg_node(self._inst(node.arg, at), node, [])
         if isinstance(node, TopK):
             return self._topk(self._inst(node.arg, at), node, [])
+        if isinstance(node, LimitK):
+            return self._limitk(self._inst(node.arg, at), node, [])
         if isinstance(node, ScalarFn):
             if node.fn == "timestamp":
                 # Prometheus timestamp(): a plain selector yields each
@@ -1192,6 +1244,9 @@ class PromQLEngine:
         if isinstance(node, TopK):
             arg = self._rng(node.arg, start, end, step)
             return self._topk(arg, node, ["step_ts"])
+        if isinstance(node, LimitK):
+            arg = self._rng(node.arg, start, end, step)
+            return self._limitk(arg, node, ["step_ts"])
         if isinstance(node, ScalarFn):
             if node.fn == "timestamp":
                 if (
@@ -1340,6 +1395,50 @@ class PromQLEngine:
         keys = self._agg_keys(arg, node, keep=tuple(extra))
         return arg.groupBy(*extra, *keys).agg(
             self._agg_expr(node.op, node.param).alias(VALUE_COL)
+        )
+
+    def _limitk(
+        self, arg: DataFrame, node: LimitK, extra: list[str]
+    ) -> DataFrame:
+        """Deterministic md5-order sampling (LimitK docstring): series
+        identity = sorted 'label=value' join (missing label = empty,
+        the Prometheus convention), sampled ONCE per series — in range
+        queries the same series keeps/drops at every step (identity
+        excludes step_ts)."""
+        from pyspark.sql import Window
+
+        labels = sorted(
+            c for c in arg.columns if c != VALUE_COL and c not in extra
+        )
+        ident = F.concat_ws(
+            "|",
+            *[
+                F.concat(
+                    F.lit(c + "="),
+                    F.coalesce(F.col(c).cast("string"), F.lit("")),
+                )
+                for c in labels
+            ],
+        )
+        h = F.md5(ident)
+        if node.ratio:
+            # uniform in [0, 2^60): the 15-hex-digit md5 prefix as an
+            # integer (the repo-wide portable-hash convention); the
+            # threshold is an exact Python-side integer literal
+            u = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+            if node.k >= 0:
+                return arg.filter(u < F.lit(int(node.k * (1 << 60))))
+            return arg.filter(u >= F.lit(int((1.0 + node.k) * (1 << 60))))
+        k = int(node.k)
+        tiebreak = [F.asc_nulls_first(c) for c in labels]
+        part = [*extra, *[self._label_col(arg, l) for l in node.by]]
+        if not part:
+            return arg.orderBy(h.asc(), *tiebreak).limit(k)
+        w = Window.partitionBy(*part).orderBy(h.asc(), *tiebreak)
+        return (
+            arg.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
         )
 
     def _topk(self, arg: DataFrame, node: TopK, extra: list[str]) -> DataFrame:
