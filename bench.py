@@ -199,6 +199,18 @@ def main() -> None:
                     duck[name] = -1.0
                     print(f"duckdb bench error {name}: {e}", file=sys.stderr)
             con.close()
+            # checkpoint the baseline immediately: the Spark phase can
+            # die (sf100 heap) and the duck numbers are ~40 min of work
+            try:
+                ck = os.environ.get(
+                    "SPARK_GRAFT_BENCH_OUT",
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_LAST.json"),
+                ) + ".duck"
+                with open(ck, "w") as fh:
+                    json.dump({"sf": sf, "duckdb_queries": duck}, fh)
+            except OSError:
+                pass
         except Exception as e:  # noqa: BLE001
             duck = None
             print(f"duckdb baseline skipped: {e}", file=sys.stderr)
