@@ -71,6 +71,10 @@ def main() -> None:
         "q06_series_dim",
         "q07_sorted_merge", "q09_join_agg", "q09_bucketed", "q10_left_outer_join",
         "q14_interval_self_join", "q14_bucketed", "q15_multi_agg", "q16_count_distinct",
+        # r12 at-rest twins: the user-bucketed distinct (pair exchange
+        # gone) and the SHARED orderkey lineitem layout serving both
+        # the Q8- and Q5-shape joins with zero lineitem exchange
+        "q16_bucketed", "q159_bucketed", "q145_bucketed",
         "q18_topk_per_group", "q19_lag_moving_avg", "q20_global_topk",
         "q22_scalar_functions", "q24_exact_dedup", "q25_tokenize_counts",
         "q26_cosine_topk", "q27_tumbling_window", "q28_session_windows",
