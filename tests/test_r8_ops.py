@@ -921,3 +921,52 @@ def test_manifest_compaction_is_a_commit(spark, tmp_path):
         tuple(r) for r in
         read_manifest_view(spark, path).select("k", "ver", "payload").collect()
     ) == before
+
+
+def test_manifest_time_travel_and_schema_evolution(spark, tmp_path):
+    """Manifests are full snapshots, so any retained version
+    reconstructs with one scan (time travel); a later batch adding a
+    column reads back with mergeSchema (older generations NULL-fill),
+    and vacuuming past a version makes its read raise."""
+    import pytest as _pytest
+
+    from tsdb_parquet_spark.streaming.commitlog import (
+        read_manifest_view,
+        upsert_latest_sink_manifest,
+        vacuum_manifest_view,
+    )
+
+    path = str(tmp_path / "mview")
+    sink = upsert_latest_sink_manifest(path, ["k"], "ver", "payload", n_buckets=2)
+    sink(spark.createDataFrame(
+        [(k, 1, f"v1_{k}") for k in range(4)],
+        "k long, ver long, payload string"), 0)
+    sink(spark.createDataFrame(
+        [(0, 2, "v2_0")], "k long, ver long, payload string"), 1)
+
+    # time travel: version 1 predates the k=0 update
+    v1 = {r["k"]: r["payload"]
+          for r in read_manifest_view(spark, path, version=1).collect()}
+    v2 = {r["k"]: r["payload"]
+          for r in read_manifest_view(spark, path, version=2).collect()}
+    assert v1[0] == "v1_0" and v2[0] == "v2_0"
+    assert read_manifest_view(spark, path).count() == 4
+
+    # schema evolution: batch 3 adds a column
+    wide = spark.createDataFrame(
+        [(1, 3, "v3_1", "en")], "k long, ver long, payload string, lang string"
+    )
+    sink3 = upsert_latest_sink_manifest(
+        path, ["k"], "ver", "payload", n_buckets=2
+    )
+    sink3(wide, 2)
+    got = {r["k"]: (r["payload"], r["lang"]) for r in read_manifest_view(
+        spark, path, merge_schema=True).collect()}
+    assert got[1] == ("v3_1", "en")
+    assert got[2][1] is None  # older generation NULL-fills the new col
+
+    # vacuum past version 1 -> its read raises; latest still fine
+    vacuum_manifest_view(spark, path, keep_manifests=1)
+    with _pytest.raises(FileNotFoundError):
+        read_manifest_view(spark, path, version=1)
+    assert read_manifest_view(spark, path, merge_schema=True).count() == 4

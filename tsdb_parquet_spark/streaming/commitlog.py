@@ -186,12 +186,16 @@ def upsert_latest_sink_manifest(
             ]
             if cur_dirs:
                 # generation dirs carry no __kb (partitionBy strips it);
-                # recompute — a pure function of the keys
+                # recompute — a pure function of the keys.  mergeSchema
+                # + allowMissingColumns: a batch may ADD columns (schema
+                # evolution) — older generations NULL-fill them
                 current = _with_bucket(
-                    spark.read.parquet(*cur_dirs), keys, n_buckets
+                    spark.read.option("mergeSchema", "true").parquet(*cur_dirs),
+                    keys, n_buckets,
                 )
                 merged = latest_by_key(
-                    current.unionByName(bl), keys, version_col, tiebreak_col
+                    current.unionByName(bl, allowMissingColumns=True),
+                    keys, version_col, tiebreak_col,
                 )
             else:
                 merged = bl
@@ -214,16 +218,45 @@ def upsert_latest_sink_manifest(
     return _merge
 
 
-def read_manifest_view(spark: SparkSession, path: str) -> DataFrame:
+def read_manifest_view(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
     """The maintained current view: one multi-path scan of the latest
     manifest's directories.  NO repair step — the commit protocol has
     no crash window a reader can observe (either the old or the new
     manifest is current, and both reference only immutable complete
-    generation dirs)."""
-    _, buckets = latest_manifest(spark, path)
-    if not buckets:
-        raise FileNotFoundError(f"no committed manifest under {path}")
-    return spark.read.parquet(*[f"{path}/{d}" for d in buckets.values()])
+    generation dirs).
+
+    ``version``: TIME TRAVEL — read the view exactly as manifest
+    ``version`` committed it (manifests are full snapshots, so any
+    still-retained version reconstructs with one scan; versions past
+    the vacuum window raise).  ``merge_schema``: SCHEMA EVOLUTION —
+    when later batches added columns, union the generation schemas
+    (Spark's mergeSchema; older generations surface the new columns as
+    NULL).  Off by default: it costs a footer read per file."""
+    if version is None:
+        _, buckets = latest_manifest(spark, path)
+        if not buckets:
+            raise FileNotFoundError(f"no committed manifest under {path}")
+    else:
+        jvm, fs = _fs(spark, path)
+        p = _hpath(jvm, path, _COMMITS, _manifest_name(version))
+        if not fs.exists(p):
+            raise FileNotFoundError(
+                f"manifest version {version} not found under {path} "
+                "(past the vacuum retention window, or never committed)"
+            )
+        m = json.loads(_read_text(jvm, fs, p))
+        if m.get("complete") is not True:
+            raise ValueError(f"manifest version {version} is torn")
+        buckets = dict(m["buckets"])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[f"{path}/{d}" for d in buckets.values()])
 
 
 def compact_manifest_view(
