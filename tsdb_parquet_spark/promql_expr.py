@@ -23,6 +23,8 @@ Grammar (the working subset, PromQL precedence order)::
     primary   := number | call | aggregate | selector_expr | '(' expr ')'
     call      := FUNC '(' expr '[' duration (':' duration?)? ']' mods ')'
                | ('topk'|'bottomk') byc? '(' number ',' expr ')' byc?
+               | 'limitk' byc? '(' number ',' expr ')' byc?
+               | 'limit_ratio' '(' number ',' expr ')'   # det. md5 sample
                | 'quantile' byc? '(' number ',' expr ')' byc?
                | 'count_values' byc? '(' string ',' expr ')' byc?
                | 'quantile_over_time' '(' number ',' sel '[' dur ']' ')'
