@@ -593,6 +593,26 @@ def test_q167_batch_topk_salted_two_phase(entry, spark):
     assert salted, plan
 
 
+def test_q171_pipeline_linear_shape(entry, spark):
+    """The curation pipeline must stay linear: one fingerprint-width
+    exchange for the dedup aggregate, the benchmark n-gram set behind
+    a broadcast (the corpus never reshuffles for the check), no
+    cartesian product, no python UDF."""
+    df = entry.q171_curation_pipeline(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "pythonUDF" not in plan and "ArrowEval" not in plan, plan
+    # TWO fingerprint exchanges: decontaminate's n-hits join-back
+    # references the dedup+quality subtree on both sides and the lazy
+    # plan recomputes it (a production pipeline materializes between
+    # stages — q171's docstring says so); the guard pins it from
+    # silently growing further
+    fp_exchanges = [ln for ln in plan.split("\n")
+                    if "Exchange hashpartitioning(fingerprint" in ln]
+    assert len(fp_exchanges) == 2, plan
+
+
 def test_q155_nullsafe_matching_plans_hash_join(entry, spark):
     """The <=> keys of PromQL vector matching must plan as hash joins
     (Catalyst's coalesce/isnull rewrite), never nested-loop/cartesian —
