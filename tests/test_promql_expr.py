@@ -1095,3 +1095,38 @@ def test_limitk_parse_errors():
         parse_expr("limit_ratio by (label_code) (0.5, up)")
     with pytest.raises(ValueError):
         parse_expr("limitk without (label_code) (3, up)")
+
+
+def test_info_enrichment_and_default(spark):
+    """info(): data labels donated via the identifying-label join,
+    series precedence on conflicts, default *_info selector degrades
+    to a no-op enrichment on a fixture without info metrics."""
+    from tsdb_parquet_spark.tables import load_table
+
+    import __spark_entry__ as em
+
+    tsdb = load_table(spark, "/root/testdata/sf0.001", "tsdb")
+    out = query_instant(
+        tsdb,
+        'info(go_goroutines, {name="prometheus_http_requests_total",'
+        'handler="/metrics",code="200"})',
+        em.T1,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["label_name"] == "go_goroutines"  # name NOT overwritten
+    assert r["label_handler"] == "/metrics" and r["label_code"] == "200"
+    # series precedence: the vector's own non-null label survives —
+    # requests_total enriched with itself keeps its per-series handler
+    own = query_instant(
+        tsdb,
+        'info(prometheus_http_requests_total, '
+        '{name="prometheus_http_requests_total",'
+        'handler="/metrics",code="200"})',
+        em.T1,
+    )
+    handlers = {x["label_handler"] for x in own.collect()}
+    assert len(handlers) > 1  # not collapsed to '/metrics'
+    # default selector: no *_info metric in the fixture -> same rows
+    base = query_instant(tsdb, "go_goroutines", em.T1).count()
+    assert query_instant(tsdb, "info(go_goroutines)", em.T1).count() == base

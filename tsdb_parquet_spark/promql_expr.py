@@ -395,6 +395,23 @@ class TopK(Node):
 
 
 @dataclass
+class InfoFn(Node):
+    """``info(v, {<matchers>})`` (Prometheus 3.x experimental): enrich
+    ``v``'s series with the DATA labels of a matching info metric,
+    joined on the IDENTIFYING labels (instance, job).  Data labels =
+    the info series' labels minus identifying minus the metric name;
+    the info metric's value is dropped.  On a label-name conflict the
+    series' own (non-null) label wins — the Prometheus precedence.
+    Omitting the selector defaults to ``{name=~".+_info"}`` (the
+    Prometheus convention); the engine requires the info selector to
+    match AT MOST ONE series per identifying-label set (a broader
+    match multiplies rows — select uniquely, as Prometheus's conflict
+    error forces you to anyway)."""
+    arg: Node = None
+    info_sel: Selector = None
+
+
+@dataclass
 class LimitK(Node):
     """limitk / limit_ratio samplers (Prometheus 3.x experimental).
 
@@ -684,6 +701,8 @@ class _Parser:
                 called or (nxt and nxt[1] in ("by", "without"))
             ):
                 return self.limitk()
+            if val == "info" and called:
+                return self.info_call()
             if val in ("quantile", "count_values") and (
                 called or (nxt and nxt[1] in ("by", "without"))
             ):
@@ -902,6 +921,29 @@ class _Parser:
             return LimitK(param, arg, ratio=True)
         return LimitK(float(int(param)), arg, ratio=False, by=by)
 
+    def info_call(self) -> InfoFn:
+        self.eat("info")
+        self.eat("(")
+        arg = self.expr()
+        if self.peek() and self.peek()[1] == ",":
+            self.eat(",")
+            kind, val = self.peek() or (None, None)
+            if kind != "brace":
+                raise ValueError(
+                    "info() second argument must be a {matcher} selector"
+                )
+            sel = Selector(parse_selector(self.eat()[1], self.metric_label))
+        else:
+            # Prometheus default: every *_info metric
+            sel = Selector(
+                parse_selector(
+                    '{' + self.metric_label + '=~".+_info"}',
+                    self.metric_label,
+                )
+            )
+        self.eat(")")
+        return InfoFn(arg, sel)
+
     def eat_signed_number(self) -> str:
         if self.peek() and self.peek()[1] == "-":
             self.eat("-")
@@ -1071,6 +1113,12 @@ class PromQLEngine:
             return self._topk(self._inst(node.arg, at), node, [])
         if isinstance(node, LimitK):
             return self._limitk(self._inst(node.arg, at), node, [])
+        if isinstance(node, InfoFn):
+            return self._info_join(
+                self._inst(node.arg, at),
+                self._inst(node.info_sel, at),
+                [],
+            )
         if isinstance(node, ScalarFn):
             if node.fn == "timestamp":
                 # Prometheus timestamp(): a plain selector yields each
@@ -1249,6 +1297,12 @@ class PromQLEngine:
         if isinstance(node, LimitK):
             arg = self._rng(node.arg, start, end, step)
             return self._limitk(arg, node, ["step_ts"])
+        if isinstance(node, InfoFn):
+            return self._info_join(
+                self._rng(node.arg, start, end, step),
+                self._rng(node.info_sel, start, end, step),
+                ["step_ts"],
+            )
         if isinstance(node, ScalarFn):
             if node.fn == "timestamp":
                 if (
@@ -1398,6 +1452,48 @@ class PromQLEngine:
         return arg.groupBy(*extra, *keys).agg(
             self._agg_expr(node.op, node.param).alias(VALUE_COL)
         )
+
+    def _info_join(
+        self, v: DataFrame, info: DataFrame, extra: list[str]
+    ) -> DataFrame:
+        """info() enrichment (InfoFn docstring): LEFT join on the
+        identifying labels (instance, job — null-safe, the q155 absent-
+        label rule) + extra (step_ts for grids); each info DATA label
+        lands as coalesce(v.label, info.label) — series precedence on
+        conflicts; info's value is dropped.  One hash join; the info
+        side is an already-reduced instant/range vector."""
+        name_col = f"label_{self.metric_label}"
+        ident = [
+            c for c in ("label_instance", "label_job")
+            if c in v.columns and c in info.columns
+        ]
+        data = [
+            c for c in info.columns
+            if c not in (VALUE_COL, name_col, *ident, *extra)
+        ]
+        info2 = info.select(
+            *[F.col(c).alias(f"_i_{c}") for c in (*ident, *extra, *data)]
+        )
+        cond = None
+        for c in (*ident, *extra):
+            e = v[c].eqNullSafe(info2[f"_i_{c}"])
+            cond = e if cond is None else (cond & e)
+        joined = v.join(info2, cond, "left")
+        out_cols = []
+        for c in v.columns:
+            if c == VALUE_COL or c in extra:
+                out_cols.append(joined[c])
+            elif c in data:
+                out_cols.append(
+                    F.coalesce(joined[c], joined[f"_i_{c}"]).alias(c)
+                )
+            else:
+                out_cols.append(joined[c])
+        # info data labels v does not carry at all append as new columns
+        out_cols += [
+            joined[f"_i_{c}"].alias(c) for c in data if c not in v.columns
+        ]
+        return joined.select(*out_cols)
 
     def _limitk(
         self, arg: DataFrame, node: LimitK, extra: list[str]
