@@ -1730,3 +1730,31 @@ def test_batch_cosine_topk_two_phase_exact(spark):
     # the duplicate ids 100/101 tie with vec 0 at cosine 1.0 for qid 0
     top_qid0 = [vid for q, _, vid in got if q == 0][:3]
     assert top_qid0 == [0, 100, 101]
+
+
+def test_batch_cosine_topk_np_equals_hof(spark):
+    """The BLAS batch path must return exactly the HOF path's result
+    (same rounded-cosine/id ordering key, batch-local pruning under the
+    final order) — the cosine_topk_np equality contract, batched."""
+    import random
+
+    from tsdb_parquet_spark.llm.similarity import (
+        batch_cosine_topk,
+        batch_cosine_topk_np,
+    )
+
+    rng = random.Random(11)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(300)]
+    vecs += [(400, list(vecs[2][1])), (401, list(vecs[2][1]))]  # exact ties
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    probes = df.filter(df.vec_id < 3)
+    a = [(r["qid"], r["rank"], r["vec_id"], r["cosine"])
+         for r in batch_cosine_topk(df, probes, k=8)
+         .orderBy("qid", "rank").collect()]
+    b = [(r["qid"], r["rank"], r["vec_id"], r["cosine"])
+         for r in batch_cosine_topk_np(df, probes, k=8)
+         .orderBy("qid", "rank").collect()]
+    assert a == b
+    # empty probe set returns an empty frame, not a crash
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert batch_cosine_topk_np(df, empty).count() == 0

