@@ -1482,6 +1482,29 @@ def test_incremental_near_dup_portable_matches_and_no_corpus_exchange(
         idx_attr.group(1), exchanges)
 
 
+def test_incremental_band_param_guards(spark):
+    """Indivisible num_hashes/bands must raise (not silently drop
+    trailing signature slots), and the index name carries the
+    hash-family params so a mismatched index/batch replay pairs a
+    nonexistent table instead of silently never colliding."""
+    from tsdb_parquet_spark.llm.incremental import (
+        band_index_name,
+        incremental_near_dup,
+        incremental_near_dup_portable,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "hello world hello world hello world")], "doc_id long, text string"
+    )
+    dummy = spark.createDataFrame([("x",)], "band_key string")
+    with pytest.raises(ValueError):
+        incremental_near_dup_portable(dummy, batch, num_hashes=30, bands=8)
+    with pytest.raises(ValueError):
+        incremental_near_dup(dummy, batch, num_hashes=100, bands=16)
+    assert band_index_name("c", 32, 8, 5, 42) == "c_bandidx_h32b8n5s42"
+    assert band_index_name("c") == "c_bandidx"
+
+
 def test_dsir_select_matches_python_reference(spark):
     """dsir_select's integer importance weights must equal a pure-Python
     DSIR computation (hashed-token unigram LMs, add-one smoothing,
@@ -1758,3 +1781,48 @@ def test_batch_cosine_topk_np_equals_hof(spark):
     # empty probe set returns an empty frame, not a crash
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert batch_cosine_topk_np(df, empty).count() == 0
+
+
+def test_batch_cosine_topk_np_preserves_id_types(spark):
+    """qid/id field types mirror the inputs (advice r12): int and
+    string id columns must survive the Arrow schema check, return in
+    their own type, and the empty-probe schema must match the HOF
+    twin's instead of a hardcoded long."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from tsdb_parquet_spark.llm.similarity import (
+        batch_cosine_topk,
+        batch_cosine_topk_np,
+        cosine_topk_np,
+    )
+
+    rng = random.Random(5)
+    rows = [(f"doc{i:03d}", [rng.gauss(0, 1) for _ in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    probes = df.filter(F.col("vec_id") < "doc002")
+    got = batch_cosine_topk_np(df, probes, k=3)
+    want = batch_cosine_topk(df, probes, k=3)
+    assert got.schema == want.schema
+    assert [tuple(r) for r in got.orderBy("qid", "rank").collect()] == \
+           [tuple(r) for r in want.orderBy("qid", "rank").collect()]
+    # empty-probe schema matches the HOF twin (string id, not long) —
+    # names+types (nullability legitimately differs on a literal frame)
+    empty = spark.createDataFrame([], "vec_id string, embedding array<float>")
+    assert [(f.name, f.dataType)
+            for f in batch_cosine_topk_np(df, empty).schema] == \
+           [(f.name, f.dataType) for f in want.schema]
+    # int (32-bit) ids round-trip too
+    dfi = spark.createDataFrame(
+        [(i, v) for i, (_, v) in enumerate(rows)],
+        "vec_id int, embedding array<float>",
+    )
+    out_i = batch_cosine_topk_np(dfi, dfi.filter("vec_id < 2"), k=3)
+    assert dict(out_i.dtypes)["vec_id"] == "int"
+    assert out_i.count() == 6
+    # and the single-query np path mirrors its input id type as well
+    single = cosine_topk_np(df, rows[0][1], k=3, sim_alias="sim")
+    assert dict(single.dtypes)["vec_id"] == "string"
+    assert single.count() == 3

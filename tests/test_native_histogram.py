@@ -137,6 +137,27 @@ def test_fraction_matches_python_reference(spark):
         assert got == want, (upper, got, want)
 
 
+def test_zero_only_series_survives(spark):
+    """A label set whose observations are ALL < 1 must still emit a
+    histogram row (count == zero_count, empty buckets) — it used to
+    vanish because hist rows were derived only from positive obs."""
+    rows = [("a", 0), ("a", 0), ("a", -3), ("b", 5)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r["g"]: r
+        for r in native_histogram_from_values(df, "v", ["g"]).collect()
+    }
+    assert set(got) == {"a", "b"}
+    a = got["a"]
+    assert a["count"] == 3 and a["zero_count"] == 3
+    assert a["buckets"] == [] and a["sum"] == 0
+    # and the quantile walk treats it as all-at-zero
+    hist = native_histogram_from_values(df, "v", ["g"])
+    q = {r["g"]: r["value"]
+         for r in native_histogram_quantile(hist, 0.5, ["g"]).collect()}
+    assert q["a"] == 0.0
+
+
 def test_fraction_rejects_nonpositive_upper(spark):
     from tsdb_parquet_spark.native_histogram import (
         native_histogram_fraction,

@@ -1130,3 +1130,13 @@ def test_info_enrichment_and_default(spark):
     # default selector: no *_info metric in the fixture -> same rows
     base = query_instant(tsdb, "go_goroutines", em.T1).count()
     assert query_instant(tsdb, "info(go_goroutines)", em.T1).count() == base
+    # conflict enforcement (advice r12): a broad info selector matching
+    # MULTIPLE series per identifying-label set raises like Prometheus,
+    # instead of silently fanning out result rows
+    with pytest.raises(Exception, match="multiple info series"):
+        query_instant(
+            tsdb,
+            'info(go_goroutines, '
+            '{name="prometheus_http_requests_total",code="200"})',
+            em.T1,
+        ).collect()

@@ -835,6 +835,20 @@ def test_manifest_crash_windows_and_torn_commit(spark, tmp_path):
         read_manifest_view(spark, path).select("k", "ver", "payload").collect()
     ) == want
 
+    # (c) the torn file at version 3 must NOT wedge the writer: the
+    # next commit allocates PAST every existing manifest file (v4),
+    # instead of retrying the exclusive create against the torn v3
+    df3 = spark.createDataFrame(
+        [(5, 3, "v3_5")], "k long, ver long, payload string"
+    )
+    sink(df3, 2)
+    v_after, _ = latest_manifest(spark, path)
+    assert v_after == 4
+    got = {
+        r["k"]: r["payload"] for r in read_manifest_view(spark, path).collect()
+    }
+    assert got[5] == "v3_5" and got[3] == "v2_3" and len(got) == 8
+
 
 def test_manifest_vacuum_keeps_reader_window(spark, tmp_path):
     """Vacuum drops manifests past the kept tail and every generation

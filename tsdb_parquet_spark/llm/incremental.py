@@ -106,8 +106,25 @@ def incremental_dedup(
     )
 
 
-def band_index_name(name: str) -> str:
-    return f"{name}_bandidx"
+def band_index_name(
+    name: str,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    shingle_n: int | None = None,
+    seed: int | None = None,
+) -> str:
+    """Band-index table name; when the hash-family params are given
+    they are folded into the name, so an index and a batch replay built
+    with DIFFERING num_hashes/bands/shingle_n/seed can never be
+    silently paired (they would never collide, accepting every
+    near-duplicate) — a param change names a different table and
+    forces a rebuild instead."""
+    suffix = (
+        f"_h{num_hashes}b{bands}n{shingle_n}s{seed}"
+        if num_hashes is not None
+        else ""
+    )
+    return f"{name}_bandidx{suffix}"
 
 
 def _band_keys_col(sig_col: str, num_hashes: int, bands: int):
@@ -117,6 +134,12 @@ def _band_keys_col(sig_col: str, num_hashes: int, bands: int):
     ``band_key`` column is join-key-grade: rows from different bands
     cannot collide short of an xxhash64 collision.  Mirrors
     dedup.minhash_lsh_candidates' banding exactly (dedup.py)."""
+    if num_hashes % bands:
+        # same guard as dedup.minhash_lsh_portable: indivisible params
+        # silently drop trailing signature slots from the band keys, and
+        # an index/batch built with differing params would silently
+        # never collide (accepting every near-duplicate)
+        raise ValueError("num_hashes must divide evenly into bands")
     rpb = num_hashes // bands
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -164,7 +187,7 @@ def ensure_band_index(
 
     return ensure_bucketed_table(
         spark,
-        band_index_name(name),
+        band_index_name(name, num_hashes, bands, shingle_n, seed),
         _build,
         bucket_col="band_key",
         num_buckets=num_buckets,
@@ -221,6 +244,8 @@ def _portable_band_keys_col(sig_col: str, num_hashes: int, bands: int):
     (the xxhash64 ``_band_keys_col`` convention re-expressed in the
     engine-portable q162 hash family; any engine with md5 + string
     concat replays it)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
     rpb = num_hashes // bands
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -279,7 +304,7 @@ def ensure_band_index_portable(
 
     return ensure_bucketed_table(
         spark,
-        band_index_name(name),
+        band_index_name(name, num_hashes, bands, shingle_n, seed),
         _build,
         bucket_col="band_key",
         num_buckets=num_buckets,

@@ -35,6 +35,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _arrow_type(dt):
+    """Arrow type of a Spark atomic type (id columns) — pyspark's own
+    converter, so mapInArrow output fields mirror the INPUT id type
+    instead of a hardcoded bigint."""
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return to_arrow_type(dt)
+
+
 def dot_cols(a: Column, b: Column) -> Column:
     """Float64 dot product of two array columns, sequential left-to-right —
     deterministic and bit-identical to a single-threaded oracle."""
@@ -147,8 +156,11 @@ def batch_cosine_topk(
     )
     from pyspark.sql import Window
 
+    # salt = hash of the id (not the id itself): works for any id type
+    # and spreads uniformly; two-phase exactness never depends on the
+    # salt assignment
     salted = scored.withColumn(
-        "_salt", F.pmod(F.col(id_col), F.lit(salt_buckets))
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
     )
     w1 = Window.partitionBy("qid", "_salt").orderBy(
         F.desc("cosine"), F.col(id_col)
@@ -193,7 +205,12 @@ def cosine_topk_np(
     qn = np.asarray(query_vec, dtype=np.float64)
     qn = qn / (np.linalg.norm(qn) or 1.0)
     keep = max(4 * k, 32)
-    schema = f"{id_col} bigint, {sim_alias} double"
+    # id field type mirrors the input (not a hardcoded bigint): an
+    # int/string id column must survive the Arrow schema check and come
+    # back in its own type, like the non-np twin
+    id_dt = df.schema[id_col].dataType
+    id_pa = _arrow_type(id_dt)
+    schema = f"{id_col} {id_dt.simpleString()}, {sim_alias} double"
 
     def _score(batches):
         import pyarrow as pa  # noqa: PLC0415 — executor-side import
@@ -215,7 +232,8 @@ def cosine_topk_np(
                             round_dp)
             order = np.lexsort((ids, -sims))[:keep]
             yield pa.record_batch(
-                [pa.array(ids[order]), pa.array(sims[order])],
+                [pa.array(ids[order]).cast(id_pa),
+                 pa.array(sims[order], type=pa.float64())],
                 names=[id_col, sim_alias],
             )
 
@@ -248,16 +266,27 @@ def batch_cosine_topk_np(
     asserted in tests."""
     from pyspark.sql import Window
 
+    # qid/id field types mirror the inputs (not hardcoded long): an
+    # int/string id column must survive mapInArrow's schema check, and
+    # the empty-probe return schema must match the HOF twin's
+    qid_dt = queries.schema[id_col].dataType
+    cid_dt = corpus.schema[id_col].dataType
+    qid_pa, cid_pa = _arrow_type(qid_dt), _arrow_type(cid_dt)
     rows = queries.select(id_col, emb_col).collect()
     if not rows:
         return corpus.sparkSession.createDataFrame(
-            [], f"qid long, rank int, {id_col} long, cosine double"
+            [],
+            f"qid {qid_dt.simpleString()}, rank int, "
+            f"{id_col} {cid_dt.simpleString()}, cosine double",
         )
-    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    qids = [r[0] for r in rows]
     qm = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
     qnorm = np.linalg.norm(qm, axis=1) + 1e-300  # (|Q|,)
     keep = max(4 * k, 32)
-    schema = f"qid long, {id_col} long, cosine double"
+    schema = (
+        f"qid {qid_dt.simpleString()}, {id_col} {cid_dt.simpleString()}, "
+        "cosine double"
+    )
 
     def _score(batches):
         import pyarrow as pa  # noqa: PLC0415 — executor-side import
@@ -281,13 +310,13 @@ def batch_cosine_topk_np(
             out_q, out_i, out_s = [], [], []
             for j in range(len(qids)):
                 order = np.lexsort((ids, -sims[:, j]))[:keep]
-                out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+                out_q.extend([qids[j]] * len(order))
                 out_i.append(ids[order])
                 out_s.append(sims[order, j])
             yield pa.record_batch(
-                [pa.array(np.concatenate(out_q)),
-                 pa.array(np.concatenate(out_i)),
-                 pa.array(np.concatenate(out_s))],
+                [pa.array(out_q, type=qid_pa),
+                 pa.array(np.concatenate(out_i)).cast(cid_pa),
+                 pa.array(np.concatenate(out_s), type=pa.float64())],
                 names=["qid", id_col, "cosine"],
             )
 

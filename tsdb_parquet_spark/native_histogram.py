@@ -80,8 +80,25 @@ def native_histogram_from_values(
             F.collect_list(F.struct(F.col("_k").alias("k"), F.col("_c").alias("c")))
         ).alias("buckets"),
     )
-    out = hist.join(zero, labels, "left").withColumn(
-        "zero_count", F.coalesce(F.col("zero_count"), F.lit(0)).cast("long")
+    # FULL outer: a label set whose observations are all < 1 has no
+    # positive-bucket row at all — it must still emit a histogram
+    # (count == zero_count, empty buckets), not vanish from the output
+    out = (
+        hist.join(zero, labels, "full")
+        .withColumn(
+            "zero_count", F.coalesce(F.col("zero_count"), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "pos_count", F.coalesce(F.col("pos_count"), F.lit(0)).cast("long")
+        )
+        .withColumn("sum", F.coalesce(F.col("sum"), F.lit(0)))
+        .withColumn(
+            "buckets",
+            F.coalesce(
+                F.col("buckets"),
+                F.expr("CAST(array() AS array<struct<k: int, c: bigint>>)"),
+            ),
+        )
     )
     return out.select(
         *labels,

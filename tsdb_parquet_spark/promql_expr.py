@@ -1461,7 +1461,17 @@ class PromQLEngine:
         label rule) + extra (step_ts for grids); each info DATA label
         lands as coalesce(v.label, info.label) — series precedence on
         conflicts; info's value is dropped.  One hash join; the info
-        side is an already-reduced instant/range vector."""
+        side is an already-reduced instant/range vector.
+
+        UNIQUENESS (advice r12): Prometheus's info() raises a conflict
+        error when the info selector matches >1 series per identifying-
+        label set — a broad selector must error loudly, not silently
+        multiply result rows.  Enforced with a per-identity window
+        count + assert_true inside a filter (the filter keeps Catalyst
+        from pruning the check away); the window runs on the small
+        info side only."""
+        from pyspark.sql import Window
+
         name_col = f"label_{self.metric_label}"
         ident = [
             c for c in ("label_instance", "label_job")
@@ -1473,6 +1483,21 @@ class PromQLEngine:
         ]
         info2 = info.select(
             *[F.col(c).alias(f"_i_{c}") for c in (*ident, *extra, *data)]
+        )
+        idw = Window.partitionBy(*[f"_i_{c}" for c in (*ident, *extra)])
+        info2 = (
+            info2.withColumn("_i_cnt", F.count(F.lit(1)).over(idw))
+            .filter(
+                F.assert_true(
+                    F.col("_i_cnt") == 1,
+                    F.lit(
+                        "info(): selector matched multiple info series "
+                        "for one identifying-label set "
+                        f"({[c[len('label_'):] for c in ident] or 'all'})"
+                    ),
+                ).isNull()
+            )
+            .drop("_i_cnt")
         )
         cond = None
         for c in (*ident, *extra):

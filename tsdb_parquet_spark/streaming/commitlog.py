@@ -49,7 +49,9 @@ The protocol:
   against whatever manifest is current — idempotent for the same
   reason as the rename sink (max of a set ignores re-added members) —
   and commits a fresh version; versions are allocated at commit time
-  from the latest manifest, so a replayed batch never collides.
+  one past the highest manifest FILE on disk (parseable or torn), so a
+  replayed batch never collides — even with a torn manifest squatting
+  on the name the latest-parseable version would suggest.
 - **Vacuum.**  :func:`vacuum_manifest_view` deletes generation dirs
   unreferenced by the kept manifest tail and drops older manifests —
   the retention window concurrent readers of older versions get
@@ -116,10 +118,11 @@ def latest_manifest(
     return _latest_manifest(jvm, fs, path)
 
 
-def _latest_manifest(jvm, fs, path: str) -> tuple[int, dict[str, str]]:
+def _list_versions(jvm, fs, path: str) -> list[int]:
+    """Every manifest-file version present on disk, parseable or not."""
     cdir = _hpath(jvm, path, _COMMITS)
     if not fs.exists(cdir):
-        return 0, {}
+        return []
     versions = []
     for st in fs.listStatus(cdir):
         name = st.getPath().getName()
@@ -128,7 +131,22 @@ def _latest_manifest(jvm, fs, path: str) -> tuple[int, dict[str, str]]:
                 versions.append(int(name[: -len(".json")]))
             except ValueError:
                 continue
-    for v in sorted(versions, reverse=True):
+    return versions
+
+
+def _next_version(jvm, fs, path: str) -> int:
+    """The version the NEXT commit must use: one past the highest
+    manifest FILE on disk (not just the highest parseable one).  A
+    torn manifest at v+1 still occupies the file name, and the
+    exclusive create in :func:`_commit` would fail against it on every
+    retry — allocating past every existing file keeps the replay claim
+    ("a replayed batch never collides") true through torn writes."""
+    versions = _list_versions(jvm, fs, path)
+    return (max(versions) + 1) if versions else 1
+
+
+def _latest_manifest(jvm, fs, path: str) -> tuple[int, dict[str, str]]:
+    for v in sorted(_list_versions(jvm, fs, path), reverse=True):
         p = _hpath(jvm, path, _COMMITS, _manifest_name(v))
         try:
             m = json.loads(_read_text(jvm, fs, p))
@@ -170,7 +188,7 @@ def upsert_latest_sink_manifest(
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         jvm, fs = _fs(spark, path)
-        ver, buckets = _latest_manifest(jvm, fs, path)
+        _, buckets = _latest_manifest(jvm, fs, path)
 
         bl = _with_bucket(
             latest_by_key(batch_df, keys, version_col, tiebreak_col),
@@ -213,7 +231,7 @@ def upsert_latest_sink_manifest(
             if name.startswith(_BUCKET_COL + "="):
                 k = name[len(_BUCKET_COL) + 1 :]
                 new_buckets[k] = f"{gen}/{name}"
-        _commit(jvm, fs, path, ver + 1, new_buckets)
+        _commit(jvm, fs, path, _next_version(jvm, fs, path), new_buckets)
 
     return _merge
 
@@ -279,7 +297,7 @@ def compact_manifest_view(
     import math
 
     jvm, fs = _fs(spark, path)
-    ver, buckets = _latest_manifest(jvm, fs, path)
+    _, buckets = _latest_manifest(jvm, fs, path)
     if not buckets:
         return []
     gen = f"{_DATA}/compact-{uuid.uuid4().hex[:12]}"
@@ -305,7 +323,7 @@ def compact_manifest_view(
         new_buckets[k] = f"{gen}/{_BUCKET_COL}={k}"
         rewritten.append(k)
     if rewritten:
-        _commit(jvm, fs, path, ver + 1, new_buckets)
+        _commit(jvm, fs, path, _next_version(jvm, fs, path), new_buckets)
     return rewritten
 
 
@@ -322,14 +340,7 @@ def vacuum_manifest_view(
     cdir = _hpath(jvm, path, _COMMITS)
     if not fs.exists(cdir):
         return {"manifests_dropped": 0, "generations_dropped": 0}
-    versions = []
-    for st in fs.listStatus(cdir):
-        name = st.getPath().getName()
-        if name.endswith(".json"):
-            try:
-                versions.append(int(name[: -len(".json")]))
-            except ValueError:
-                continue
+    versions = _list_versions(jvm, fs, path)
     versions.sort(reverse=True)
     keep, drop = versions[:keep_manifests], versions[keep_manifests:]
     referenced: set[str] = set()
