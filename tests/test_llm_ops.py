@@ -1482,6 +1482,50 @@ def test_incremental_near_dup_portable_matches_and_no_corpus_exchange(
         idx_attr.group(1), exchanges)
 
 
+def test_near_dup_pairs_from_band_index_matches_inline(spark, tmp_path):
+    """Within-corpus pairs served from the at-rest portable band index
+    must equal minhash_lsh_portable's inline result (same hash family,
+    same rerank), and the candidate self-join must consume the index's
+    at-rest buckets (no band_key exchange)."""
+    import re
+
+    from tsdb_parquet_spark.llm.dedup import minhash_lsh_portable
+    from tsdb_parquet_spark.llm.incremental import (
+        ensure_band_index_portable,
+        near_dup_pairs_from_band_index,
+    )
+
+    rows = []
+    for i in range(20):
+        t = (f"the quick brown fox number {i} jumps over the lazy dog "
+             f"while reciting paragraph {i} of the corpus charter")
+        rows.append((i, t))
+        if i % 4 == 0:  # near-dup: one appended token
+            rows.append((100 + i, t + " tail"))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "ndpcorpus.parquet")
+    corpus.write.parquet(src)
+    docs = spark.read.parquet(src)
+    idx = ensure_band_index_portable(
+        spark, "ndpairs_test", lambda: spark.read.parquet(src),
+        num_buckets=8, source_paths=src,
+    )
+    got_df = near_dup_pairs_from_band_index(idx, docs)
+    got = sorted(tuple(r) for r in got_df.collect())
+    want = sorted(
+        tuple(r) for r in minhash_lsh_portable(docs).collect()
+    )
+    assert got == want and len(got) >= 5
+    # plan: the index scan is bucketed and band_key never exchanges
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    idx_scans = [ln for ln in plan.split("\n") if "ndpairs_test_bandidx" in ln]
+    assert idx_scans and all("Bucketed: true" in ln for ln in idx_scans)
+    band_attrs = set(re.findall(r"band_key#\d+", plan))
+    exchanged = set(re.findall(
+        r"Exchange hashpartitioning\((band_key#\d+)", plan))
+    assert band_attrs and not exchanged
+
+
 def test_incremental_band_param_guards(spark):
     """Indivisible num_hashes/bands must raise (not silently drop
     trailing signature slots), and the index name carries the

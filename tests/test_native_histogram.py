@@ -158,6 +158,83 @@ def test_zero_only_series_survives(spark):
     assert q["a"] == 0.0
 
 
+def _py_float_k(v: float) -> int:
+    """Pure-Python replay of bucket_index_exact_float: ceil(log2(v))
+    with the one-step exact-pow correction."""
+    k0 = math.ceil(math.log2(v))
+    if 2.0 ** (k0 - 1) >= v:
+        return k0 - 1
+    if 2.0 ** k0 < v:
+        return k0 + 1
+    return k0
+
+
+def test_float_bucket_index_exact_at_boundaries(spark):
+    """Float bucketing must be EXACT at every power-of-two boundary
+    (v = 2^j -> bucket j) and across it (nextafter up -> j+1), and
+    values in (0,1) take negative bucket indices."""
+    import numpy as np
+
+    from tsdb_parquet_spark.native_histogram import bucket_index_exact_float
+
+    vals = []
+    for j in range(-8, 12):
+        b = 2.0 ** j
+        vals += [b, float(np.nextafter(b, np.inf)),
+                 float(np.nextafter(b, 0.0))]
+    vals += [0.3, 0.75, 1.5, 3.7, 1000.001, 1e-30, 1e30]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [r["k"] for r in
+           df.select(bucket_index_exact_float("v").alias("k")).collect()]
+    want = [_py_float_k(v) for v in vals]
+    assert got == want
+    # the boundary triple around each 2^j: (j, j+1, j)
+    for j in range(-8, 12):
+        i = (j + 8) * 3
+        assert want[i] == j and want[i + 1] == j + 1 and want[i + 2] == j
+
+
+def test_float_histogram_and_quantile(spark):
+    """float_obs mode: (0,1) values land in negative-k buckets, v<=0 in
+    the zero bucket, and the quantile walk matches a pure-Python replay
+    (same bucket model, same interpolation)."""
+    values = [((i * 37) % 1000) / 200.0 for i in range(500)]  # incl. 0.0
+    values += [-1.25, 0.0]
+    df = spark.createDataFrame([(v,) for v in values], "v double").withColumn(
+        "g", F.lit("a")
+    )
+    hist = native_histogram_from_values(df, "v", ["g"], float_obs=True)
+    h = hist.collect()[0]
+    assert h["count"] == len(values)
+    assert h["zero_count"] == sum(1 for v in values if v <= 0)
+    want_buckets: dict[int, int] = {}
+    for v in values:
+        if v > 0:
+            k = _py_float_k(v)
+            want_buckets[k] = want_buckets.get(k, 0) + 1
+    assert {b["k"]: b["c"] for b in h["buckets"]} == want_buckets
+    assert min(want_buckets) < 0  # (0,1) observations exercised
+
+    for q in (0.05, 0.5, 0.9):
+        got = native_histogram_quantile(hist, q, ["g"]).collect()[0]["value"]
+        # python reference walk
+        zero = h["zero_count"]
+        rank = q * len(values)
+        if rank <= zero:
+            want = 0.0
+        else:
+            cum = zero
+            for k in sorted(want_buckets):
+                c = want_buckets[k]
+                cum += c
+                if cum >= rank:
+                    lower, upper = 2.0 ** (k - 1), 2.0 ** k
+                    want = round(lower + (upper - lower)
+                                 * ((rank - (cum - c)) / c), 6)
+                    break
+        assert got == want, (q, got, want)
+
+
 def test_fraction_rejects_nonpositive_upper(spark):
     from tsdb_parquet_spark.native_histogram import (
         native_histogram_fraction,

@@ -1140,3 +1140,23 @@ def test_info_enrichment_and_default(spark):
             '{name="prometheus_http_requests_total",code="200"})',
             em.T1,
         ).collect()
+
+
+def test_info_default_selector_on_info_fixture(spark):
+    """The Prometheus default selector {name=~".+_info"} finds
+    target_info on the tsdb_info fixture and donates version/env onto
+    each instance's gauge (r13, q174b)."""
+    from tsdb_parquet_spark.tables import load_table
+
+    import __spark_entry__ as em
+
+    ti = load_table(spark, "/root/testdata/sf0.001", "tsdb_info")
+    out = {
+        r["label_instance"]: (r["label_version"], r["label_env"])
+        for r in query_instant(ti, "info(node_cpu_usage)", em.T1).collect()
+    }
+    assert out == {
+        "host1:9100": ("1.2.3", "prod"),
+        "host2:9100": ("1.2.4", "staging"),
+        "host3:9100": ("2.0.0", "prod"),
+    }

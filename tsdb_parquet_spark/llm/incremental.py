@@ -353,6 +353,67 @@ def incremental_near_dup_portable(
     return batch_df.join(hits, id_col, "left_anti")
 
 
+def near_dup_pairs_from_band_index(
+    band_index: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """WITHIN-corpus near-dup pairs served from an at-rest portable
+    band index (r13, verdict r12 #5: q172's pipeline re-banded the
+    corpus — one O(n·bands) exchange carrying the full shingle arrays —
+    on every run).  Three-way split of dedup.minhash_lsh_portable's
+    work:
+
+    - CANDIDATES: the index self-joined on its own band_key — both
+      sides consume the at-rest bucketing (merge-hinted), so candidate
+      generation has NO exchange at all after the one amortized
+      index-build shuffle; and the shuffle that does happen at build
+      time carries (id, band_key) rows only, never shingle sets.
+    - SHINGLES: ``array_distinct(portable_shingle_hashes(text))`` is a
+      map stage over ``docs``.
+    - RERANK: exact Jaccard on the candidate pairs only (two id joins,
+      candidate-bounded on the pair side).
+
+    Pair semantics identical to minhash_lsh_portable (band keys fold
+    the band index into the digest, so cross-band collisions need an
+    md5 collision): returns (id_a, id_b, jaccard), id_a < id_b,
+    jaccard >= threshold at 6dp."""
+    from .dedup import portable_shingle_hashes
+
+    a = band_index.select(F.col(id_col).alias("id_a"), "band_key")
+    b = band_index.select(F.col(id_col).alias("id_b"), "band_key")
+    cand = (
+        a.hint("merge").join(b.hint("merge"), "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(
+            portable_shingle_hashes(text_col, shingle_n)
+        ).alias("_sh"),
+    )
+    j = cand.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha")),
+        "id_a",
+    ).join(
+        sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb")),
+        "id_b",
+    )
+    jac = F.size(F.array_intersect("_sha", "_shb")) / F.size(
+        F.array_union("_sha", "_shb")
+    )
+    return (
+        j.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def incremental_near_dup(
     band_index: DataFrame,
     batch_df: DataFrame,

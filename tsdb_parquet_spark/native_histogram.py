@@ -51,25 +51,60 @@ def bucket_index_exact(value_col) -> "F.Column":
     )
 
 
+def bucket_index_exact_float(value_col) -> "F.Column":
+    """schema-0 bucket index ``k = ceil(log2(v))`` for FLOAT v > 0 —
+    EXACT despite the floating log: libm ``log2`` is within 1 ulp, so
+    the candidate ``k0 = ceil(log2(v))`` is off by at most one; a
+    one-step correction against ``pow(2, k)`` comparisons — EXACT in
+    IEEE-754 for integer exponents, in every engine — pins the true
+    bucket bit-for-bit.  No boundary tolerance needed (the documented
+    tolerance plan upgraded to exactness): ``v = 2^j`` lands in bucket
+    ``j`` whichever side libm's log2 errs.  ``k <= 0`` for v in (0, 1)
+    — the negative-index span of the exponential schema."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    vd = v.cast("double")
+    k0 = F.ceil(F.log2(vd)).cast("int")
+    p_lo = F.pow(F.lit(2.0), (k0 - F.lit(1)).cast("double"))
+    p_hi = F.pow(F.lit(2.0), k0.cast("double"))
+    return (
+        F.when(p_lo >= vd, k0 - F.lit(1))
+        .when(p_hi < vd, k0 + F.lit(1))
+        .otherwise(k0)
+        .cast("int")
+    )
+
+
 def native_histogram_from_values(
     df: DataFrame,
     value_col: str,
     labels: list[str],
+    float_obs: bool = False,
 ) -> DataFrame:
-    """Aggregate integer observations into one native-histogram row per
-    label set: ``(labels..., count, sum, zero_count, schema, buckets)``
-    with ``buckets`` a k-sorted sparse ``array<struct<k int, c long>>``
+    """Aggregate observations into one native-histogram row per label
+    set: ``(labels..., count, sum, zero_count, schema, buckets)`` with
+    ``buckets`` a k-sorted sparse ``array<struct<k int, c long>>``
     — the storage schema a native-histogram ingest would persist.
     Zero/negative observations land in ``zero_count`` (the Prometheus
     zero bucket; negative-bucket spans are symmetrical and omitted
-    here)."""
+    here).
+
+    ``float_obs``: integer mode (default) buckets ``v >= 1`` via the
+    bit-length identity; float mode buckets every ``v > 0`` via
+    :func:`bucket_index_exact_float` — values in (0, 1) take the
+    schema's NEGATIVE bucket indices instead of the zero bucket, and
+    ``sum`` is the float sum of the positive observations."""
     v = F.col(value_col)
-    pos = df.filter(v >= 1).withColumn("_k", bucket_index_exact(v))
+    if float_obs:
+        pos = df.filter(v > 0).withColumn(
+            "_k", bucket_index_exact_float(v)
+        )
+    else:
+        pos = df.filter(v >= 1).withColumn("_k", bucket_index_exact(v))
     per_bucket = pos.groupBy(*labels, "_k").agg(
         F.count(F.lit(1)).alias("_c"), F.sum(v).alias("_s")
     )
     zero = (
-        df.filter(v < 1)
+        df.filter((v <= 0) if float_obs else (v < 1))
         .groupBy(*labels)
         .agg(F.count(F.lit(1)).alias("zero_count"))
     )
