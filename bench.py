@@ -69,6 +69,10 @@ def main() -> None:
     headline = [
         "q01_scan_project", "q02_eq_matchers_time_range", "q06_series_regroup",
         "q06_series_dim",
+        # r13: the materialized regroup output (O(series) scan) and the
+        # materialized q09 aggregate — the mv rungs of both ladders on
+        # the tracked curve (verdict r12 #1/#9)
+        "q06_mv", "q09_mv",
         "q07_sorted_merge", "q09_join_agg", "q09_bucketed", "q10_left_outer_join",
         "q14_interval_self_join", "q14_bucketed", "q15_multi_agg", "q16_count_distinct",
         # r12 at-rest twins: the user-bucketed distinct (pair exchange
@@ -123,6 +127,13 @@ def main() -> None:
         # mv twin serves the same oracle from the shared at-rest
         # token-count table (no tokenize pass)
         "q152_dsir_select", "q152_mv",
+        # r13 promotions (verdict r12 #4: the queries a 100 TB curation
+        # run actually consists of get tracked curves): batch KNN (HOF
+        # codegen form + the BLAS mapInArrow production path) and the
+        # end-to-end curation pipelines (q172's near-dup stage now
+        # served from the at-rest band index)
+        "q167_batch_cosine_topk", "q167b_batch_topk_np",
+        "q171_curation_pipeline", "q172_curation_with_neardup",
     ]
     # optional subset (comma-separated names): the sf100 curve extension
     # runs only the cheapest queries — disk/time bound, SCALE.md §5l

@@ -3,8 +3,19 @@ per-query minima for BOTH engines (the VM is noisy; minima recover each
 engine's capability), serial totals = sum of minima, concurrent wall =
 min across runs.
 
-Usage: python scripts/merge_bench_scaling.py SF RUN1.json [RUN2.json ...]
+Usage: python scripts/merge_bench_scaling.py [--invalidate=q1,q2] SF
+       RUN1.json [RUN2.json ...]
 Prints the point JSON to stdout.
+
+``--invalidate``: PLAN-CHANGE honesty (verdict r12 #6 — q09's carried
+39.5 s sf100 minimum was measured on the since-removed broadcast
+shape).  The named queries' Spark minima are taken ONLY from the LAST
+run file (today's current-plan measurement); earlier files' samples
+for them are dropped, so a carried minimum can never predate the
+current plan.  The point records the invalidated names + the dropped
+historical minima under ``plan_invalidated`` so the fold's history
+stays auditable.  DuckDB minima are NOT invalidated (the oracle SQL
+did not change with the Spark plan).
 """
 
 from __future__ import annotations
@@ -14,8 +25,14 @@ import sys
 
 
 def main() -> None:
-    sf = float(sys.argv[1])
-    runs = [json.load(open(p)) for p in sys.argv[2:]]
+    args = sys.argv[1:]
+    invalidate: set[str] = set()
+    if args and args[0].startswith("--invalidate="):
+        invalidate = {q.strip() for q in args[0].split("=", 1)[1].split(",")
+                      if q.strip()}
+        args = args[1:]
+    sf = float(args[0])
+    runs = [json.load(open(p)) for p in args[1:]]
     # union of query keys: the headline set grows across rounds, and old
     # runs stay valid minima sources for the queries they DID measure —
     # a query's min is taken over only the runs that contain it
@@ -24,6 +41,7 @@ def main() -> None:
         for q in r["queries"]:
             if q not in queries:
                 queries.append(q)
+
     def _min_pos(vals: list[float]) -> float:
         # bench.py records errors as -1.0 — an error is a missing
         # sample, never a candidate minimum (a -1 poisoned the q113
@@ -31,11 +49,22 @@ def main() -> None:
         pos = [v for v in vals if v > 0]
         return min(pos) if pos else -1.0
 
-    sq = {q: _min_pos([r["queries"][q] for r in runs if q in r["queries"]])
-          for q in queries}
+    dropped: dict[str, float] = {}
+    if invalidate:
+        for q in sorted(invalidate):
+            hist = _min_pos([r["queries"][q] for r in runs[:-1]
+                             if q in r.get("queries", {})])
+            if hist > 0:
+                dropped[q] = hist
+
+    def _spark_samples(q: str) -> list[float]:
+        src = runs[-1:] if q in invalidate else runs
+        return [r["queries"][q] for r in src if q in r.get("queries", {})]
+
+    sq = {q: _min_pos(_spark_samples(q)) for q in queries}
     dq = {
         q: _min_pos([r["duckdb_queries"][q] for r in runs
-                     if q in r["duckdb_queries"]])
+                     if q in r.get("duckdb_queries", {})])
         for q in queries
     }
     spark_total = round(sum(sq.values()), 3)
@@ -60,6 +89,13 @@ def main() -> None:
         "queries": sq,
         "duckdb_queries": dq,
     }
+    if dropped:
+        point["plan_invalidated"] = {
+            "note": "minima for these queries come from the last run "
+                    "only (plan changed; earlier samples measured a "
+                    "since-removed shape)",
+            "dropped_historical_minima": dropped,
+        }
     print(json.dumps(point, indent=1))
 
 
