@@ -280,6 +280,21 @@ def main() -> None:
             per_query[name] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
 
+    # Checkpoint the serial numbers BEFORE the concurrent phase: at
+    # sf100 a concurrent-phase heap death would otherwise lose the
+    # whole run (the .duck sidecar pattern, applied to the Spark side)
+    try:
+        ck = os.environ.get(
+            "SPARK_GRAFT_BENCH_OUT",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LAST.json"),
+        ) + ".serial"
+        with open(ck, "w") as fh:
+            json.dump({"sf": sf, "queries": per_query,
+                       "rows_total": rows_total}, fh)
+    except OSError:
+        pass
+
     # Suite-level throughput: Spark schedules independent jobs
     # concurrently in one session; wall-clock for the whole set with an
     # 8-way pool measures engine throughput rather than per-query latency
