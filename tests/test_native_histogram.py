@@ -235,6 +235,86 @@ def test_float_histogram_and_quantile(spark):
         assert got == want, (q, got, want)
 
 
+def _py_float_k_schema(v: float, schema: int) -> int:
+    sf = float(1 << schema)
+    k0 = math.ceil(math.log2(v) * sf)
+    if 2.0 ** ((k0 - 1) / sf) >= v:
+        return k0 - 1
+    if 2.0 ** (k0 / sf) < v:
+        return k0 + 1
+    return k0
+
+
+def test_schema2_histogram_quantile_fraction(spark):
+    """schema=2 (base = 2^0.25): four buckets per octave, the same
+    cumulative walk and interpolation against a pure-Python replay of
+    the identical candidate-then-correct formulas."""
+    from tsdb_parquet_spark.native_histogram import (
+        native_histogram_fraction,
+    )
+
+    schema = 2
+    sf = float(1 << schema)
+    values = [((i * 53) % 800) / 100.0 for i in range(400)]  # [0, 8)
+    df = spark.createDataFrame([(v,) for v in values], "v double").withColumn(
+        "g", F.lit("a")
+    )
+    hist = native_histogram_from_values(
+        df, "v", ["g"], float_obs=True, schema=schema
+    )
+    h = hist.collect()[0]
+    assert h["schema"] == 2
+    want_buckets: dict[int, int] = {}
+    for v in values:
+        if v > 0:
+            k = _py_float_k_schema(v, schema)
+            want_buckets[k] = want_buckets.get(k, 0) + 1
+    assert {b["k"]: b["c"] for b in h["buckets"]} == want_buckets
+    # four buckets per octave: spans of adjacent k cover ratios 2^0.25
+    zero = h["zero_count"]
+    assert zero == sum(1 for v in values if v <= 0)
+
+    for q in (0.1, 0.5, 0.95):
+        got = native_histogram_quantile(hist, q, ["g"]).collect()[0]["value"]
+        rank = q * len(values)
+        if rank <= zero:
+            want = 0.0
+        else:
+            cum = zero
+            for k in sorted(want_buckets):
+                c = want_buckets[k]
+                cum += c
+                if cum >= rank:
+                    lower = 2.0 ** ((k - 1) / sf)
+                    upper = 2.0 ** (k / sf)
+                    want = round(lower + (upper - lower)
+                                 * ((rank - (cum - c)) / c), 6)
+                    break
+        assert got == want, (q, got, want)
+
+    # fraction at a mid-octave bound, schema-aware containing bucket
+    for ub in (1.0, 1.5, 3.3):
+        got = native_histogram_fraction(
+            hist, ub, ["g"], schema=schema
+        ).collect()[0]["fraction"]
+        k = _py_float_k_schema(ub, schema)
+        lo, hi = 2.0 ** ((k - 1) / sf), 2.0 ** (k / sf)
+        acc = float(zero)
+        for kk, c in want_buckets.items():
+            if kk < k:
+                acc += c
+            elif kk == k:
+                acc += c * ((ub - lo) / (hi - lo))
+        want = math.floor(acc / len(values) * 1e6 + 0.5) / 1e6
+        assert got == want, (ub, got, want)
+
+
+def test_schema_nonzero_requires_float_obs(spark):
+    df = spark.createDataFrame([(4,)], "v long").withColumn("g", F.lit("a"))
+    with pytest.raises(ValueError, match="float_obs"):
+        native_histogram_from_values(df, "v", ["g"], schema=2)
+
+
 def test_fraction_rejects_nonpositive_upper(spark):
     from tsdb_parquet_spark.native_histogram import (
         native_histogram_fraction,

@@ -11,19 +11,23 @@ user has somewhere to put native-histogram data.
 The model (the standard exponential schema): a native histogram sample
 is ``(count, sum, zero_count, schema, buckets)`` where ``buckets`` is a
 SPARSE array of ``(k, c)`` pairs and bucket ``k`` covers
-``(base^(k-1), base^k]`` with ``base = 2^(2^-schema)``.  This module
-implements ``schema = 0`` (``base = 2``) — coarser resolutions differ
-only in the base; the plumbing (sparse array column, cumulative walk,
-within-bucket linear interpolation) is identical.
+``(base^(k-1), base^k]`` with ``base = 2^(2^-schema)``.  Any
+``schema`` resolution is supported on the float path (r13); the
+plumbing (sparse array column, cumulative walk, within-bucket linear
+interpolation) is resolution-independent.
 
-EXACT BUCKETING: for integer-valued observations the bucket index
-``k = ceil(log2(v))`` is computed WITHOUT floating logs — ``v = 1 ->
-0``, else ``length(bin(v - 1))`` (the bit-length identity
+EXACT BUCKETING: for integer-valued observations at schema 0 the
+bucket index ``k = ceil(log2(v))`` is computed WITHOUT floating logs —
+``v = 1 -> 0``, else ``length(bin(v - 1))`` (the bit-length identity
 ``ceil(log2(v)) = bit_length(v-1)``) — so Spark and any replaying
 engine agree bit-for-bit at every power-of-two boundary, where a libm
 ``log2`` can land one ulp off and flip the bucket (the q155/q156 ulp
-lesson applied to bucketing).  Float observations would take the same
-plan with a documented boundary tolerance.
+lesson applied to bucketing).  FLOAT observations (r13, q165f) take
+``ceil(log2(v) * 2^schema)`` with a one-step correction against the
+bucket-bound powers — bit-exact at schema 0 (integer-exponent ``pow``
+is IEEE-exact), self-consistent with each engine's ``pow`` at finer
+schemas (boundary agreement to 1 ulp of ``pow`` — documented
+residual).
 
 Scale shape: building histograms is ONE groupBy over (labels, k) —
 shuffle carries one row per populated bucket per label set (sparse:
@@ -51,21 +55,30 @@ def bucket_index_exact(value_col) -> "F.Column":
     )
 
 
-def bucket_index_exact_float(value_col) -> "F.Column":
-    """schema-0 bucket index ``k = ceil(log2(v))`` for FLOAT v > 0 —
-    EXACT despite the floating log: libm ``log2`` is within 1 ulp, so
-    the candidate ``k0 = ceil(log2(v))`` is off by at most one; a
-    one-step correction against ``pow(2, k)`` comparisons — EXACT in
-    IEEE-754 for integer exponents, in every engine — pins the true
-    bucket bit-for-bit.  No boundary tolerance needed (the documented
-    tolerance plan upgraded to exactness): ``v = 2^j`` lands in bucket
-    ``j`` whichever side libm's log2 errs.  ``k <= 0`` for v in (0, 1)
-    — the negative-index span of the exponential schema."""
+def bucket_index_exact_float(value_col, schema: int = 0) -> "F.Column":
+    """Bucket index ``k = ceil(log2(v) * 2^schema)`` for FLOAT v > 0 —
+    bucket k covers ``(base^(k-1), base^k]`` with ``base =
+    2^(2^-schema)``.  Despite the floating log the index is pinned by a
+    one-step CORRECTION against the bucket-bound powers: libm ``log2``
+    is within 1 ulp, so the candidate is off by at most one, and
+    comparing v against ``pow(2, (k-1)/2^s)`` / ``pow(2, k/2^s)``
+    decides the true bucket.
+
+    At ``schema = 0`` the bound exponents are integers, ``pow`` is
+    IEEE-exact in every engine, and the bucketing is bit-exact at every
+    boundary (no tolerance convention at all).  At ``schema > 0`` the
+    bounds are irrational powers: the correction makes the index
+    self-consistent with each engine's own ``pow``, and engines agree
+    except for observations within 1 ulp of a fractional-power boundary
+    (the documented residual — Prometheus itself buckets these with
+    native float math).  ``k <= 0`` for v < 1 — the negative-index span
+    of the exponential schema."""
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     vd = v.cast("double")
-    k0 = F.ceil(F.log2(vd)).cast("int")
-    p_lo = F.pow(F.lit(2.0), (k0 - F.lit(1)).cast("double"))
-    p_hi = F.pow(F.lit(2.0), k0.cast("double"))
+    sf = float(1 << schema)
+    k0 = F.ceil(F.log2(vd) * F.lit(sf)).cast("int")
+    p_lo = F.pow(F.lit(2.0), (k0 - F.lit(1)).cast("double") / F.lit(sf))
+    p_hi = F.pow(F.lit(2.0), k0.cast("double") / F.lit(sf))
     return (
         F.when(p_lo >= vd, k0 - F.lit(1))
         .when(p_hi < vd, k0 + F.lit(1))
@@ -79,6 +92,7 @@ def native_histogram_from_values(
     value_col: str,
     labels: list[str],
     float_obs: bool = False,
+    schema: int = 0,
 ) -> DataFrame:
     """Aggregate observations into one native-histogram row per label
     set: ``(labels..., count, sum, zero_count, schema, buckets)`` with
@@ -92,11 +106,20 @@ def native_histogram_from_values(
     bit-length identity; float mode buckets every ``v > 0`` via
     :func:`bucket_index_exact_float` — values in (0, 1) take the
     schema's NEGATIVE bucket indices instead of the zero bucket, and
-    ``sum`` is the float sum of the positive observations."""
+    ``sum`` is the float sum of the positive observations.
+
+    ``schema``: the exponential resolution (bucket k covers
+    ``(base^(k-1), base^k]``, ``base = 2^(2^-schema)`` — finer buckets
+    at higher schema, the Prometheus resolution ladder).  Non-zero
+    schema requires ``float_obs=True`` (the integer bit-length identity
+    is a schema-0 construction)."""
+    if schema != 0 and not float_obs:
+        raise ValueError("schema != 0 requires float_obs=True "
+                         "(the bit-length identity is schema-0 only)")
     v = F.col(value_col)
     if float_obs:
         pos = df.filter(v > 0).withColumn(
-            "_k", bucket_index_exact_float(v)
+            "_k", bucket_index_exact_float(v, schema)
         )
     else:
         pos = df.filter(v >= 1).withColumn("_k", bucket_index_exact(v))
@@ -140,7 +163,7 @@ def native_histogram_from_values(
         (F.col("pos_count") + F.col("zero_count")).alias("count"),
         "sum",
         "zero_count",
-        F.lit(0).alias("schema"),
+        F.lit(schema).alias("schema"),
         "buckets",
     )
 
@@ -150,22 +173,30 @@ def native_histogram_fraction(
     upper: float,
     labels: list[str],
     round_dp: int = 6,
+    schema: int = 0,
 ) -> DataFrame:
     """``histogram_fraction(0, upper, <native histogram>)``: per label
     set, the interpolated share of observations at or under ``upper``
     — the classic-bucket q122 arithmetic on the sparse schema.  The
-    containing bucket index ``ceil(log2(upper))`` and its bounds are
-    computed DRIVER-SIDE in exact Python (math.frexp — no engine log
-    anywhere), then folded in as literals: buckets wholly below count
+    containing bucket index ``ceil(log2(upper) * 2^schema)`` and its
+    bounds are computed DRIVER-SIDE in Python with the same
+    candidate-then-correct convention as the engine-side bucketing
+    (exact at schema 0 — integer powers; self-consistent at finer
+    schemas), then folded in as literals: buckets wholly below count
     fully, the containing bucket contributes its linear share, the
-    zero bucket counts fully.  Returns ``(labels..., fraction)``."""
+    zero bucket counts fully.  ``schema`` must match the histogram's
+    (the hist rows carry it).  Returns ``(labels..., fraction)``."""
     import math
 
     if upper <= 0:
         raise ValueError("upper must be positive (zero bucket is the floor)")
-    m, e = math.frexp(upper)  # upper = m * 2^e, m in [0.5, 1)
-    k = e - 1 if m == 0.5 else e  # ceil(log2(upper)); exact
-    lo, hi = 2.0 ** (k - 1), 2.0 ** k
+    sf = float(1 << schema)
+    k = math.ceil(math.log2(upper) * sf)
+    if 2.0 ** ((k - 1) / sf) >= upper:
+        k -= 1
+    elif 2.0 ** (k / sf) < upper:
+        k += 1
+    lo, hi = 2.0 ** ((k - 1) / sf), 2.0 ** (k / sf)
     part = (upper - lo) / (hi - lo)
     b = hist_df.select(
         *labels,
@@ -199,18 +230,22 @@ def native_histogram_quantile(
     walk the sparse buckets cumulatively, pick the first bucket whose
     cumulative count reaches ``rank = q * count`` (zero bucket first —
     observations <= 0 all sit at 0), and interpolate linearly within
-    the bucket's ``(2^(k-1), 2^k]`` bounds — the Prometheus
-    within-bucket model.  Returns ``(labels..., value)``.  Runs on
+    the bucket's ``(base^(k-1), base^k]`` bounds with ``base =
+    2^(2^-schema)`` read from the hist rows — the Prometheus
+    within-bucket model at any resolution (schema 0 reduces to exact
+    integer powers of two).  Returns ``(labels..., value)``.  Runs on
     bucket rows, never raw samples."""
     b = hist_df.select(
         *labels,
         F.col("count"),
         F.col("zero_count"),
+        F.col("schema"),
         F.posexplode("buckets").alias("_i", "_b"),
     ).select(
         *labels,
         "count",
         "zero_count",
+        "schema",
         F.col("_b.k").alias("k"),
         F.col("_b.c").alias("c"),
     )
@@ -221,7 +256,10 @@ def native_histogram_quantile(
     )
     rank = F.lit(q) * F.col("count")
     cum = (F.sum("c").over(w) + F.col("zero_count")).alias("cum")
-    walked = b.select(*labels, "count", "zero_count", "k", "c", cum, rank.alias("rank"))
+    walked = b.select(
+        *labels, "count", "zero_count", "schema", "k", "c",
+        cum, rank.alias("rank"),
+    )
     # rank inside the zero bucket -> quantile 0 (all non-positive obs
     # are modeled at the zero point)
     hit = walked.filter(
@@ -232,8 +270,11 @@ def native_histogram_quantile(
         "_rn",
         F.row_number().over(Window.partitionBy(*labels).orderBy("k")),
     ).filter(F.col("_rn") == 1)
-    lower = F.pow(F.lit(2.0), F.col("k") - 1)
-    upper = F.pow(F.lit(2.0), F.col("k"))
+    # (k-1)/2^schema: at schema 0 the division by 1.0 is exact, so the
+    # bounds stay the bit-exact integer powers of two
+    sf = F.pow(F.lit(2.0), F.col("schema").cast("double"))
+    lower = F.pow(F.lit(2.0), (F.col("k") - 1).cast("double") / sf)
+    upper = F.pow(F.lit(2.0), F.col("k").cast("double") / sf)
     frac = (F.col("rank") - (F.col("cum") - F.col("c"))) / F.col("c")
     val = lower + (upper - lower) * frac
     zero_hit = (
