@@ -343,6 +343,33 @@ def test_semdedup_numpy_pairwise_matches_hof_path(spark):
         assert (100 + i in d8) or (i in d8)
 
 
+def test_semdedup_tiled_pairwise_matches_untiled(spark):
+    """The memory-bounded tiled any-earlier check (r13 — an unchunked
+    cluster^2 matrix killed the worker on duplicate-heavy sf100 data)
+    must produce the same survivor set as one-tile (= full-matrix)
+    evaluation, across tile boundaries."""
+    from tsdb_parquet_spark.llm.dedup import semdedup
+
+    rows = []
+    for i in range(60):
+        v = [0.0] * 8
+        v[i % 8] = 1.0
+        v[(i * 3 + 1) % 8] = 0.5 if i % 2 else -0.5
+        rows.append((i, v))
+        if i % 3 == 0:
+            rows.append((200 + i, [x * 1.0001 for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = sorted(
+        tuple(r) for r in semdedup(df, k=9, threshold=0.95,
+                                   _pair_tile=4096).collect()
+    )
+    tiled = sorted(
+        tuple(r) for r in semdedup(df, k=9, threshold=0.95,
+                                   _pair_tile=7).collect()
+    )
+    assert full == tiled and len(full) < len(rows)
+
+
 def test_temperature_mixture_weights_math(spark):
     from tsdb_parquet_spark.llm.corpus import temperature_mixture_weights
 

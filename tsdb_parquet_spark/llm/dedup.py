@@ -563,6 +563,7 @@ def semdedup(
     k: int = 16,
     threshold: float = 0.96,
     salt: str = "semdedup",
+    _pair_tile: int = 2048,
 ) -> DataFrame:
     """Semantic deduplication in embedding space (SemDeDup, Abbas et
     al. 2023, arXiv:2303.09540): cluster embeddings, then inside each
@@ -634,21 +635,31 @@ def semdedup(
             base.schema.fields + [StructField("_cl", IntegerType())]
         )
 
+        # Bound the scores matrix: rows_per_chunk x k doubles.  An
+        # Arrow batch can be 10^6 rows (the bench profile raises
+        # maxRecordsPerBatch) and production k is n/64 — an unchunked
+        # (batch x k) matmul at sf100 is 10^6 x 31k x 8 B = 250 GB and
+        # killed the Python worker (r13 bench).  2^24 doubles caps the
+        # chunk at 128 MB whatever k is.
+        chunk_rows = max(1024, (1 << 24) // max(1, len(seeds)))
+
         def _assign(batches):
             for pdf in batches:
-                embs = np.array(pdf["_emb"].tolist(), dtype=np.float64)
-                norms = np.linalg.norm(embs, axis=1, keepdims=True)
-                norms[norms == 0.0] = 1.0
-                scores = (embs / norms) @ mat  # batch x k
-                # ties -> HIGHER seed index (match the literal path)
-                best = (
-                    scores.shape[1] - 1
-                    - np.argmax(scores[:, ::-1], axis=1)
-                ).astype("int32")
-                yield pd.DataFrame(
-                    {"_id": pdf["_id"], "_emb": pdf["_emb"],
-                     "_rk": pdf["_rk"], "_cl": best}
-                )
+                for s0 in range(0, len(pdf), chunk_rows):
+                    part = pdf.iloc[s0:s0 + chunk_rows]
+                    embs = np.array(part["_emb"].tolist(), dtype=np.float64)
+                    norms = np.linalg.norm(embs, axis=1, keepdims=True)
+                    norms[norms == 0.0] = 1.0
+                    scores = (embs / norms) @ mat  # chunk x k
+                    # ties -> HIGHER seed index (match the literal path)
+                    best = (
+                        scores.shape[1] - 1
+                        - np.argmax(scores[:, ::-1], axis=1)
+                    ).astype("int32")
+                    yield pd.DataFrame(
+                        {"_id": part["_id"], "_emb": part["_emb"],
+                         "_rk": part["_rk"], "_cl": best}
+                    )
 
         assigned = base.mapInPandas(_assign, out_schema)
     else:
@@ -707,8 +718,32 @@ def semdedup(
             n[n == 0.0] = 1.0
             e = e / n
             order = np.lexsort((pdf["_id"].values, pdf["_rk"].values))
-            s = (e @ e.T)[np.ix_(order, order)]
-            drop_ordered = np.triu(s >= threshold, k=1).any(axis=0)
+            eo = e[order]
+            m = len(eo)
+            # TILED any-earlier check: a full m x m similarity matrix is
+            # m^2 doubles — a duplicate-heavy corpus (the exact case
+            # semdedup serves) can skew one cluster far past the ~64
+            # target and blow the worker; 2048-row/col tiles bound the
+            # working set at 32 MB regardless of cluster size.  Same
+            # comparisons as the full matmul (a member drops iff ANY
+            # earlier-(rank, id) member reaches the threshold).
+            # ``_pair_tile`` exists so tests can exercise multi-tile
+            # clusters at toy sizes.
+            tile = _pair_tile
+            drop_ordered = np.zeros(m, dtype=bool)
+            for i0 in range(1, m, tile):
+                i1 = min(i0 + tile, m)
+                block = eo[i0:i1]
+                hit = np.zeros(i1 - i0, dtype=bool)
+                for j0 in range(0, i1, tile):
+                    j1 = min(j0 + tile, i1)
+                    s = block @ eo[j0:j1].T
+                    if j1 > i0:  # diagonal tile: only j < i counts
+                        rows = np.arange(i0, i1)[:, None]
+                        cols = np.arange(j0, j1)[None, :]
+                        s = np.where(cols < rows, s, -np.inf)
+                    hit |= (s >= threshold).any(axis=1)
+                drop_ordered[i0:i1] = hit
             dropped = np.zeros(len(pdf), dtype=bool)
             dropped[order] = drop_ordered
             return pdf.loc[~dropped, ["_id", "_cl", "_rk"]]
