@@ -96,6 +96,14 @@ def main() -> None:
                     "since-removed shape)",
             "dropped_historical_minima": dropped,
         }
+    # propagate DuckDB timeout flags: a capped entry is a LOWER BOUND
+    # on DuckDB's time, never a timing — the fold must keep saying so
+    touts = sorted({
+        q for r in runs for q in r.get("duckdb_timeouts", [])
+        if q in queries
+    })
+    if touts:
+        point["duckdb_timeouts"] = touts
     print(json.dumps(point, indent=1))
 
 
