@@ -3,19 +3,19 @@ per-query minima for BOTH engines (the VM is noisy; minima recover each
 engine's capability), serial totals = sum of minima, concurrent wall =
 min across runs.
 
-Usage: python scripts/merge_bench_scaling.py [--invalidate=q1,q2] SF
-       RUN1.json [RUN2.json ...]
+Usage: python scripts/merge_bench_scaling.py [--invalidate=q1,q2]
+       [--history=N] SF RUN1.json [RUN2.json ...]
 Prints the point JSON to stdout.
 
 ``--invalidate``: PLAN-CHANGE honesty (verdict r12 #6 — q09's carried
 39.5 s sf100 minimum was measured on the since-removed broadcast
-shape).  The named queries' Spark minima are taken ONLY from the LAST
-run file (today's current-plan measurement); earlier files' samples
-for them are dropped, so a carried minimum can never predate the
-current plan.  The point records the invalidated names + the dropped
-historical minima under ``plan_invalidated`` so the fold's history
-stays auditable.  DuckDB minima are NOT invalidated (the oracle SQL
-did not change with the Spark plan).
+shape).  The named queries' Spark minima ignore the first
+``--history`` run files (default 1 — the synthesized prior-round
+point); only current-plan runs contribute, so a carried minimum can
+never predate the current plan.  The point records the invalidated
+names + the dropped historical minima under ``plan_invalidated`` so
+the fold's history stays auditable.  DuckDB minima are NOT
+invalidated (the oracle SQL did not change with the Spark plan).
 """
 
 from __future__ import annotations
@@ -27,9 +27,15 @@ import sys
 def main() -> None:
     args = sys.argv[1:]
     invalidate: set[str] = set()
-    if args and args[0].startswith("--invalidate="):
-        invalidate = {q.strip() for q in args[0].split("=", 1)[1].split(",")
-                      if q.strip()}
+    history = 1
+    while args and args[0].startswith("--"):
+        if args[0].startswith("--invalidate="):
+            invalidate = {q.strip() for q in
+                          args[0].split("=", 1)[1].split(",") if q.strip()}
+        elif args[0].startswith("--history="):
+            history = int(args[0].split("=", 1)[1])
+        else:
+            raise SystemExit(f"unknown flag {args[0]}")
         args = args[1:]
     sf = float(args[0])
     runs = [json.load(open(p)) for p in args[1:]]
@@ -52,13 +58,13 @@ def main() -> None:
     dropped: dict[str, float] = {}
     if invalidate:
         for q in sorted(invalidate):
-            hist = _min_pos([r["queries"][q] for r in runs[:-1]
+            hist = _min_pos([r["queries"][q] for r in runs[:history]
                              if q in r.get("queries", {})])
             if hist > 0:
                 dropped[q] = hist
 
     def _spark_samples(q: str) -> list[float]:
-        src = runs[-1:] if q in invalidate else runs
+        src = runs[history:] if q in invalidate else runs
         return [r["queries"][q] for r in src if q in r.get("queries", {})]
 
     sq = {q: _min_pos(_spark_samples(q)) for q in queries}
@@ -91,9 +97,9 @@ def main() -> None:
     }
     if dropped:
         point["plan_invalidated"] = {
-            "note": "minima for these queries come from the last run "
-                    "only (plan changed; earlier samples measured a "
-                    "since-removed shape)",
+            "note": "minima for these queries ignore the historical "
+                    "run files (plan changed; those samples measured "
+                    "a since-removed shape)",
             "dropped_historical_minima": dropped,
         }
     # propagate DuckDB timeout flags: a capped entry is a LOWER BOUND

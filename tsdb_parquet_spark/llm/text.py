@@ -417,7 +417,17 @@ def unigram_logprob(
             F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
             lambda w: w != "",
         )
-        tok = df.select(F.col(id_col), F.explode(toks).alias("_w"))
+        # repartition the RAW TEXT by id before the tokenize (the q136
+        # r13 lesson): a compact parquet corpus can have fewer row
+        # groups than cores (sf100: 10 splits on 32 — the explode ran
+        # 3x under-packed), and the id partitioning is consumed by the
+        # per-doc scoring aggregate downstream (map-side combine, no
+        # further doc_id exchange)
+        tok = (
+            df.select(F.col(id_col), F.col(text_col))
+            .repartition(F.col(id_col))
+            .select(F.col(id_col), F.explode(toks).alias("_w"))
+        )
     if lm_df is None:
         # cache the token counts: total and top-V are two light jobs
         # over the SAME aggregate, and without the cache each (plus the
@@ -910,21 +920,43 @@ def bigram_logprob(
             F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
             lambda w: w != "",
         )
-        # codegen'd bigram rows: token rows with array position, next
-        # token via lead() over (doc, pos) — "w1 w2" strings, portable
-        # to the SQL oracle.  Last token of each doc has null lead ->
-        # filtered, so docs with <2 tokens contribute no bigram rows
-        # (and no output row).
-        tok_rows = df.select(
-            F.col(id_col), F.posexplode(toks).alias("_pos", "_w")
+        # codegen'd bigram rows, DOC-LOCAL (r13): adjacent pairs come
+        # straight from the token ARRAY — zip_with over the two
+        # off-by-one slices ("w1 w2" strings), the same multiset as
+        # the old posexplode + lead()-window form but with ZERO
+        # exchange: the window partitioned by doc shuffled every token
+        # row (3.1 GB at sf100, the build's dominant stage).  Because
+        # bigrams never leave their scan task, the downstream per-doc
+        # aggregate partial-combines to ~one row per doc map-side and
+        # its exchange carries |docs| rows, not token rows.  The token
+        # array is BOUND ONCE per row behind a projection boundary
+        # (multi-referenced non-cheap expression — CollapseProject
+        # keeps it); an element_at-per-index lambda over the raw split
+        # expression re-ran the split per ELEMENT, O(tokens^2) per doc.
+        # Docs with <2 tokens contribute no bigram rows (and no
+        # output row).  The RAW TEXT repartitions by id before the
+        # tokenize (one ~|corpus-bytes| exchange — 750 MB at sf100,
+        # 4x less than the old 3.1 GB token-row window exchange): a
+        # compact parquet corpus can have fewer row groups than cores
+        # (sf100: 10 splits on 32 cores — the heavy map work ran
+        # 3x under-packed), and the id partitioning is then consumed
+        # by BOTH downstream aggregates (per-doc scoring map-combines
+        # on the same key; no further exchange).
+        tok_df = (
+            df.select(F.col(id_col), F.col(text_col))
+            .repartition(F.col(id_col))
+            .select(F.col(id_col), toks.alias("_toks"))
         )
-        w_next = Window.partitionBy(id_col).orderBy("_pos")
-        bgx = (
-            tok_rows.withColumn("_w2", F.lead("_w").over(w_next))
-            .filter(F.col("_w2").isNotNull())
-            .select(F.col(id_col),
-                    F.concat("_w", F.lit(" "), "_w2").alias("_b"))
-        )
+        n_t = F.size(F.col("_toks"))
+        bg_arr = F.when(
+            n_t >= 2,
+            F.zip_with(
+                F.slice(F.col("_toks"), 1, n_t - 1),
+                F.slice(F.col("_toks"), 2, n_t - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        bgx = tok_df.select(F.col(id_col), F.explode(bg_arr).alias("_b"))
         if lm_df is not None:
             # pre-built model (a KenLM-grade table, or this function's
             # own build from another corpus slice): skip the build
@@ -983,9 +1015,9 @@ def _score_bigrams(
 ) -> DataFrame:
     """Broadcast-join scoring over (id, bigram) ROWS (the q104 r9
     lesson: a literal-map fold linear-scans |map| entries PER BIGRAM —
-    ~200 s at 200 entries x 26.6M bigrams at sf10; the join's doc_id
-    shuffle partial-combines to ~one row per doc map-side, and when
-    the rows came from the lead() window it reuses that exchange).
+    ~200 s at 200 entries x 26.6M bigrams at sf10; bigram rows are
+    doc-local since r13, so the doc_id shuffle partial-combines to
+    ~one row per doc map-side and carries |docs| rows).
     With ``count_col`` the rows are (id, bigram, multiplicity) from the
     at-rest counts table and the fold weights by it — same integers."""
     oov_li = int(round(oov_lp * unit))
