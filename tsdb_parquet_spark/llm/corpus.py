@@ -904,9 +904,18 @@ def dsir_select(
             bucket_of(F.col("w")).alias("_b"), F.col("c").alias("_c")
         )
     else:
-        raw_tok = raw_df.select(
-            F.col(id_col), F.explode(toks).alias("_w")
-        ).select(F.col(id_col), bucket_of(F.col("_w")).alias("_b"))
+        # repartition the raw text by id before the tokenize (the q136
+        # r13 lesson: compact corpora can have fewer row groups than
+        # cores and the explode otherwise runs at scan parallelism);
+        # the id partitioning feeds the per-doc scoring aggregate.
+        # The target side stays scan-partitioned: it is the SMALL
+        # in-domain slice by contract
+        raw_tok = (
+            raw_df.select(F.col(id_col), F.col(text_col))
+            .repartition(F.col(id_col))
+            .select(F.col(id_col), F.explode(toks).alias("_w"))
+            .select(F.col(id_col), bucket_of(F.col("_w")).alias("_b"))
+        )
         tgt_tok = target_df.select(F.explode(toks).alias("_w")).select(
             bucket_of(F.col("_w")).alias("_b")
         )

@@ -545,8 +545,14 @@ def gopher_rules(
     length profiles (or a test fixture) can move the cut lines.
     """
     c = F.col(text_col)
+    # repartition the raw text by id before the rule battery (the q136
+    # r13 lesson): a compact parquet corpus can have fewer row groups
+    # than cores, and this pure map stage otherwise runs at row-group
+    # parallelism (sf100: 10 splits on 32 cores — measured 30.7 ->
+    # 17.1 s with the exchange)
+    staged = df.select(F.col(id_col), c).repartition(F.col(id_col))
     # stage 1: the expensive arrays, built exactly once per row
-    s1 = df.select(
+    s1 = staged.select(
         F.col(id_col),
         c.alias("_text"),
         F.filter(F.split(c, "[ \\t\\n\\r\\f]+"), lambda w: w != "").alias(
@@ -750,7 +756,21 @@ def lexical_stats(
             F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+"),
             lambda w: w != "",
         )
-        tok = df.select(F.col(group_col), F.explode(toks).alias("_w"))
+        # round-robin repartition before the tokenize (the q136 r13
+        # lesson: row-group-bound scan parallelism starves the map
+        # work on compact corpora; measured 19.8 -> 12.9 s at sf100).
+        # Round-robin, not group hash: group_col has ~20 values — a
+        # group-keyed exchange would skew onto 20 reducers
+        try:
+            n_part = int(df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            n_part = df.sparkSession.sparkContext.defaultParallelism
+        tok = (
+            df.select(F.col(group_col), F.col(text_col))
+            .repartition(n_part)
+            .select(F.col(group_col), F.explode(toks).alias("_w"))
+        )
         per_word = tok.groupBy(group_col, "_w").agg(
             F.count(F.lit(1)).alias("_c")
         )
