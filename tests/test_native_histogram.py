@@ -324,3 +324,165 @@ def test_fraction_rejects_nonpositive_upper(spark):
     hist = native_histogram_from_values(df, "v", ["g"])
     with pytest.raises(ValueError):
         native_histogram_fraction(hist, 0.0, ["g"])
+
+
+# ---------------------------------------------------------------------------
+# r14: temporal operators — reset-aware increase/rate over a histogram
+# SERIES, accessors, and the promql_expr wiring (verdict r13 #1/#2)
+# ---------------------------------------------------------------------------
+
+
+def _series_df(spark, samples, labels=("m", "i1")):
+    """Build a tiny native-histogram series: samples is a list of
+    (time, count, sum, zero_count, buckets-dict)."""
+    rows = [
+        (
+            t,
+            labels[0],
+            labels[1],
+            c,
+            float(s),
+            z,
+            0,
+            [{"k": k, "c": v} for k, v in sorted(b.items()) if v > 0],
+        )
+        for (t, c, s, z, b) in samples
+    ]
+    return spark.createDataFrame(
+        rows,
+        "time long, label_name string, label_instance string, "
+        "count long, sum double, zero_count long, schema int, "
+        "buckets array<struct<k: int, c: bigint>>",
+    )
+
+
+def test_increase_no_reset(spark):
+    from tsdb_parquet_spark.native_histogram import (
+        native_histogram_increase,
+    )
+
+    df = _series_df(
+        spark,
+        [
+            (0, 10, 100.0, 2, {0: 3, 2: 5}),
+            (15000, 16, 160.0, 3, {0: 5, 2: 8}),
+            (30000, 20, 200.0, 4, {0: 6, 2: 9, 3: 1}),
+        ],
+    )
+    row = native_histogram_increase(
+        df, ["label_name", "label_instance"], pin=False
+    ).collect()[0]
+    assert row["count"] == 10 and row["zero_count"] == 2
+    assert row["sum"] == 100.0 and row["span_s"] == 30.0
+    assert {b["k"]: b["c"] for b in row["buckets"]} == {0: 3, 2: 4, 3: 1}
+
+
+def test_increase_detects_bucket_reset(spark):
+    """A reset visible ONLY in one bucket (total count still grows)
+    must restart every counter from 0 — whole-sample detection."""
+    from tsdb_parquet_spark.native_histogram import (
+        native_histogram_increase,
+    )
+
+    df = _series_df(
+        spark,
+        [
+            (0, 10, 100.0, 2, {0: 3, 2: 5}),
+            # bucket 0 dropped 3 -> 1 (reset) even though count grew
+            (15000, 11, 90.0, 1, {0: 1, 2: 9}),
+        ],
+    )
+    row = native_histogram_increase(
+        df, ["label_name", "label_instance"], pin=False
+    ).collect()[0]
+    # restart-from-0: the post-reset sample contributes its own values
+    assert row["count"] == 11 and row["zero_count"] == 1
+    assert {b["k"]: b["c"] for b in row["buckets"]} == {0: 1, 2: 9}
+
+
+def test_increase_detects_vanished_bucket(spark):
+    """A bucket present before and absent after is a decrease to 0."""
+    from tsdb_parquet_spark.native_histogram import (
+        native_histogram_increase,
+    )
+
+    df = _series_df(
+        spark,
+        [
+            (0, 5, 50.0, 0, {1: 5}),
+            (15000, 6, 60.0, 0, {2: 6}),  # bucket 1 vanished -> reset
+        ],
+    )
+    row = native_histogram_increase(
+        df, ["label_name", "label_instance"], pin=False
+    ).collect()[0]
+    assert {b["k"]: b["c"] for b in row["buckets"]} == {2: 6}
+    assert row["count"] == 6
+
+
+def test_single_sample_series_emits_nothing(spark):
+    from tsdb_parquet_spark.native_histogram import (
+        native_histogram_increase,
+    )
+
+    df = _series_df(spark, [(0, 10, 100.0, 2, {0: 3})])
+    assert (
+        native_histogram_increase(
+            df, ["label_name", "label_instance"], pin=False
+        ).count()
+        == 0
+    )
+
+
+def test_rate_divides_every_payload_exactly(spark):
+    from tsdb_parquet_spark.native_histogram import (
+        native_histogram_increase,
+        native_histogram_rate,
+    )
+
+    df = _series_df(
+        spark,
+        [
+            (0, 10, 100.0, 2, {0: 3, 2: 5}),
+            (20000, 30, 300.0, 6, {0: 7, 2: 11}),
+        ],
+    )
+    labels = ["label_name", "label_instance"]
+    inc = native_histogram_increase(df, labels, pin=False).collect()[0]
+    r = native_histogram_rate(df, labels, pin=False).collect()[0]
+    assert r["count"] == inc["count"] / 20.0
+    assert r["sum"] == inc["sum"] / 20.0
+    assert r["zero_count"] == inc["zero_count"] / 20.0
+    want = {b["k"]: b["c"] / 20.0 for b in inc["buckets"]}
+    assert {b["k"]: b["c"] for b in r["buckets"]} == want
+
+
+def test_promql_hist_instant_selector_and_accessors(spark):
+    from tsdb_parquet_spark.promql_expr import query_instant
+
+    df = _series_df(
+        spark,
+        [
+            (0, 10, 100.0, 2, {0: 3, 2: 5}),
+            (15000, 16, 160.0, 3, {0: 5, 2: 8}),
+        ],
+    )
+    out = query_instant(df, "histogram_avg(m)", 15000).collect()
+    assert len(out) == 1 and out[0]["value"] == 10.0  # 160/16
+
+
+def test_promql_hist_range_grid_rejected(spark):
+    from tsdb_parquet_spark.promql_expr import PromQLEngine
+
+    df = _series_df(spark, [(0, 10, 100.0, 2, {0: 3})])
+    eng = PromQLEngine(df)
+    with pytest.raises(ValueError, match="instant-only"):
+        eng.eval_range("rate(m[30s])", 0, 30000, 15000)
+
+
+def test_promql_hist_unsupported_range_fn(spark):
+    from tsdb_parquet_spark.promql_expr import query_instant
+
+    df = _series_df(spark, [(0, 10, 100.0, 2, {0: 3})])
+    with pytest.raises(ValueError, match="rate/increase only"):
+        query_instant(df, "avg_over_time(m[30s])", 15000)

@@ -543,7 +543,42 @@ def gopher_rules(
     Output: per-doc metrics, one boolean per rule, and ``keep`` (the
     conjunction).  Thresholds parameterize so corpora with different
     length profiles (or a test fixture) can move the cut lines.
+
+    Factored (r14 — verdict r13 #3) into :func:`gopher_metrics` (the
+    expensive text pass, THRESHOLD-INDEPENDENT integer counters) +
+    :func:`gopher_rules_from_metrics` (ratios/flags, cheap scalar
+    arithmetic) so the metrics can be persisted at rest (q114_mv) and
+    thresholds re-tuned over the O(docs) metrics table without
+    re-reading the corpus.
     """
+    return gopher_rules_from_metrics(
+        gopher_metrics(df, id_col=id_col, text_col=text_col),
+        id_col=id_col,
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        max_bullet_line_frac=max_bullet_line_frac,
+        max_ellipsis_line_frac=max_ellipsis_line_frac,
+        min_alpha_word_frac=min_alpha_word_frac,
+        min_stopwords=min_stopwords,
+    )
+
+
+def gopher_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The expensive half of :func:`gopher_rules`: one pass over the
+    raw text producing the per-doc INTEGER counters every rule derives
+    from — ``(id, n_words, sum_word_len, n_symbols, n_lines,
+    n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stopwords)``.
+    Threshold-independent and exact, so it is the natural at-rest
+    materialization unit (q114_mv persists it under the corpus content
+    fingerprint): re-tuning cut lines re-reads this docs-sized table,
+    never the corpus text."""
     c = F.col(text_col)
     # repartition the raw text by id before the rule battery (the q136
     # r13 lesson): a compact parquet corpus can have fewer row groups
@@ -592,6 +627,27 @@ def gopher_rules(
             )
         ).alias("_sw"),
     )
+    return s2
+
+
+def gopher_rules_from_metrics(
+    metrics: DataFrame,
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The cheap half of :func:`gopher_rules`: ratios + rule flags +
+    ``keep`` from the integer counters — identical expressions whether
+    the metrics come fresh from :func:`gopher_metrics` or from the
+    persisted q114_mv table, so both paths hash-match the same
+    oracle."""
     # stage 3: ratios + flags from cheap scalar references
     n_words = F.col("_nw")
     mean_wlen = F.when(n_words > 0, F.col("_swl").cast("double") / n_words)
@@ -621,7 +677,7 @@ def gopher_rules(
     keep = None
     for flag in rules.values():
         keep = flag if keep is None else keep & flag
-    return s2.select(
+    return metrics.select(
         F.col(id_col),
         n_words.cast("bigint").alias("n_words"),
         F.round(mean_wlen, 4).alias("mean_word_len"),

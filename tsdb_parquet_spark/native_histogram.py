@@ -168,6 +168,195 @@ def native_histogram_from_values(
     )
 
 
+_EMPTY_BUCKETS = "CAST(array() AS array<struct<k: int, c: bigint>>)"
+
+# The non-label payload columns of a histogram-valued row/vector.
+HIST_COLS = ("count", "sum", "zero_count", "schema", "buckets")
+
+
+def native_histogram_increase(
+    df: DataFrame,
+    labels: list[str],
+    time_col: str = "time",
+    pin: bool = True,
+) -> DataFrame:
+    """Reset-aware ``increase()`` over a native-histogram SERIES — the
+    temporal half of the native-histogram surface (verdict r13 #1): per
+    label set, sum per-bucket deltas across adjacent samples, detecting
+    Prometheus counter resets at WHOLE-SAMPLE granularity (a reset
+    restarts every counter in the histogram at once: total ``count``
+    or ``zero_count`` decreasing, or ANY bucket's cumulative count
+    decreasing — including a bucket present before and absent after).
+    On a reset pair the previous sample's baseline is 0 (the
+    ``counter_rate`` restart convention, ``timeseries.py:313``); the
+    ``sum`` counter follows the same detection (it is NOT itself a
+    reset signal — legitimate negative observations can lower it).
+
+    Input rows: ``(labels..., time, count, sum, zero_count, schema,
+    buckets)`` with cumulative counters, the storage schema
+    :func:`native_histogram_from_values` emits per sample.  The caller
+    applies the range-window time filter first.  Output: one row per
+    label set with >= 2 samples — ``(labels..., count, sum,
+    zero_count, schema, buckets, span_s)`` where every value is the
+    exact integer increase over the window (``sum`` exact when
+    observations are integral) and ``buckets`` keeps only k with a
+    non-zero increase.
+
+    Plan: ONE exchange total.  The pinned labels repartition feeds the
+    per-series lag window; per-pair delta arrays are built by JVM
+    higher-order functions (map lookups over the sparse arrays — no
+    explode, no Python); the groupBy on the same label keys reuses the
+    window's partitioning (zero further exchanges) and merges the
+    per-pair delta arrays with a sorted fold.  Per-series state is one
+    range-window of samples — the same bound Prometheus holds.
+    """
+    from pyspark.sql import Window
+
+    from .operators.partitioning import pin_partitioning
+
+    if pin:
+        df = pin_partitioning(df, labels)
+    w = Window.partitionBy(*labels).orderBy(time_col)
+    d = (
+        df.withColumn("_pc", F.lag("count").over(w))
+        .withColumn("_pz", F.lag("zero_count").over(w))
+        .withColumn("_ps", F.lag("sum").over(w))
+        .withColumn("_pb", F.lag("buckets").over(w))
+        .withColumn("_cm", F.map_from_entries("buckets"))
+        .withColumn(
+            "_pm",
+            F.map_from_entries(F.coalesce("_pb", F.expr(_EMPTY_BUCKETS))),
+        )
+    )
+    reset = F.col("_pc").isNotNull() & (
+        (F.col("count") < F.col("_pc"))
+        | (F.col("zero_count") < F.col("_pz"))
+        | F.exists(
+            "_pb",
+            lambda b: F.coalesce(F.element_at(F.col("_cm"), b["k"]), F.lit(0))
+            < b["c"],
+        )
+    )
+    d = d.withColumn("_reset", reset)
+
+    def _delta(cur, prev):
+        return (
+            F.when(F.col("_pc").isNull(), F.lit(None))
+            .when(F.col("_reset"), cur)
+            .otherwise(cur - prev)
+        )
+
+    keys = F.array_sort(
+        F.array_union(
+            F.transform("buckets", lambda b: b["k"]),
+            F.transform(
+                F.coalesce("_pb", F.expr(_EMPTY_BUCKETS)), lambda b: b["k"]
+            ),
+        )
+    )
+    delta_buckets = F.when(
+        F.col("_pc").isNull(), F.expr(_EMPTY_BUCKETS)
+    ).otherwise(
+        F.transform(
+            keys,
+            lambda k: F.struct(
+                k.alias("k"),
+                (
+                    F.coalesce(F.element_at(F.col("_cm"), k), F.lit(0))
+                    - F.when(F.col("_reset"), F.lit(0)).otherwise(
+                        F.coalesce(F.element_at(F.col("_pm"), k), F.lit(0))
+                    )
+                ).alias("c"),
+            ),
+        )
+    )
+    d = (
+        d.withColumn("_dc", _delta(F.col("count"), F.col("_pc")))
+        .withColumn("_dz", _delta(F.col("zero_count"), F.col("_pz")))
+        .withColumn("_ds", _delta(F.col("sum"), F.col("_ps")))
+        .withColumn("_db", delta_buckets)
+    )
+    agg = d.groupBy(*labels).agg(
+        F.sum("_dc").alias("count"),
+        F.sum("_ds").alias("sum"),
+        F.sum("_dz").alias("zero_count"),
+        F.first("schema").alias("schema"),
+        ((F.max(time_col) - F.min(time_col)).cast("double") / 1000.0).alias(
+            "span_s"
+        ),
+        F.flatten(F.collect_list("_db")).alias("_all"),
+    )
+    # collect_list order is nondeterministic, but array_sort makes the
+    # multiset canonical before the fold, and integer sums commute —
+    # the merged array is deterministic.
+    merged = F.expr(
+        """
+        filter(
+          aggregate(
+            array_sort(_all),
+            CAST(array() AS array<struct<k: int, c: bigint>>),
+            (acc, x) -> CASE
+              WHEN size(acc) > 0 AND element_at(acc, -1).k = x.k
+              THEN concat(slice(acc, 1, size(acc) - 1),
+                          array(struct(x.k AS k,
+                                       element_at(acc, -1).c + x.c AS c)))
+              ELSE concat(acc, array(x)) END),
+          b -> b.c <> 0)
+        """
+    )
+    return (
+        agg.filter(F.col("count").isNotNull())  # >= 2 samples
+        .withColumn("buckets", merged)
+        .select(*labels, *HIST_COLS, "span_s")
+    )
+
+
+def native_histogram_rate(
+    df: DataFrame,
+    labels: list[str],
+    time_col: str = "time",
+    pin: bool = True,
+) -> DataFrame:
+    """``rate()`` over a native-histogram series: the increase divided
+    by the window span (the ``counter_rate`` convention — span is
+    last-minus-first sample time, no boundary extrapolation).  Every
+    payload turns double: ``count``/``zero_count``/``sum`` and each
+    bucket's ``c``.  The quantile walk is scale-invariant, so
+    ``histogram_quantile(q, rate(m[w]))`` == the quantile of the
+    increase — but accessors (``histogram_count``/``_sum``) genuinely
+    differ, hence both entry points."""
+    inc = native_histogram_increase(df, labels, time_col=time_col, pin=pin)
+    s = F.col("span_s")
+    return inc.filter(s > 0).select(
+        *labels,
+        (F.col("count").cast("double") / s).alias("count"),
+        (F.col("sum") / s).alias("sum"),
+        (F.col("zero_count").cast("double") / s).alias("zero_count"),
+        "schema",
+        F.transform(
+            "buckets",
+            lambda b: F.struct(
+                b["k"].alias("k"), (b["c"].cast("double") / s).alias("c")
+            ),
+        ).alias("buckets"),
+        "span_s",
+    )
+
+
+def histogram_accessors(hist_df: DataFrame, labels: list[str]) -> DataFrame:
+    """The Prometheus accessor trio over a histogram-valued vector
+    (``histogram_count`` / ``histogram_sum`` / ``histogram_avg``):
+    ``(labels..., h_count, h_sum, h_avg)`` with ``h_avg = sum/count``.
+    Works over raw samples, increases, or rates alike — pure column
+    arithmetic, no shuffle."""
+    return hist_df.select(
+        *labels,
+        F.col("count").cast("double").alias("h_count"),
+        F.col("sum").cast("double").alias("h_sum"),
+        (F.col("sum") / F.col("count")).cast("double").alias("h_avg"),
+    )
+
+
 def native_histogram_fraction(
     hist_df: DataFrame,
     upper: float,

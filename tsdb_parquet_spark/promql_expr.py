@@ -458,6 +458,14 @@ class HistogramQuantile(Node):
 
 
 @dataclass
+class HistAccessor(Node):
+    """histogram_count / histogram_sum / histogram_avg over a
+    NATIVE-histogram-valued vector (r14 — the accessor trio)."""
+    fn: str
+    arg: Node
+
+
+@dataclass
 class Absent(Node):
     arg: Node
 
@@ -709,6 +717,13 @@ class _Parser:
                 return self.param_agg()
             if val == "histogram_quantile" and called:
                 return self.histogram_quantile()
+            if val in ("histogram_count", "histogram_sum",
+                       "histogram_avg") and called:
+                self.eat(val)
+                self.eat("(")
+                arg = self.expr()
+                self.eat(")")
+                return HistAccessor(val, arg)
             if val in ("absent", "sort", "sort_desc", "scalar", "vector") and called:
                 return self.simple_call(val)
             if val in ("sort_by_label", "sort_by_label_desc") and called:
@@ -1072,6 +1087,24 @@ class PromQLEngine:
             base = self._at(node.at_ms, at, at)
             at_eff = (base if base is not None else at) - node.offset_ms
             sel = apply_matchers(self.df, node.matchers)
+            if "buckets" in sel.columns:
+                # native-histogram instant vector: latest SAMPLE (all
+                # payload columns together, max_by time) per series
+                # within the staleness window — the float
+                # instant_vector generalized to the histogram payload
+                from .native_histogram import HIST_COLS
+
+                labels = label_columns(sel)
+                w = sel.filter(
+                    (F.col(TIME_COL) <= at_eff)
+                    & (F.col(TIME_COL) > at_eff - self.staleness_ms)
+                )
+                return w.groupBy(*labels).agg(
+                    *[
+                        F.max_by(c, F.col(TIME_COL)).alias(c)
+                        for c in HIST_COLS
+                    ]
+                )
             iv = promql.instant_vector(
                 sel, at_eff, staleness_ms=self.staleness_ms
             ).drop("sample_time")
@@ -1093,6 +1126,28 @@ class PromQLEngine:
                     .filter(F.col("_n") == 0)
                     .select(F.lit(1.0).alias(VALUE_COL))
                 )
+            if "buckets" in w.columns:
+                # native-histogram range function: reset-aware
+                # per-bucket increase/rate — the result is a
+                # HISTOGRAM-valued vector (count/sum/zero_count/
+                # schema/buckets instead of value), consumed by
+                # histogram_quantile or the accessor trio
+                from .native_histogram import (
+                    native_histogram_increase,
+                    native_histogram_rate,
+                )
+
+                if node.fn not in ("rate", "increase"):
+                    raise ValueError(
+                        f"{node.fn} over a native-histogram selector is "
+                        "not supported (rate/increase only)"
+                    )
+                hfn = (
+                    native_histogram_rate
+                    if node.fn == "rate"
+                    else native_histogram_increase
+                )
+                return hfn(w, label_columns(w)).drop("span_s")
             labels = label_columns(w)
             return self._range_fn_agg(node.fn, node.param, w, labels, [],
                                       eval_ts=F.lit(at_eff))
@@ -1181,12 +1236,40 @@ class PromQLEngine:
             from .promql import histogram_quantile
 
             arg = self._inst(node.arg, at)
+            if isinstance(arg, DataFrame) and "buckets" in arg.columns:
+                # native-histogram quantile: the sparse-bucket walk
+                # over the histogram-valued vector (rate/increase
+                # output or an instant histogram selector)
+                from .native_histogram import (
+                    HIST_COLS,
+                    native_histogram_quantile,
+                )
+
+                labels = [c for c in arg.columns if c not in HIST_COLS]
+                return native_histogram_quantile(arg, node.q, labels)
             if "label_le" not in arg.columns:
                 raise ValueError("histogram_quantile needs a label_le column")
             labels = [c for c in arg.columns if c not in (VALUE_COL, "label_le")]
             return histogram_quantile(arg, node.q, labels, time_col=None).withColumnRenamed(
                 "quantile", VALUE_COL
             )
+        if isinstance(node, HistAccessor):
+            from .native_histogram import HIST_COLS
+
+            arg = self._inst(node.arg, at)
+            if not isinstance(arg, DataFrame) or "buckets" not in arg.columns:
+                raise ValueError(
+                    f"{node.fn} needs a native-histogram-valued vector"
+                )
+            labels = [c for c in arg.columns if c not in HIST_COLS]
+            col = {
+                "histogram_count": F.col("count").cast("double"),
+                "histogram_sum": F.col("sum").cast("double"),
+                "histogram_avg": (F.col("sum") / F.col("count")).cast(
+                    "double"
+                ),
+            }[node.fn]
+            return arg.select(*labels, col.alias(VALUE_COL))
         if isinstance(node, LabelFn):
             return self._label_fn(node, self._inst(node.arg, at))
         if isinstance(node, BinOp):
@@ -1248,6 +1331,11 @@ class PromQLEngine:
             return self._shift_steps(out, off)
         if isinstance(node, RangeFn):
             sel = apply_matchers(self.df, node.arg.matchers)
+            if "buckets" in sel.columns:
+                raise ValueError(
+                    "native-histogram expressions are instant-only "
+                    "(use eval_instant/query_instant)"
+                )
             labels = label_columns(sel)
             off = node.arg.offset_ms
             if node.fn == "absent_over_time":
