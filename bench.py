@@ -134,6 +134,14 @@ def main() -> None:
         # served from the at-rest band index)
         "q167_batch_cosine_topk", "q167b_batch_topk_np",
         "q171_curation_pipeline", "q172_curation_with_neardup",
+        # r14: the q114 at-rest twin (per-doc gopher METRICS persisted
+        # under the corpus fingerprint — the largest un-twinned LLM
+        # cost closed) and the AUTO-ROUTED family entries: the engine
+        # resolves mv → bucketed → raw read-only per query
+        # (sources.route_at_rest); the rung each was served from lands
+        # in the output JSON under "routes"
+        "q114_mv",
+        "q09_auto", "q16_auto", "q104_auto", "q129_auto", "q152_auto",
     ]
     # optional subset (comma-separated names): the sf100 curve extension
     # runs only the cheapest queries — disk/time bound, SCALE.md §5l
@@ -325,6 +333,12 @@ def main() -> None:
         "spark_init_sec": round(spark_init, 3),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
     }
+    # which at-rest rung served each auto-routed family entry this run
+    # (mv / bucketed / sv / raw — sources.route_at_rest's choice log)
+    from tsdb_parquet_spark.sources import ROUTE_LOG
+
+    if ROUTE_LOG:
+        out["routes"] = dict(sorted(ROUTE_LOG.items()))
 
     # surface the measured scale-ratio curve (BENCH_SCALING.json, round 4)
     # in every bench artifact: the sf0.1 serial ratio alone is the per-job

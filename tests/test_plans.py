@@ -622,3 +622,112 @@ def test_q155_nullsafe_matching_plans_hash_join(entry, spark):
     assert "Join" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# r14: layout auto-routing (sources.route_at_rest / peek_*)
+# ---------------------------------------------------------------------------
+
+
+def test_route_at_rest_resolution_order(spark, tmp_path):
+    """route_at_rest picks the first available rung and logs the
+    choice; peek_table never builds (a miss is a stat call)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.sources import (
+        ROUTE_LOG,
+        ensure_materialized,
+        peek_table,
+        route_at_rest,
+    )
+
+    src = str(tmp_path / "src.parquet")
+    spark.range(10).withColumn("v", F.col("id") * 2).write.parquet(src)
+
+    # miss: nothing materialized under this name
+    assert peek_table(spark, "routetest_mv", source_paths=src) is None
+    out = route_at_rest(
+        "routetest",
+        [
+            ("mv", lambda: peek_table(spark, "routetest_mv",
+                                      source_paths=src)),
+            ("raw", lambda: spark.read.parquet(src)),
+        ],
+    )
+    assert ROUTE_LOG["routetest"] == "raw" and out.count() == 10
+
+    # build the mv rung; the SAME route now resolves to it read-only
+    ensure_materialized(
+        spark, "routetest_mv",
+        lambda: spark.read.parquet(src).groupBy().count(),
+        source_paths=src,
+    )
+    out2 = route_at_rest(
+        "routetest",
+        [
+            ("mv", lambda: peek_table(spark, "routetest_mv",
+                                      source_paths=src)),
+            ("raw", lambda: spark.read.parquet(src)),
+        ],
+    )
+    assert ROUTE_LOG["routetest"] == "mv" and out2.count() == 1
+
+    # fingerprint staleness: rewriting the source invalidates the peek
+    # (touch a data file — dot/underscore markers are fingerprint-exempt)
+    part = [p for p in __import__("pathlib").Path(src).rglob("part-*")
+            if p.is_file() and not p.name.startswith((".", "_"))][0]
+    os.utime(part)
+    assert peek_table(spark, "routetest_mv", source_paths=src) is None
+
+
+def test_peek_bucketed_reregisters_from_disk(spark, tmp_path):
+    """peek_bucketed_table re-registers committed bucket files through
+    DDL (a plain parquet read would lose co-location) and the result
+    keeps the bucket metadata.  Simulates a session restart (catalog
+    forgets, files persist) by copying the committed files to a fresh
+    warehouse name — DROP TABLE would DELETE a managed table's files,
+    which is exactly the scenario peek exists to avoid needing."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.sources import (
+        _warehouse_dir,
+        ensure_bucketed_table,
+        peek_bucketed_table,
+        source_fingerprint,
+    )
+
+    src = str(tmp_path / "bsrc.parquet")
+    spark.range(100).withColumn("k", F.col("id") % 7).write.parquet(src)
+    ensure_bucketed_table(
+        spark, "routetest_bkt",
+        lambda: spark.read.parquet(src),
+        "k", num_buckets=4, sort_col="k", source_paths=src,
+    )
+    fp = source_fingerprint(src)
+    wh = _warehouse_dir(spark)
+    shutil.copytree(
+        os.path.join(wh, f"routetest_bkt_b4_{fp}"),
+        os.path.join(wh, f"routetest2_bkt_b4_{fp}"),
+    )
+    # catalog miss + committed files on disk -> DDL re-registration
+    got = peek_bucketed_table(
+        spark, "routetest2_bkt", "k", num_buckets=4, sort_col="k",
+        source_paths=src,
+    )
+    assert got is not None and got.count() == 100
+    desc = spark.sql(
+        f"DESCRIBE FORMATTED `routetest2_bkt_b4_{fp}`"
+    ).collect()
+    info = {r["col_name"]: r["data_type"] for r in desc}
+    assert info.get("Num Buckets") == "4"
+    # bucket metadata survived: a groupBy on the bucket key plans with
+    # NO shuffle exchange (the bucketed scan satisfies the distribution)
+    plan = (
+        got.groupBy("k").count()._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning(k" not in plan

@@ -292,6 +292,119 @@ def ensure_table(
     return spark.table(table_name)
 
 
+def _warehouse_dir(spark: SparkSession) -> str:
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for pre in ("file://", "file:"):
+        if wh.startswith(pre):
+            wh = wh[len(pre):]
+            break
+    return wh
+
+
+def peek_table(
+    spark: SparkSession,
+    table_name: str,
+    source_paths: str | list[str] | None = None,
+) -> DataFrame | None:
+    """READ-ONLY resolution of an :func:`ensure_table` /
+    :func:`ensure_materialized` layout: return the committed,
+    fingerprint-FRESH table if one exists (catalog, else
+    ``_SUCCESS``-committed warehouse files), else ``None`` — never
+    build, never drop.  The probe half of layout auto-routing
+    (:func:`route_at_rest`): a router must be able to ask "is the mv
+    rung available?" without paying the mv's build cost on a miss
+    (``ensure_*`` would build), and without perturbing warehouse state
+    from a read path."""
+    import os
+
+    if source_paths is not None:
+        table_name = f"{table_name}_{source_fingerprint(source_paths)}"
+    if spark.catalog.tableExists(table_name):
+        return spark.table(table_name)
+    loc = os.path.join(_warehouse_dir(spark), table_name)
+    if os.path.exists(os.path.join(loc, "_SUCCESS")):
+        # plain parquet read — serve-equivalent to the registered table
+        return spark.read.parquet(loc)
+    return None
+
+
+def peek_bucketed_table(
+    spark: SparkSession,
+    table_name: str,
+    bucket_col: str | list[str],
+    num_buckets: int = 16,
+    sort_col: str | list[str] | None = None,
+    source_paths: str | list[str] | None = None,
+) -> DataFrame | None:
+    """READ-ONLY resolution of an :func:`ensure_bucketed_table` layout:
+    the committed fingerprint-fresh bucketed table or ``None`` — never
+    build.  Unlike :func:`peek_table`, committed-on-disk files MUST be
+    re-registered through DDL (bucket ids live in file names; a plain
+    parquet read would lose the co-location the rung exists for); the
+    schema comes from the committed files themselves, so no build thunk
+    is needed."""
+    import os
+
+    if source_paths is not None:
+        table_name = (
+            f"{table_name}_b{num_buckets}_{source_fingerprint(source_paths)}"
+        )
+    if spark.catalog.tableExists(table_name):
+        return spark.table(table_name)
+    loc = os.path.join(_warehouse_dir(spark), table_name)
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        return None
+    schema = spark.read.parquet(loc).schema
+    schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    bcols = _as_cols(bucket_col)
+    scols = _as_cols(sort_col)
+    sort = (
+        "SORTED BY (" + ", ".join(f"`{c}`" for c in scols) + ") "
+        if scols
+        else ""
+    )
+    clustered = ", ".join(f"`{c}`" for c in bcols)
+    spark.sql(
+        f"CREATE TABLE `{table_name}` ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({clustered}) {sort}INTO {num_buckets} BUCKETS "
+        f"LOCATION '{loc}'"
+    )
+    return spark.table(table_name)
+
+
+# family -> rung chosen by the last route_at_rest resolution this
+# process ("mv" / "bucketed" / "raw" / ...).  bench.py surfaces it in
+# the output JSON so BENCH records WHICH rung served each routed query.
+ROUTE_LOG: dict[str, str] = {}
+
+
+def route_at_rest(family: str, rungs) -> DataFrame:
+    """Layout AUTO-ROUTING (verdict r13 #4 — the q09 size-gate
+    generalized): resolve a query family to the best available at-rest
+    rung.  ``rungs`` is an ordered list of ``(rung_name, thunk)`` where
+    each thunk returns a DataFrame (rung available — e.g. a
+    :func:`peek_table` hit fed into the rung's serve body) or ``None``
+    (rung not materialized / stale).  First hit wins; the choice lands
+    in :data:`ROUTE_LOG` under ``family``.
+
+    This makes the amortization ladder a PROPERTY OF THE ENGINE: a
+    caller asks for the query; whether it is served from a
+    materialized aggregate (fingerprint-fresh), a bucketed co-located
+    layout, or the raw parquet is the engine's cost-based choice —
+    exactly the resolution a catalog-backed lakehouse performs when a
+    materialized view matches a query subtree.  All rungs share one
+    oracle (identical results by construction), so routing can never
+    change answers, only plans."""
+    for rung, thunk in rungs:
+        df = thunk()
+        if df is not None:
+            ROUTE_LOG[family] = rung
+            return df
+    raise ValueError(f"route_at_rest({family}): no rung resolved")
+
+
 def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
     """ORC source — Spark's other native columnar format (vectorized
     reader, predicate pushdown, column pruning all built in, same as
