@@ -40,16 +40,43 @@ def drain_available_now(query, timeout: float = 120.0, poll: float = 0.2) -> Non
     stays true until the last planned batch commits); two consecutive
     confirmations dodge the planning-tick race between micro-batches.
     Self-terminating queries (no timeouts) exit via ``isActive`` first.
+
+    Drain detection (r14 fix): the primary condition is per-source
+    OFFSET EQUALITY — availableNow pins each source's ``latestOffset``
+    at start, so the replay is drained exactly when every source's
+    committed ``endOffset`` equals it.  The previous condition (two
+    consecutive ``isDataAvailable == false`` polls) raced the
+    inter-batch planning gap: under CPU contention both 0.2 s polls can
+    land between micro-batches while files remain, stopping the query
+    mid-replay (q160 flaked "expected >=4 micro-batches, got 2" only
+    when another Spark session loaded the box).  The status flag stays
+    as a FALLBACK for sources whose progress carries no latestOffset,
+    with a longer confirmation run to shrink the race window.
     """
     import time as _time
+
+    def _offsets_drained(progress) -> bool:
+        try:
+            sources = progress["sources"]
+        except Exception:  # noqa: BLE001 — malformed progress: fall back
+            return False
+        if not sources:
+            return False
+        for s in sources:
+            end, latest = s.get("endOffset"), s.get("latestOffset")
+            if end is None or latest is None or end != latest:
+                return False
+        return True
 
     deadline = _time.time() + timeout
     confirmed = 0
     while _time.time() < deadline and query.isActive:
-        status = query.status
-        if query.lastProgress is not None and not status["isDataAvailable"]:
+        lp = query.lastProgress
+        if lp is not None and _offsets_drained(lp):
+            break
+        if lp is not None and not query.status["isDataAvailable"]:
             confirmed += 1
-            if confirmed >= 2:
+            if confirmed >= 10:  # fallback path only (no latestOffset)
                 break
         else:
             confirmed = 0
