@@ -603,14 +603,16 @@ def test_q171_pipeline_linear_shape(entry, spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "pythonUDF" not in plan and "ArrowEval" not in plan, plan
-    # TWO fingerprint exchanges: decontaminate's n-hits join-back
-    # references the dedup+quality subtree on both sides and the lazy
-    # plan recomputes it (a production pipeline materializes between
-    # stages — q171's docstring says so); the guard pins it from
-    # silently growing further
+    # r14: the dedup+quality stage is localCheckpoint-materialized
+    # in-query, so decontaminate's n-hits join-back consumes the
+    # checkpointed stage (ExistingRDD scans) instead of recomputing
+    # the fingerprint-aggregate subtree — ZERO fingerprint exchanges
+    # remain in the downstream plan (the one real exchange lives
+    # inside the checkpointed lineage, evaluated exactly once)
     fp_exchanges = [ln for ln in plan.split("\n")
                     if "Exchange hashpartitioning(fingerprint" in ln]
-    assert len(fp_exchanges) == 2, plan
+    assert len(fp_exchanges) == 0, plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
 
 
 def test_q155_nullsafe_matching_plans_hash_join(entry, spark):

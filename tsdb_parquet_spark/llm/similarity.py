@@ -652,3 +652,71 @@ def centroid_drift(
         F.round(dot / (ns * ng), 6).alias("cos_to_global"),
         F.round(ns, 6).alias("centroid_norm"),
     )
+
+
+def ann_recall_gate(
+    df: DataFrame,
+    probe_ids: Sequence[int],
+    k: int = 5,
+    lsh_floor: float = 0.25,
+    ivf_floor: float = 0.45,
+    num_planes: int = 6,
+    num_centroids: int = 8,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Measured RECALL CONTRACT for the approximate similarity paths
+    (r14 — verdict r13 #10): recall@k of :func:`lsh_bucketed_ann` and
+    :func:`ivf_topk` against the exact brute-force baseline
+    (:func:`cosine_topk_exact`) over a FIXED probe set with FIXED
+    seeds, reduced to a floor check — one row per method,
+    ``(method, k, param, floor, floor_met)``.
+
+    This turns "approximate by declared class" into a gated scalar:
+    the ANN entries themselves stay rows-only (their output is
+    legitimately engine-specific), but the driver hash on this gate
+    fails the round if either method's recall ever drops below its
+    floor — a recall regression is now a correctness failure, not a
+    silent quality drift.  Floors sit ~40% under the measured fixture
+    recall (LSH 0.35, IVF 0.65 at sf0.01, 4 probes) so seed-stable
+    jitter cannot flake the gate while a real regression (broken
+    bucketing, degenerate centroids) trips it.
+
+    Driver-side loop over ``len(probe_ids) x 2`` bounded jobs — |Q| is
+    a fixed probe set (the q167 convention), never a corpus fraction.
+    """
+    rows = []
+    spark = df.sparkSession
+    for method, floor, param in (
+        ("lsh", lsh_floor, num_planes),
+        ("ivf", ivf_floor, nprobe),
+    ):
+        recalls = []
+        for pid in probe_ids:
+            qvec = (
+                df.filter(F.col(id_col) == pid).select(emb_col).first()[0]
+            )
+            exact = {
+                r[0] for r in cosine_topk_exact(
+                    df, qvec, k=k, id_col=id_col, emb_col=emb_col
+                ).collect()
+            }
+            if method == "lsh":
+                ap = lsh_bucketed_ann(
+                    df, qvec, k=k, id_col=id_col, emb_col=emb_col,
+                    num_planes=num_planes,
+                )
+            else:
+                ap = ivf_topk(
+                    df, qvec, k=k, id_col=id_col, emb_col=emb_col,
+                    num_centroids=num_centroids, nprobe=nprobe,
+                )
+            got = {r[0] for r in ap.collect()}
+            recalls.append(len(got & exact) / float(k))
+        mean_recall = sum(recalls) / len(recalls)
+        rows.append((method, k, param, floor, bool(mean_recall >= floor)))
+    return spark.createDataFrame(
+        rows,
+        "method string, k int, param int, floor double, floor_met boolean",
+    )
