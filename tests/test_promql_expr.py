@@ -1130,9 +1130,10 @@ def test_info_enrichment_and_default(spark):
     # default selector: no *_info metric in the fixture -> same rows
     base = query_instant(tsdb, "go_goroutines", em.T1).count()
     assert query_instant(tsdb, "info(go_goroutines)", em.T1).count() == base
-    # conflict enforcement (advice r12): a broad info selector matching
-    # MULTIPLE series per identifying-label set raises like Prometheus,
-    # instead of silently fanning out result rows
+    # conflict enforcement (advice r12, Prometheus parity r14): a broad
+    # info selector whose matched series DISAGREE on a data label's
+    # value (here: handler varies across the matched series) raises
+    # like Prometheus, instead of silently fanning out result rows
     with pytest.raises(Exception, match="multiple info series"):
         query_instant(
             tsdb,
@@ -1140,6 +1141,34 @@ def test_info_enrichment_and_default(spark):
             '{name="prometheus_http_requests_total",code="200"})',
             em.T1,
         ).collect()
+
+
+def test_info_disjoint_donors_merge(spark):
+    """Prometheus parity (advice r13): TWO info series sharing an
+    identifying-label set but donating DISJOINT data labels merge
+    instead of erroring — only a conflicting value for the SAME data
+    label raises."""
+    rows = [
+        # (time, value, name, instance, job, version, env)
+        (1000, 1.0, "build_info", "a:1", "j", "9.9", None),
+        (1000, 1.0, "target_info", "a:1", "j", None, "prod"),
+        (1000, 5.0, "up", "a:1", "j", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "time long, value double, label_name string, "
+        "label_instance string, label_job string, "
+        "label_version string, label_env string",
+    )
+    out = query_instant(df, "info(up)", 1000).collect()
+    assert len(out) == 1
+    assert out[0]["label_version"] == "9.9"
+    assert out[0]["label_env"] == "prod"
+    # same data label, different values -> Prometheus conflict error
+    rows2 = rows + [(1000, 1.0, "other_info", "a:1", "j", "8.8", None)]
+    df2 = spark.createDataFrame(rows2, df.schema)
+    with pytest.raises(Exception, match="conflicting data-label"):
+        query_instant(df2, "info(up)", 1000).collect()
 
 
 def test_info_default_selector_on_info_fixture(spark):

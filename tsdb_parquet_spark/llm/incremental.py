@@ -169,9 +169,24 @@ def ensure_band_index(
     (``sources.ensure_bucketed_table``: fingerprint-named staleness,
     catalog/DDL/write resolution).  Signature + banding are one map
     stage (dedup.minhash_signatures); the ONE write-time shuffle
-    amortizes over every increment."""
-    from ..sources import ensure_bucketed_table
+    amortizes over every increment.
+
+    MIGRATION (advice r13): r13 folded the hash-family params into the
+    table name (band_index_name suffix), which orphaned indexes
+    materialized under the pre-r13 unsuffixed ``{name}_bandidx``
+    scheme — they would silently rebuild under the new name while the
+    old tables lingered in the warehouse.  Building now VACUUMS the
+    legacy-named family first (same catalog-and-dir sweep as the
+    fingerprint staleness cleanup)."""
+    from ..sources import _drop_stale_siblings, ensure_bucketed_table
     from .dedup import minhash_signatures
+
+    # drop pre-r13 unsuffixed '{name}_bandidx_*' tables/dirs: the param
+    # suffix never matches that pattern, so this touches ONLY legacy names
+    _drop_stale_siblings(
+        spark, f"{name}_bandidx",
+        keep=band_index_name(name, num_hashes, bands, shingle_n, seed),
+    )
 
     def _build():
         sig = minhash_signatures(
@@ -286,9 +301,16 @@ def ensure_band_index_portable(
     driver-hash-gated (q146c), not just pytest-pinned.  Same at-rest
     shape as the xxhash64 index: (id, band_key) bucketed + sorted on
     band_key, one write-time shuffle.  Defaults match q162 (32 hashes,
-    8 bands) so both portable rungs share one coefficient list."""
-    from ..sources import ensure_bucketed_table
+    8 bands) so both portable rungs share one coefficient list.
+    Vacuums pre-r13 unsuffixed legacy tables like
+    :func:`ensure_band_index` (advice r13 migration)."""
+    from ..sources import _drop_stale_siblings, ensure_bucketed_table
     from .dedup import minhash_signatures_portable
+
+    _drop_stale_siblings(
+        spark, f"{name}_bandidx",
+        keep=band_index_name(name, num_hashes, bands, shingle_n, seed),
+    )
 
     def _build():
         sig = minhash_signatures_portable(

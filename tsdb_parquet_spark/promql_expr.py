@@ -1551,15 +1551,17 @@ class PromQLEngine:
         conflicts; info's value is dropped.  One hash join; the info
         side is an already-reduced instant/range vector.
 
-        UNIQUENESS (advice r12): Prometheus's info() raises a conflict
-        error when the info selector matches >1 series per identifying-
-        label set — a broad selector must error loudly, not silently
-        multiply result rows.  Enforced with a per-identity window
-        count + assert_true inside a filter (the filter keeps Catalyst
-        from pruning the check away); the window runs on the small
-        info side only."""
-        from pyspark.sql import Window
-
+        CONFLICTS (advice r12, relaxed to Prometheus parity in r14 per
+        advice r13): multiple info series per identifying-label set are
+        FINE when they donate disjoint (or agreeing) data labels —
+        different ``*_info`` metrics commonly share a target — so the
+        info side reduces to ONE row per identity with each data label
+        the single distinct non-null donated value.  Only a genuine
+        conflict (two matched series disagreeing on the SAME data
+        label's value) raises, exactly Prometheus's conflict error.
+        Enforced with per-label distinct-sets + assert_true inside a
+        filter (the filter keeps Catalyst from pruning the check away);
+        the aggregate runs on the small info side only."""
         name_col = f"label_{self.metric_label}"
         ident = [
             c for c in ("label_instance", "label_job")
@@ -1572,20 +1574,36 @@ class PromQLEngine:
         info2 = info.select(
             *[F.col(c).alias(f"_i_{c}") for c in (*ident, *extra, *data)]
         )
-        idw = Window.partitionBy(*[f"_i_{c}" for c in (*ident, *extra)])
-        info2 = (
-            info2.withColumn("_i_cnt", F.count(F.lit(1)).over(idw))
-            .filter(
+        # one row per identity: collect_set per data label skips nulls,
+        # so absent-on-one-series labels merge instead of conflicting
+        info2 = info2.groupBy(
+            *[f"_i_{c}" for c in (*ident, *extra)]
+        ).agg(
+            *[F.collect_set(f"_i_{c}").alias(f"_s_{c}") for c in data]
+        )
+        guard = None
+        for c in data:
+            ok = F.size(f"_s_{c}") <= 1
+            guard = ok if guard is None else (guard & ok)
+        if guard is not None:
+            info2 = info2.filter(
                 F.assert_true(
-                    F.col("_i_cnt") == 1,
+                    guard,
                     F.lit(
-                        "info(): selector matched multiple info series "
-                        "for one identifying-label set "
-                        f"({[c[len('label_'):] for c in ident] or 'all'})"
+                        "info(): conflicting data-label values from "
+                        "multiple info series for one identifying-label "
+                        f"set ({[c[len('label_'):] for c in ident] or 'all'})"
                     ),
                 ).isNull()
             )
-            .drop("_i_cnt")
+        info2 = info2.select(
+            *[f"_i_{c}" for c in (*ident, *extra)],
+            *[
+                F.when(
+                    F.size(f"_s_{c}") > 0, F.element_at(f"_s_{c}", 1)
+                ).alias(f"_i_{c}")
+                for c in data
+            ],
         )
         cond = None
         for c in (*ident, *extra):
