@@ -123,6 +123,46 @@ def map_label_col(name: str) -> Column:
     return F.col("labels").getItem(name)
 
 
+def hybrid_label_col(df: DataFrame) -> Callable[[str], Column]:
+    """The map-predicate → wide-column REDIRECT (SURVEY.md §4 optional
+    extension 1), as an API-layer rewrite rather than a Catalyst rule.
+
+    Returns a label accessor bound to ``df``'s actual schema that resolves
+    each label name to the cheapest physical form available:
+
+    1. a materialized wide column ``label_<name>`` if one exists — a plain
+       string column, so equality/inequality matchers compiled against it
+       reach the Parquet scan as ``PushedFilters`` (row-group min/max +
+       dictionary skipping; plan-asserted in tests/test_hybrid_redirect.py);
+    2. else the canonical ``labels`` MAP entry — ``map`` element access is
+       never pushable in any engine (SURVEY.md §4 O1), so these evaluate
+       post-scan, exactly like the reference's regex matchers;
+    3. else a typed NULL — the label exists nowhere in this layout, which
+       under ``null_semantics="prometheus"`` coalesces to ``""`` (Prometheus
+       treats an absent label as the empty string) instead of failing
+       analysis the way a bare ``F.col`` reference would.
+
+    The redirect is what makes the HYBRID layout (hot labels materialized
+    wide for pushdown, long-tail labels folded into one map for schema
+    stability — ``timeseries.ensure_hybrid_label_layout``) transparent to
+    matcher queries: callers write ``labels['k'] = 'v'`` semantics once and
+    the accessor picks pushable columns wherever the layout provides them.
+    Resolution is driver-side against the cached schema — no data access.
+    """
+    columns = set(df.columns)
+    has_map = "labels" in columns
+
+    def col_fn(name: str) -> Column:
+        wide = f"label_{name}"
+        if wide in columns:
+            return F.col(wide)
+        if has_map:
+            return F.col("labels").getItem(name)
+        return F.lit(None).cast("string")
+
+    return col_fn
+
+
 def _anchor(pattern: str) -> str:
     return f"^(?:{pattern})$"
 

@@ -93,11 +93,12 @@ def select_series(
     out = df.filter(time_range(t0, t1))
     if matchers:
         out = apply_matchers(out, matchers, label_col, null_semantics, anchored)
-    labels = (
-        [f"{LABEL_PREFIX}{name}" for name in project_labels]
-        if project_labels is not None
-        else label_columns(df)
-    )
+    if project_labels is not None:
+        labels = [f"{LABEL_PREFIX}{name}" for name in project_labels]
+    else:
+        # full dynamic family: every wide label column, plus the canonical
+        # map on long/hybrid layouts (it IS the rest of the label set there)
+        labels = label_columns(df) + (["labels"] if "labels" in df.columns else [])
     return out.select(TIME_COL, VALUE_COL, *labels)
 
 
@@ -111,11 +112,25 @@ def query_selector(
     """One-call PromQL-selector query: ``query_selector(tsdb,
     'up{job="prometheus"}', t0, t1)`` — parse the selector
     (matchers.parse_selector), compile to pushdown-able predicates, and
-    run the scan→filter→project pipeline."""
-    from .matchers import parse_selector
+    run the scan→filter→project pipeline.
+
+    Layout-aware: matchers compile through ``matchers.hybrid_label_col``,
+    so each label resolves to its wide ``label_*`` column when the layout
+    materializes one (predicate reaches the Parquet scan) and to the
+    canonical ``labels`` map entry otherwise — the SURVEY §4 redirect.
+    On a pure-wide layout this is exactly the old behavior, except a
+    label absent from the schema now compiles to NULL (Prometheus
+    absent-label semantics under ``null_semantics="prometheus"``) instead
+    of failing analysis."""
+    from .matchers import hybrid_label_col, parse_selector
 
     return select_series(
-        df, parse_selector(selector), t0=t0, t1=t1, null_semantics=null_semantics
+        df,
+        parse_selector(selector),
+        t0=t0,
+        t1=t1,
+        label_col=hybrid_label_col(df),
+        null_semantics=null_semantics,
     )
 
 
@@ -730,6 +745,48 @@ def wide_from_long(df_long: DataFrame, names: list[str] | None = None) -> DataFr
         F.col("labels").getItem(n).alias(f"{LABEL_PREFIX}{n}") for n in names
     ]
     return df_long.select(TIME_COL, VALUE_COL, *cols)
+
+
+def ensure_hybrid_label_layout(
+    spark: SparkSession,
+    df_wide: DataFrame,
+    hot: list[str],
+    table_name: str,
+    source_paths: str | list[str] | None = None,
+) -> DataFrame:
+    """Materialize the HYBRID label layout at rest: ``hot`` labels stay
+    plain wide ``label_*`` string columns (pushable — Parquet row-group
+    min/max + dictionary skipping), every other label folds into one
+    canonical ``labels MAP<STRING,STRING>`` column (schema-stable: new
+    long-tail label names land as map keys, not schema evolution).
+
+    This is the layout the redirect (``matchers.hybrid_label_col``,
+    SURVEY.md §4 optional extension 1) exists for — the production
+    trade-off at 100 TB, where the handful of high-selectivity labels a
+    fleet actually filters on (name/job/instance-class) earn pushdown
+    columns while an unbounded user-label tail stays one map column
+    instead of tens of thousands of mostly-NULL wide columns.
+
+    Idempotent across sessions via :func:`sources.ensure_table` — the
+    table name embeds the source fingerprint, so regenerated fixtures
+    rebuild instead of serving stale rows.  NULL/empty cold labels are
+    absent from the map (Prometheus absent-label semantics, same contract
+    as :func:`long_from_wide`, hello.go:339-349).
+    """
+    from . import sources
+
+    hot_cols = [f"{LABEL_PREFIX}{h}" for h in hot]
+    cold = [c for c in label_columns(df_wide) if c not in set(hot_cols)]
+
+    def build() -> DataFrame:
+        keys = F.array(*[F.lit(c[len(LABEL_PREFIX):]) for c in cold])
+        vals = F.array(*[F.col(c) for c in cold])
+        m = F.map_filter(
+            F.map_from_arrays(keys, vals), lambda k, v: v.isNotNull() & (v != "")
+        )
+        return df_wide.select(TIME_COL, VALUE_COL, *hot_cols, m.alias("labels"))
+
+    return sources.ensure_table(spark, table_name, build, source_paths)
 
 
 def load_tsdb(
