@@ -79,8 +79,10 @@ def main() -> None:
         # gone) and the SHARED orderkey lineitem layout serving both
         # the Q8- and Q5-shape joins with zero lineitem exchange
         "q16_bucketed", "q159_bucketed", "q145_bucketed",
-        # r12: TPC-H Q1 - the canonical scan-heavy exact-money aggregate
-        "q170_pricing_summary",
+        # r12: TPC-H Q1 - the canonical scan-heavy exact-money aggregate;
+        # r14: its materialized twin (the last perf-weak query's at-rest
+        # rung - 4 rows under the lineitem fingerprint)
+        "q170_pricing_summary", "q170_mv",
         "q18_topk_per_group", "q19_lag_moving_avg", "q20_global_topk",
         "q22_scalar_functions", "q24_exact_dedup", "q25_tokenize_counts",
         "q26_cosine_topk", "q27_tumbling_window", "q28_session_windows",
