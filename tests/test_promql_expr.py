@@ -1189,3 +1189,60 @@ def test_info_default_selector_on_info_fixture(spark):
         "host2:9100": ("1.2.4", "staging"),
         "host3:9100": ("2.0.0", "prod"),
     }
+
+
+def test_histogram_fraction_classic_via_parser(spark):
+    """histogram_fraction(lo, hi, m) over classic le buckets through the
+    parser: hand-checkable cumulative buckets at one instant.  Series
+    (le: cum count): 0.1: 10, 0.2: 30, +Inf: 40.  fraction(0, 0.2) =
+    30/40; fraction(0.1, 0.2) = (30-10)/40; fraction(0, 0.15)
+    interpolates inside (0.1, 0.2]: (10 + 20*0.5)/40 = 0.5."""
+    rows = [
+        (1000, 10.0, "lat_bucket", "/a", "0.1"),
+        (1000, 30.0, "lat_bucket", "/a", "0.2"),
+        (1000, 40.0, "lat_bucket", "/a", "+Inf"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "time long, value double, label_name string, label_handler string, "
+        "label_le string",
+    )
+
+    def frac(expr):
+        out = query_instant(df, expr, at_ms=1000).collect()
+        assert len(out) == 1
+        return out[0]["value"]
+
+    assert frac("histogram_fraction(0, 0.2, lat_bucket)") == 0.75
+    assert frac("histogram_fraction(0.1, 0.2, lat_bucket)") == 0.5
+    assert frac("histogram_fraction(0, 0.15, lat_bucket)") == 0.5
+
+
+def test_histogram_fraction_parse_errors():
+    with pytest.raises(ValueError):
+        parse_expr("histogram_fraction(-1, 0.5, m)")
+    with pytest.raises(ValueError):
+        parse_expr("histogram_fraction(0.5, 0.5, m)")
+
+
+def test_histogram_fraction_native_via_parser(spark):
+    """Native path: instant histogram selector → sparse walk.  One
+    series, schema 0: zero_count 5, bucket k=1 (1,2]: 10, k=2 (2,4]:
+    5, count 20.  fraction(0, 3) = (5 + 10 + 5*0.5)/20 = 0.875;
+    fraction(2, 3) = 0.875 - fraction(0,2) = 0.875 - 0.75."""
+    rows = [
+        (
+            1000, "m", "i1", 20, 5, 30.0, 0,
+            [{"k": 1, "c": 10}, {"k": 2, "c": 5}],
+        )
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "time long, label_name string, label_instance string, count long, "
+        "zero_count long, sum double, schema int, "
+        "buckets array<struct<k:int,c:long>>",
+    )
+    out = query_instant(df, 'histogram_fraction(0, 3, {name="m"})', 1000)
+    assert [r["value"] for r in out.collect()] == [0.875]
+    out2 = query_instant(df, 'histogram_fraction(2, 3, {name="m"})', 1000)
+    assert [round(r["value"], 9) for r in out2.collect()] == [0.125]

@@ -31,6 +31,7 @@ Grammar (the working subset, PromQL precedence order)::
                | 'predict_linear' '(' sel '[' dur ']' ',' number ')'
                | 'holt_winters' '(' sel '[' dur ']' ',' number ',' number ')'
                | 'histogram_quantile' '(' number ',' expr ')'
+               | 'histogram_fraction' '(' number ',' number ',' expr ')'
                | ('absent'|'sort'|'sort_desc'|'scalar') '(' expr ')'
                | ('sort_by_label'|'sort_by_label_desc') '(' expr (',' string)+ ')'
                | 'label_replace' '(' expr ',' string{4} ')'
@@ -85,11 +86,13 @@ interval, the same bound Prometheus itself holds in memory per series.
 Coverage: with the r11 additions (trig/deg/rad/pi, ^ and atan2,
 day_of_year, mad_over_time, ts_of_*, @ start()/end(),
 double_exponential_smoothing, sort_by_label) this engine implements the
-full Prometheus 3.x function and operator surface for float samples —
-the remaining gaps are native-histogram functions (no histogram sample
-type here; classic-histogram histogram_quantile/fraction ARE supported),
-`info()` (needs the experimental info-metric catalog), and the
-non-deterministic samplers limitk/limit_ratio.
+full Prometheus 3.x function and operator surface for float samples,
+plus (r12-r14) `info()`, deterministic limitk/limit_ratio (md5-order
+convention, q168/q169), and the histogram family — histogram_quantile,
+histogram_fraction, and the count/sum/avg accessor trio — dispatching
+on the vector's layout: classic cumulative `label_le` buckets or a
+NATIVE-histogram-valued vector (`buckets` column, produced by a
+histogram selector or reset-aware rate/increase over one).
 """
 
 from __future__ import annotations
@@ -466,6 +469,21 @@ class HistAccessor(Node):
 
 
 @dataclass
+class HistogramFraction(Node):
+    """histogram_fraction(lo, hi, v) — interpolated share of
+    observations in (lo, hi] (r14).  Dispatches on the vector's layout
+    like HistogramQuantile: classic cumulative ``label_le`` buckets
+    (promql.histogram_fraction's linear-interpolation model) or a
+    native-histogram-valued vector (the sparse-bucket walk).  ``lo``
+    must be >= 0 (both walks use the positive-bucket model; the zero
+    bucket is the floor); ``lo > 0`` evaluates as
+    ``fraction(hi) - fraction(lo)`` joined per label set."""
+    lo: float
+    hi: float
+    arg: Node
+
+
+@dataclass
 class Absent(Node):
     arg: Node
 
@@ -717,6 +735,8 @@ class _Parser:
                 return self.param_agg()
             if val == "histogram_quantile" and called:
                 return self.histogram_quantile()
+            if val == "histogram_fraction" and called:
+                return self.histogram_fraction()
             if val in ("histogram_count", "histogram_sum",
                        "histogram_avg") and called:
                 self.eat(val)
@@ -1034,6 +1054,23 @@ class _Parser:
         self.eat(")")
         return HistogramQuantile(q, arg)
 
+    def histogram_fraction(self) -> HistogramFraction:
+        self.eat("histogram_fraction")
+        self.eat("(")
+        lo = float(self.eat("number")[1])
+        self.eat(",")
+        hi = float(self.eat("number")[1])
+        self.eat(",")
+        arg = self.expr()
+        self.eat(")")
+        if lo < 0:
+            raise ValueError(
+                "histogram_fraction: lo must be >= 0 (positive-bucket model)"
+            )
+        if hi <= lo:
+            raise ValueError("histogram_fraction: hi must exceed lo")
+        return HistogramFraction(lo, hi, arg)
+
 
 def parse_expr(expr: str, metric_label: str = "name") -> Node:
     """Parse a PromQL expression string into the module AST."""
@@ -1253,6 +1290,8 @@ class PromQLEngine:
             return histogram_quantile(arg, node.q, labels, time_col=None).withColumnRenamed(
                 "quantile", VALUE_COL
             )
+        if isinstance(node, HistogramFraction):
+            return self._histogram_fraction(node, self._inst(node.arg, at))
         if isinstance(node, HistAccessor):
             from .native_histogram import HIST_COLS
 
@@ -1275,6 +1314,66 @@ class PromQLEngine:
         if isinstance(node, BinOp):
             return self._binop(node, self._inst(node.left, at), self._inst(node.right, at), [])
         raise TypeError(f"unknown node {node!r}")
+
+    def _histogram_fraction(self, node: HistogramFraction, arg):
+        """Layout dispatch for histogram_fraction (mirrors
+        HistogramQuantile): native histogram-valued vector → the
+        sparse-bucket walk (schema read from the rows, one value
+        driver-side); classic label_le vector → the cumulative-bucket
+        interpolation.  ``lo > 0`` = fraction(hi) − fraction(lo) joined
+        per label set — two walks over the SAME already-evaluated
+        vector, so the selector subtree is not re-planned per bound."""
+        if not isinstance(arg, DataFrame):
+            raise ValueError("histogram_fraction needs a vector argument")
+        lo, hi = node.lo, node.hi
+
+        def _sub(out_hi: DataFrame, out_lo: DataFrame, labels: list[str]):
+            # null-safe equi-join: absent labels are NULL on both sides
+            # of the same label set (a plain equi-join would drop them)
+            right = out_lo.select(
+                *[F.col(c).alias(f"_r_{c}") for c in labels], "_flo"
+            )
+            cond = F.lit(True)
+            for c in labels:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"_r_{c}"))
+            return out_hi.join(right, cond).select(
+                *labels, (F.col("fraction") - F.col("_flo")).alias(VALUE_COL)
+            )
+
+        if "buckets" in arg.columns:
+            from .native_histogram import HIST_COLS, native_histogram_fraction
+
+            labels = [c for c in arg.columns if c not in HIST_COLS]
+            schemas = [
+                r[0] for r in arg.select("schema").distinct().limit(3).collect()
+            ]
+            if len(schemas) != 1:
+                raise ValueError(
+                    f"histogram_fraction: one bucket schema required, got {schemas}"
+                )
+            s = int(schemas[0])
+            out_hi = native_histogram_fraction(arg, hi, labels, schema=s)
+            if lo == 0:
+                return out_hi.withColumnRenamed("fraction", VALUE_COL)
+            out_lo = native_histogram_fraction(
+                arg, lo, labels, schema=s
+            ).withColumnRenamed("fraction", "_flo")
+            return _sub(out_hi, out_lo, labels)
+        if "label_le" not in arg.columns:
+            raise ValueError(
+                "histogram_fraction needs a label_le column or a "
+                "native-histogram-valued vector"
+            )
+        from .promql import histogram_fraction as classic_fraction
+
+        labels = [c for c in arg.columns if c not in (VALUE_COL, "label_le")]
+        out_hi = classic_fraction(arg, hi, labels, time_col=None)
+        if lo == 0:
+            return out_hi.withColumnRenamed("fraction", VALUE_COL)
+        out_lo = classic_fraction(arg, lo, labels, time_col=None).withColumnRenamed(
+            "fraction", "_flo"
+        )
+        return _sub(out_hi, out_lo, labels)
 
     def _label_fn(self, node: LabelFn, arg):
         from . import promql
