@@ -171,6 +171,32 @@ def main() -> None:
                 )
             duck = {}
             duck_timeouts: list[str] = []
+            # Incremental checkpoint/resume (verdict r14 #1: the sf100
+            # DuckDB cold pass is ~40+ min; a mid-pass kill must not lose
+            # it).  The .duck sidecar is rewritten after EVERY query; with
+            # SPARK_GRAFT_BENCH_DUCK_RESUME=1 an existing sidecar's
+            # entries are loaded and skipped, so a restarted run pays only
+            # the remainder.
+            duck_ck_path = os.environ.get(
+                "SPARK_GRAFT_BENCH_OUT",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_LAST.json"),
+            ) + ".duck"
+            if os.environ.get("SPARK_GRAFT_BENCH_DUCK_RESUME", "0") == "1":
+                try:
+                    with open(duck_ck_path) as fh:
+                        prev = json.load(fh)
+                    if prev.get("sf") == sf:
+                        duck.update({k: v for k, v in
+                                     prev.get("duckdb_queries", {}).items()
+                                     if k in bench_set and v > 0})
+                        duck_timeouts.extend(
+                            n for n in prev.get("duckdb_timeouts", [])
+                            if n in duck)
+                        print(f"duck resume: {len(duck)} cached",
+                              file=sys.stderr)
+                except (OSError, ValueError):
+                    pass
             # Watchdog: a SQL formulation can be asymptotically worse than
             # the Spark one (q113's k x n scoring matrix is a numpy matmul
             # on the Spark side, interpreted list ops in SQL — hours at
@@ -180,10 +206,19 @@ def main() -> None:
             duck_cap = float(os.environ.get("SPARK_GRAFT_BENCH_DUCK_TIMEOUT", "600"))
             import threading
 
+            # DuckDB reps can be set below the Spark reps (sf100: the
+            # yardstick's minima FOLD across rounds in merge_bench_scaling
+            # and are never plan-invalidated, so one cold rep per round is
+            # a valid minima source — halving the budget-critical phase)
+            duck_reps = int(os.environ.get(
+                "SPARK_GRAFT_BENCH_DUCK_REPS",
+                os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
             for name in bench_set:
+                if name in duck:
+                    continue
                 try:
                     best = None
-                    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))):
+                    for _ in range(duck_reps):
                         # explicit flag set by the timer callback BEFORE it
                         # interrupts: a query finishing just under the cap
                         # is never misread as a timeout, and a genuine
@@ -225,19 +260,17 @@ def main() -> None:
                 except Exception as e:  # noqa: BLE001
                     duck[name] = -1.0
                     print(f"duckdb bench error {name}: {e}", file=sys.stderr)
+                # checkpoint after EVERY query: the Spark phase can die
+                # (sf100 heap) or the round clock can kill the run mid-
+                # baseline — either way the minutes already spent persist
+                try:
+                    with open(duck_ck_path, "w") as fh:
+                        json.dump({"sf": sf, "duckdb_queries": duck,
+                                   "duckdb_timeouts": sorted(set(duck_timeouts))},
+                                  fh)
+                except OSError:
+                    pass
             con.close()
-            # checkpoint the baseline immediately: the Spark phase can
-            # die (sf100 heap) and the duck numbers are ~40 min of work
-            try:
-                ck = os.environ.get(
-                    "SPARK_GRAFT_BENCH_OUT",
-                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "BENCH_LAST.json"),
-                ) + ".duck"
-                with open(ck, "w") as fh:
-                    json.dump({"sf": sf, "duckdb_queries": duck}, fh)
-            except OSError:
-                pass
         except Exception as e:  # noqa: BLE001
             duck = None
             print(f"duckdb baseline skipped: {e}", file=sys.stderr)
@@ -246,7 +279,30 @@ def main() -> None:
     total = 0.0
     rows_total = 0
     gc_between = os.environ.get("SPARK_GRAFT_BENCH_GC", "1") == "1"
+    serial_ck_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LAST.json"),
+    ) + ".serial"
+    # same resume contract as the duck sidecar: a restarted sf100 run
+    # pays only the un-measured remainder of the serial phase
+    if os.environ.get("SPARK_GRAFT_BENCH_RESUME", "0") == "1":
+        try:
+            with open(serial_ck_path) as fh:
+                prev = json.load(fh)
+            if prev.get("sf") == sf:
+                per_query.update({k: v for k, v in
+                                  prev.get("queries", {}).items()
+                                  if k in bench_set and v > 0})
+                total = sum(per_query.values())
+                rows_total = prev.get("rows_total", 0)
+                print(f"serial resume: {len(per_query)} cached",
+                      file=sys.stderr)
+        except (OSError, ValueError):
+            pass
     for name, fn in bench_set.items():
+        if name in per_query:
+            continue
         try:
             # Consumption contract: toArrow() — the FULL result transferred
             # to the driver as one columnar Arrow table (same bytes as
@@ -289,21 +345,14 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             per_query[name] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
-
-    # Checkpoint the serial numbers BEFORE the concurrent phase: at
-    # sf100 a concurrent-phase heap death would otherwise lose the
-    # whole run (the .duck sidecar pattern, applied to the Spark side)
-    try:
-        ck = os.environ.get(
-            "SPARK_GRAFT_BENCH_OUT",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_LAST.json"),
-        ) + ".serial"
-        with open(ck, "w") as fh:
-            json.dump({"sf": sf, "queries": per_query,
-                       "rows_total": rows_total}, fh)
-    except OSError:
-        pass
+        # per-query checkpoint (the .duck pattern on the Spark side): a
+        # concurrent-phase heap death or round-clock kill loses nothing
+        try:
+            with open(serial_ck_path, "w") as fh:
+                json.dump({"sf": sf, "queries": per_query,
+                           "rows_total": rows_total}, fh)
+        except OSError:
+            pass
 
     # Suite-level throughput: Spark schedules independent jobs
     # concurrently in one session; wall-clock for the whole set with an
@@ -323,6 +372,28 @@ def main() -> None:
                 print(f"bench concurrent error: {e}", file=sys.stderr)
     concurrent_wall = time.time() - t0
 
+    # ≥1 s-subset concurrent wall (verdict r14 #10): each sub-second
+    # query adds a ~0.2 s JVM job floor to the 8-way pool wall while
+    # adding ~nothing to DuckDB's denominator, so as breadth entries
+    # accumulate the full-set concurrent ratio drifts toward counting
+    # job floors instead of engine throughput.  The subset with serial
+    # Spark time ≥1 s measures the engine; both numbers are reported.
+    ge1s = [n for n, v in per_query.items() if v >= 1.0]
+    concurrent_ge1s_wall = None
+    if (os.environ.get("SPARK_GRAFT_BENCH_GE1S", "1") == "1"
+            and 0 < len(ge1s) < len(per_query)):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            futs = [pool.submit(lambda f=bench_set[n]: f(spark, sf_dir).toArrow())
+                    for n in ge1s]
+            for f in futs:
+                try:
+                    f.result()
+                except Exception as e:  # noqa: BLE001
+                    print(f"bench ge1s concurrent error: {e}", file=sys.stderr)
+        concurrent_ge1s_wall = time.time() - t0
+
     out = {
         "metric": "declared_query_set_total",
         "value": round(total, 3),
@@ -332,6 +403,9 @@ def main() -> None:
         "n_queries": len(per_query),
         "rows_total": rows_total,
         "concurrent_wall_sec": round(concurrent_wall, 3),
+        **({"concurrent_ge1s_wall_sec": round(concurrent_ge1s_wall, 3),
+            "concurrent_ge1s_queries": sorted(ge1s)}
+           if concurrent_ge1s_wall is not None else {}),
         "spark_init_sec": round(spark_init, 3),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
     }
@@ -366,6 +440,12 @@ def main() -> None:
         out["duckdb_total_sec"] = round(dtotal, 3)
         if dtotal > 0:
             out["spark_vs_duckdb"] = round(total / dtotal, 3)
+        if concurrent_ge1s_wall is not None:
+            d_ge1s = sum(duck.get(n, 0) for n in ge1s if duck.get(n, 0) > 0)
+            out["duckdb_total_ge1s_sec"] = round(d_ge1s, 3)
+            if d_ge1s > 0:
+                out["concurrent_ge1s_ratio"] = round(
+                    concurrent_ge1s_wall / d_ge1s, 3)
 
     print(json.dumps(out))
     # ALSO persist the full line next to the repo (verdict r11: the
