@@ -471,13 +471,101 @@ def test_promql_hist_instant_selector_and_accessors(spark):
     assert len(out) == 1 and out[0]["value"] == 10.0  # 160/16
 
 
-def test_promql_hist_range_grid_rejected(spark):
-    from tsdb_parquet_spark.promql_expr import PromQLEngine
+_GRID_SAMPLES = [
+    (0, 10, 100.0, 2, {0: 3, 2: 5}),
+    (15000, 16, 160.0, 3, {0: 5, 2: 8}),
+    (30000, 20, 200.0, 4, {0: 6, 2: 9, 3: 1}),
+]
+
+
+def test_range_grid_increase_per_step(spark):
+    """The step grid emits exactly the steps with >= 2 in-window
+    samples, each the reset-aware increase over THAT step's window."""
+    from tsdb_parquet_spark.native_histogram import (
+        native_histogram_range_increase,
+    )
+
+    df = _series_df(spark, _GRID_SAMPLES)
+    rows = {
+        r["step_ts"]: r
+        for r in native_histogram_range_increase(
+            df, ["label_name", "label_instance"], 0, 60000, 15000, 30000,
+            pin=False,
+        ).collect()
+    }
+    # ts=0 (one sample), ts=45000/60000 (<= one sample) emit nothing
+    assert set(rows) == {15000, 30000}
+    r1 = rows[15000]  # window (-15s, 15s]: pair 0->15000
+    assert r1["count"] == 6 and r1["zero_count"] == 1
+    assert {b["k"]: b["c"] for b in r1["buckets"]} == {0: 2, 2: 3}
+    assert r1["span_s"] == 15.0
+    r2 = rows[30000]  # window (0, 30s]: sample at 0 excluded -> one pair
+    assert r2["count"] == 4 and r2["zero_count"] == 1
+    assert {b["k"]: b["c"] for b in r2["buckets"]} == {0: 1, 2: 1, 3: 1}
+    assert r2["span_s"] == 15.0
+
+
+def test_promql_hist_range_grid_matches_instant(spark):
+    """query_range over the native-histogram family == query_instant
+    at each grid point — the float-path invariant carried over."""
+    from tsdb_parquet_spark.promql_expr import query_instant, query_range
+
+    df = _series_df(spark, _GRID_SAMPLES)
+    for expr in (
+        "histogram_quantile(0.5, increase(m[30s]))",
+        "histogram_sum(rate(m[30s]))",
+        "histogram_avg(m)",
+        "histogram_fraction(0, 4, increase(m[30s]))",
+    ):
+        grid = {
+            r["step_ts"]: r["value"]
+            for r in query_range(df, expr, 0, 30000, 15000).collect()
+        }
+        for ts in (0, 15000, 30000):
+            inst = query_instant(df, expr, ts).collect()
+            want = inst[0]["value"] if inst else None
+            assert grid.get(ts) == want, (expr, ts, grid.get(ts), want)
+
+
+def test_fraction_empty_vector_in_empty_out(spark):
+    """Instant outside the staleness window: empty vector in, empty
+    vector out (advice r14) — not a driver-side schema error."""
+    from tsdb_parquet_spark.promql_expr import query_instant
 
     df = _series_df(spark, [(0, 10, 100.0, 2, {0: 3})])
-    eng = PromQLEngine(df)
-    with pytest.raises(ValueError, match="instant-only"):
-        eng.eval_range("rate(m[30s])", 0, 30000, 15000)
+    out = query_instant(df, "histogram_fraction(0, 4, m)", 10_000_000)
+    assert out.count() == 0
+    assert out.columns[-1] == "value"
+
+
+def test_fraction_hi_le_lo_is_zero(spark):
+    """hi <= lo: Prometheus yields 0 for every matched series."""
+    from tsdb_parquet_spark.promql_expr import query_instant
+
+    df = _series_df(spark, [(0, 10, 100.0, 2, {0: 3})])
+    out = query_instant(df, "histogram_fraction(2, 1, m)", 0).collect()
+    assert len(out) == 1 and out[0]["value"] == 0.0
+
+
+def test_fraction_two_bound_rounds_once(spark):
+    """fraction(lo, hi) == round(raw(hi) - raw(lo), 6) — the bounds are
+    not individually rounded before the subtraction (advice r14)."""
+    from tsdb_parquet_spark.native_histogram import (
+        native_histogram_fraction,
+    )
+    from tsdb_parquet_spark.promql_expr import query_instant
+
+    df = _series_df(spark, _GRID_SAMPLES)
+    labels = ["label_name", "label_instance"]
+    raw = {
+        b: native_histogram_fraction(
+            query_instant(df, "m", 0), b, labels, round_dp=None
+        ).collect()[0]["fraction"]
+        for b in (1.5, 3.0)
+    }
+    out = query_instant(df, "histogram_fraction(1.5, 3, m)", 0).collect()
+    assert len(out) == 1
+    assert out[0]["value"] == round(raw[3.0] - raw[1.5], 6)
 
 
 def test_promql_hist_unsupported_range_fn(spark):

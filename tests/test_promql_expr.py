@@ -1219,10 +1219,12 @@ def test_histogram_fraction_classic_via_parser(spark):
 
 
 def test_histogram_fraction_parse_errors():
+    # lo < 0 stays a documented positive-bucket-model restriction
     with pytest.raises(ValueError):
         parse_expr("histogram_fraction(-1, 0.5, m)")
-    with pytest.raises(ValueError):
-        parse_expr("histogram_fraction(0.5, 0.5, m)")
+    # hi <= lo is ACCEPTED per upstream Prometheus (evaluates to 0 per
+    # series — advice r14); it must parse cleanly
+    parse_expr("histogram_fraction(0.5, 0.5, m)")
 
 
 def test_histogram_fraction_native_via_parser(spark):

@@ -173,43 +173,47 @@ _EMPTY_BUCKETS = "CAST(array() AS array<struct<k: int, c: bigint>>)"
 # The non-label payload columns of a histogram-valued row/vector.
 HIST_COLS = ("count", "sum", "zero_count", "schema", "buckets")
 
-
-def native_histogram_increase(
-    df: DataFrame,
-    labels: list[str],
-    time_col: str = "time",
-    pin: bool = True,
-) -> DataFrame:
-    """Reset-aware ``increase()`` over a native-histogram SERIES — the
-    temporal half of the native-histogram surface (verdict r13 #1): per
-    label set, sum per-bucket deltas across adjacent samples, detecting
-    Prometheus counter resets at WHOLE-SAMPLE granularity (a reset
-    restarts every counter in the histogram at once: total ``count``
-    or ``zero_count`` decreasing, or ANY bucket's cumulative count
-    decreasing — including a bucket present before and absent after).
-    On a reset pair the previous sample's baseline is 0 (the
-    ``counter_rate`` restart convention, ``timeseries.py:313``); the
-    ``sum`` counter follows the same detection (it is NOT itself a
-    reset signal — legitimate negative observations can lower it).
-
-    Input rows: ``(labels..., time, count, sum, zero_count, schema,
-    buckets)`` with cumulative counters, the storage schema
-    :func:`native_histogram_from_values` emits per sample.  The caller
-    applies the range-window time filter first.  Output: one row per
-    label set with >= 2 samples — ``(labels..., count, sum,
-    zero_count, schema, buckets, span_s)`` where every value is the
-    exact integer increase over the window (``sum`` exact when
-    observations are integral) and ``buckets`` keeps only k with a
-    non-zero increase.
-
-    Plan: ONE exchange total.  The pinned labels repartition feeds the
-    per-series lag window; per-pair delta arrays are built by JVM
-    higher-order functions (map lookups over the sparse arrays — no
-    explode, no Python); the groupBy on the same label keys reuses the
-    window's partitioning (zero further exchanges) and merges the
-    per-pair delta arrays with a sorted fold.  Per-series state is one
-    range-window of samples — the same bound Prometheus holds.
+# Merge a flattened multiset of per-pair delta arrays into one k-sorted
+# sparse array: collect_list order is nondeterministic, but array_sort
+# makes the multiset canonical before the fold, and integer sums commute
+# — the merged array is deterministic.  Shared by the instant and
+# range-grid increase aggregates.
+_MERGED_FOLD = """
+    filter(
+      aggregate(
+        array_sort(_all),
+        CAST(array() AS array<struct<k: int, c: bigint>>),
+        (acc, x) -> CASE
+          WHEN size(acc) > 0 AND element_at(acc, -1).k = x.k
+          THEN concat(slice(acc, 1, size(acc) - 1),
+                      array(struct(x.k AS k,
+                                   element_at(acc, -1).c + x.c AS c)))
+          ELSE concat(acc, array(x)) END),
+      b -> b.c <> 0)
     """
+
+
+def _pair_deltas(
+    df: DataFrame, labels: list[str], time_col: str, pin: bool
+) -> DataFrame:
+    """Per-sample reset-aware ADJACENT-PAIR deltas over a native-
+    histogram series — the shared first stage of the instant and
+    range-grid temporal operators.  Adds to each sample row:
+
+    - ``_pt``: the previous sample's time (null on the series head)
+    - ``_dc``/``_dz``/``_ds``: count / zero_count / sum delta vs the
+      previous sample (null on the head; on a whole-sample counter
+      reset the baseline is 0 — the ``counter_rate`` restart
+      convention, ``timeseries.py:313``)
+    - ``_db``: the sparse per-bucket delta array (union of both
+      samples' keys, reset-aware; empty on the head)
+
+    Reset detection is WHOLE-SAMPLE: total ``count`` or ``zero_count``
+    decreasing, or ANY bucket's cumulative count decreasing (including
+    a bucket present before and absent after).  One exchange: the
+    pinned labels repartition feeds the per-series lag window; the
+    delta arrays are built by JVM higher-order functions (map lookups
+    over the sparse arrays — no explode, no Python)."""
     from pyspark.sql import Window
 
     from .operators.partitioning import pin_partitioning
@@ -218,7 +222,8 @@ def native_histogram_increase(
         df = pin_partitioning(df, labels)
     w = Window.partitionBy(*labels).orderBy(time_col)
     d = (
-        df.withColumn("_pc", F.lag("count").over(w))
+        df.withColumn("_pt", F.lag(time_col).over(w))
+        .withColumn("_pc", F.lag("count").over(w))
         .withColumn("_pz", F.lag("zero_count").over(w))
         .withColumn("_ps", F.lag("sum").over(w))
         .withColumn("_pb", F.lag("buckets").over(w))
@@ -270,12 +275,51 @@ def native_histogram_increase(
             ),
         )
     )
-    d = (
+    return (
         d.withColumn("_dc", _delta(F.col("count"), F.col("_pc")))
         .withColumn("_dz", _delta(F.col("zero_count"), F.col("_pz")))
         .withColumn("_ds", _delta(F.col("sum"), F.col("_ps")))
         .withColumn("_db", delta_buckets)
     )
+
+
+def native_histogram_increase(
+    df: DataFrame,
+    labels: list[str],
+    time_col: str = "time",
+    pin: bool = True,
+) -> DataFrame:
+    """Reset-aware ``increase()`` over a native-histogram SERIES — the
+    temporal half of the native-histogram surface (verdict r13 #1): per
+    label set, sum per-bucket deltas across adjacent samples, detecting
+    Prometheus counter resets at WHOLE-SAMPLE granularity (a reset
+    restarts every counter in the histogram at once: total ``count``
+    or ``zero_count`` decreasing, or ANY bucket's cumulative count
+    decreasing — including a bucket present before and absent after).
+    On a reset pair the previous sample's baseline is 0 (the
+    ``counter_rate`` restart convention, ``timeseries.py:313``); the
+    ``sum`` counter follows the same detection (it is NOT itself a
+    reset signal — legitimate negative observations can lower it).
+
+    Input rows: ``(labels..., time, count, sum, zero_count, schema,
+    buckets)`` with cumulative counters, the storage schema
+    :func:`native_histogram_from_values` emits per sample.  The caller
+    applies the range-window time filter first.  Output: one row per
+    label set with >= 2 samples — ``(labels..., count, sum,
+    zero_count, schema, buckets, span_s)`` where every value is the
+    exact integer increase over the window (``sum`` exact when
+    observations are integral) and ``buckets`` keeps only k with a
+    non-zero increase.
+
+    Plan: ONE exchange total.  The pinned labels repartition feeds the
+    per-series lag window; per-pair delta arrays are built by JVM
+    higher-order functions (map lookups over the sparse arrays — no
+    explode, no Python); the groupBy on the same label keys reuses the
+    window's partitioning (zero further exchanges) and merges the
+    per-pair delta arrays with a sorted fold.  Per-series state is one
+    range-window of samples — the same bound Prometheus holds.
+    """
+    d = _pair_deltas(df, labels, time_col, pin)
     agg = d.groupBy(*labels).agg(
         F.sum("_dc").alias("count"),
         F.sum("_ds").alias("sum"),
@@ -286,24 +330,7 @@ def native_histogram_increase(
         ),
         F.flatten(F.collect_list("_db")).alias("_all"),
     )
-    # collect_list order is nondeterministic, but array_sort makes the
-    # multiset canonical before the fold, and integer sums commute —
-    # the merged array is deterministic.
-    merged = F.expr(
-        """
-        filter(
-          aggregate(
-            array_sort(_all),
-            CAST(array() AS array<struct<k: int, c: bigint>>),
-            (acc, x) -> CASE
-              WHEN size(acc) > 0 AND element_at(acc, -1).k = x.k
-              THEN concat(slice(acc, 1, size(acc) - 1),
-                          array(struct(x.k AS k,
-                                       element_at(acc, -1).c + x.c AS c)))
-              ELSE concat(acc, array(x)) END),
-          b -> b.c <> 0)
-        """
-    )
+    merged = F.expr(_MERGED_FOLD)
     return (
         agg.filter(F.col("count").isNotNull())  # >= 2 samples
         .withColumn("buckets", merged)
@@ -343,6 +370,154 @@ def native_histogram_rate(
     )
 
 
+def native_histogram_range_increase(
+    df: DataFrame,
+    labels: list[str],
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    window_ms: int,
+    time_col: str = "time",
+    pin: bool = True,
+) -> DataFrame:
+    """``increase(m[w])`` over a native-histogram series evaluated on a
+    RANGE-QUERY step grid (verdict r14 #2 — the Grafana-panel form) —
+    one histogram-valued row per (label set, step) with >= 2 in-window
+    samples: ``(labels..., step_ts, count, sum, zero_count, schema,
+    buckets, span_s)``.
+
+    Plan — the float ``promql.range_rate`` composition applied to the
+    histogram payload, ONE composed plan with no per-step jobs: the
+    per-series lag pass computes each adjacent-pair reset-aware delta
+    ONCE (:func:`_pair_deltas`, one exchange); each sample explodes
+    over the steps whose lookback window contains it (``step_ts ∈ [t,
+    t + window)`` — a bounded ``window/step`` expansion independent of
+    step count); the per-(labels, step_ts) aggregate counts a pair's
+    delta only when the PREVIOUS sample also falls inside that step's
+    window (in-window samples are consecutive in the series, so the
+    masked pairs are exactly the window's adjacent pairs) and merges
+    the masked delta arrays with the same sorted fold as the instant
+    path.  The final groupBy keys extend the window's hash
+    partitioning (labels ⊂ labels+step_ts), so no second exchange.
+    ``span_s`` is last-minus-first in-window sample time — every
+    exploded row for a step IS an in-window sample."""
+    t = F.col(time_col)
+    win = df.filter((t <= end_ms) & (t > start_ms - window_ms))
+    d = _pair_deltas(win, labels, time_col, pin)
+    n_steps = (end_ms - start_ms) // step_ms
+    k_min = F.greatest(
+        F.lit(0),
+        F.ceil((t - F.lit(start_ms)) / F.lit(step_ms)).cast("bigint"),
+    )
+    k_max = F.least(
+        F.lit(n_steps),
+        F.floor(
+            (t + F.lit(window_ms - 1) - F.lit(start_ms)) / F.lit(step_ms)
+        ).cast("bigint"),
+    )
+    exploded = (
+        d.filter(k_min <= k_max)
+        .withColumn("_k", F.explode(F.sequence(k_min, k_max)))
+        .withColumn("step_ts", F.lit(start_ms) + F.col("_k") * F.lit(step_ms))
+    )
+    # a pair counts toward this step iff its previous sample is also in
+    # the step's lookback window (strict >, the instant filter's bound)
+    m = F.col("_pt").isNotNull() & (
+        F.col("_pt") > F.col("step_ts") - F.lit(window_ms)
+    )
+    agg = exploded.groupBy(*labels, "step_ts").agg(
+        F.sum(F.when(m, F.col("_dc"))).alias("count"),
+        F.sum(F.when(m, F.col("_ds"))).alias("sum"),
+        F.sum(F.when(m, F.col("_dz"))).alias("zero_count"),
+        F.first("schema").alias("schema"),
+        ((F.max(time_col) - F.min(time_col)).cast("double") / 1000.0).alias(
+            "span_s"
+        ),
+        F.flatten(
+            F.collect_list(F.when(m, F.col("_db")))
+        ).alias("_all"),
+    )
+    return (
+        agg.filter(F.col("count").isNotNull())  # >= 1 in-window pair
+        .withColumn("buckets", F.expr(_MERGED_FOLD))
+        .select(*labels, "step_ts", *HIST_COLS, "span_s")
+    )
+
+
+def native_histogram_range_rate(
+    df: DataFrame,
+    labels: list[str],
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    window_ms: int,
+    time_col: str = "time",
+    pin: bool = True,
+) -> DataFrame:
+    """``rate(m[w])`` on the step grid: the per-step increase divided
+    by its in-window sample span (the ``counter_rate`` convention —
+    no boundary extrapolation).  Same plan as the increase; every
+    payload turns double."""
+    inc = native_histogram_range_increase(
+        df, labels, start_ms, end_ms, step_ms, window_ms,
+        time_col=time_col, pin=pin,
+    )
+    s = F.col("span_s")
+    return inc.filter(s > 0).select(
+        *labels,
+        "step_ts",
+        (F.col("count").cast("double") / s).alias("count"),
+        (F.col("sum") / s).alias("sum"),
+        (F.col("zero_count").cast("double") / s).alias("zero_count"),
+        "schema",
+        F.transform(
+            "buckets",
+            lambda b: F.struct(
+                b["k"].alias("k"), (b["c"].cast("double") / s).alias("c")
+            ),
+        ).alias("buckets"),
+        "span_s",
+    )
+
+
+def native_histogram_range_vector(
+    df: DataFrame,
+    labels: list[str],
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    staleness_ms: int,
+    time_col: str = "time",
+) -> DataFrame:
+    """A native-histogram SELECTOR on the step grid: per (label set,
+    step), the latest whole sample within the staleness lookback — the
+    float ``range_query`` generalized to the histogram payload, feeding
+    the accessor trio / quantile / fraction in range queries.  Same
+    bounded explode: each sample covers steps in ``[t, t + staleness)``
+    and the per-step ``max_by(time)`` keeps the newest."""
+    t = F.col(time_col)
+    win = df.filter((t <= end_ms) & (t > start_ms - staleness_ms))
+    n_steps = (end_ms - start_ms) // step_ms
+    k_min = F.greatest(
+        F.lit(0),
+        F.ceil((t - F.lit(start_ms)) / F.lit(step_ms)).cast("bigint"),
+    )
+    k_max = F.least(
+        F.lit(n_steps),
+        F.floor(
+            (t + F.lit(staleness_ms - 1) - F.lit(start_ms)) / F.lit(step_ms)
+        ).cast("bigint"),
+    )
+    exploded = (
+        win.filter(k_min <= k_max)
+        .withColumn("_k", F.explode(F.sequence(k_min, k_max)))
+        .withColumn("step_ts", F.lit(start_ms) + F.col("_k") * F.lit(step_ms))
+    )
+    return exploded.groupBy(*labels, "step_ts").agg(
+        *[F.max_by(c, t).alias(c) for c in HIST_COLS]
+    )
+
+
 def histogram_accessors(hist_df: DataFrame, labels: list[str]) -> DataFrame:
     """The Prometheus accessor trio over a histogram-valued vector
     (``histogram_count`` / ``histogram_sum`` / ``histogram_avg``):
@@ -361,7 +536,7 @@ def native_histogram_fraction(
     hist_df: DataFrame,
     upper: float,
     labels: list[str],
-    round_dp: int = 6,
+    round_dp: int | None = 6,
     schema: int = 0,
 ) -> DataFrame:
     """``histogram_fraction(0, upper, <native histogram>)``: per label
@@ -398,15 +573,13 @@ def native_histogram_fraction(
         .when(F.col("_b.k") == k, F.col("_b.c") * F.lit(part))
         .otherwise(F.lit(0.0))
     )
-    return (
-        b.groupBy(*labels)
-        .agg(
-            F.round(
-                (F.first("zero_count") + F.sum(contrib)) / F.first("count"),
-                round_dp,
-            ).alias("fraction")
-        )
-    )
+    frac = (F.first("zero_count") + F.sum(contrib)) / F.first("count")
+    # round_dp=None: the raw fraction, for callers that combine two
+    # bounds — rounding each bound first would put up to ~1e-6 of error
+    # into the difference (advice r14); the caller rounds ONCE at the end
+    if round_dp is not None:
+        frac = F.round(frac, round_dp)
+    return b.groupBy(*labels).agg(frac.alias("fraction"))
 
 
 def native_histogram_quantile(

@@ -32,6 +32,8 @@ Grammar (the working subset, PromQL precedence order)::
                | 'holt_winters' '(' sel '[' dur ']' ',' number ',' number ')'
                | 'histogram_quantile' '(' number ',' expr ')'
                | 'histogram_fraction' '(' number ',' number ',' expr ')'
+                 # hi <= lo accepted (0 per Prometheus); lo < 0 rejected:
+                 # positive-bucket model, no negative-bucket spans stored
                | ('absent'|'sort'|'sort_desc'|'scalar') '(' expr ')'
                | ('sort_by_label'|'sort_by_label_desc') '(' expr (',' string)+ ')'
                | 'label_replace' '(' expr ',' string{4} ')'
@@ -1063,12 +1065,18 @@ class _Parser:
         self.eat(",")
         arg = self.expr()
         self.eat(")")
+        # hi <= lo is ACCEPTED per upstream Prometheus (an empty
+        # interval — every series reports fraction 0; evaluator handles
+        # it).  lo < 0 stays a documented divergence: this engine's
+        # histograms model non-positive observations in the zero bucket
+        # (no negative-bucket spans), so there is no mass a negative
+        # bound could meaningfully include.
         if lo < 0:
             raise ValueError(
-                "histogram_fraction: lo must be >= 0 (positive-bucket model)"
+                "histogram_fraction: lo must be >= 0 (positive-bucket "
+                "model — negative-bucket spans are not stored; see the "
+                "grammar comment)"
             )
-        if hi <= lo:
-            raise ValueError("histogram_fraction: hi must exceed lo")
         return HistogramFraction(lo, hi, arg)
 
 
@@ -1327,7 +1335,8 @@ class PromQLEngine:
             raise ValueError("histogram_fraction needs a vector argument")
         lo, hi = node.lo, node.hi
 
-        def _sub(out_hi: DataFrame, out_lo: DataFrame, labels: list[str]):
+        def _sub(out_hi: DataFrame, out_lo: DataFrame, labels: list[str],
+                 round_dp: int | None):
             # null-safe equi-join: absent labels are NULL on both sides
             # of the same label set (a plain equi-join would drop them)
             right = out_lo.select(
@@ -1336,29 +1345,52 @@ class PromQLEngine:
             cond = F.lit(True)
             for c in labels:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"_r_{c}"))
+            diff = F.col("fraction") - F.col("_flo")
+            if round_dp is not None:
+                diff = F.round(diff, round_dp)
             return out_hi.join(right, cond).select(
-                *labels, (F.col("fraction") - F.col("_flo")).alias(VALUE_COL)
+                *labels, diff.alias(VALUE_COL)
             )
 
         if "buckets" in arg.columns:
             from .native_histogram import HIST_COLS, native_histogram_fraction
 
             labels = [c for c in arg.columns if c not in HIST_COLS]
+            if hi <= lo:
+                # upstream semantics: an empty interval — every matched
+                # series reports fraction 0
+                return arg.select(*labels).distinct().withColumn(
+                    VALUE_COL, F.lit(0.0)
+                )
             schemas = [
                 r[0] for r in arg.select("schema").distinct().limit(3).collect()
             ]
+            if not schemas:
+                # empty vector in (e.g. instant outside the staleness
+                # window) -> empty vector out, the PromQL contract —
+                # same as the classic path and native histogram_quantile
+                return arg.limit(0).select(
+                    *labels, F.lit(None).cast("double").alias(VALUE_COL)
+                )
             if len(schemas) != 1:
                 raise ValueError(
                     f"histogram_fraction: one bucket schema required, got {schemas}"
                 )
             s = int(schemas[0])
-            out_hi = native_histogram_fraction(arg, hi, labels, schema=s)
             if lo == 0:
-                return out_hi.withColumnRenamed("fraction", VALUE_COL)
+                return native_histogram_fraction(
+                    arg, hi, labels, schema=s
+                ).withColumnRenamed("fraction", VALUE_COL)
+            # two-bound: both walks UNROUNDED over the same evaluated
+            # vector; one 6dp round on the difference (advice r14 —
+            # rounding each bound first leaks ~1e-6 into the subtraction)
+            out_hi = native_histogram_fraction(
+                arg, hi, labels, schema=s, round_dp=None
+            )
             out_lo = native_histogram_fraction(
-                arg, lo, labels, schema=s
+                arg, lo, labels, schema=s, round_dp=None
             ).withColumnRenamed("fraction", "_flo")
-            return _sub(out_hi, out_lo, labels)
+            return _sub(out_hi, out_lo, labels, 6)
         if "label_le" not in arg.columns:
             raise ValueError(
                 "histogram_fraction needs a label_le column or a "
@@ -1367,13 +1399,17 @@ class PromQLEngine:
         from .promql import histogram_fraction as classic_fraction
 
         labels = [c for c in arg.columns if c not in (VALUE_COL, "label_le")]
+        if hi <= lo:
+            return arg.select(*labels).distinct().withColumn(
+                VALUE_COL, F.lit(0.0)
+            )
         out_hi = classic_fraction(arg, hi, labels, time_col=None)
         if lo == 0:
             return out_hi.withColumnRenamed("fraction", VALUE_COL)
         out_lo = classic_fraction(arg, lo, labels, time_col=None).withColumnRenamed(
             "fraction", "_flo"
         )
-        return _sub(out_hi, out_lo, labels)
+        return _sub(out_hi, out_lo, labels, None)
 
     def _label_fn(self, node: LabelFn, arg):
         from . import promql
@@ -1413,6 +1449,17 @@ class PromQLEngine:
             )
         if isinstance(node, Selector):
             sel = apply_matchers(self.df, node.matchers)
+            if "buckets" in sel.columns and node.at_ms is None:
+                # native-histogram selector on the step grid: per-step
+                # latest whole sample within the staleness lookback
+                from .native_histogram import native_histogram_range_vector
+
+                off = node.offset_ms
+                out = native_histogram_range_vector(
+                    sel, label_columns(sel), start - off, end - off, step,
+                    self.staleness_ms,
+                )
+                return self._shift_steps(out, off)
             if node.at_ms is not None:
                 # fixed evaluation time: same instant replicated per step
                 iv = promql.instant_vector(
@@ -1431,10 +1478,33 @@ class PromQLEngine:
         if isinstance(node, RangeFn):
             sel = apply_matchers(self.df, node.arg.matchers)
             if "buckets" in sel.columns:
-                raise ValueError(
-                    "native-histogram expressions are instant-only "
-                    "(use eval_instant/query_instant)"
+                # native-histogram range function on the step grid
+                # (verdict r14 #2): reset-aware per-bucket increase /
+                # rate per (labels, step_ts) — ONE composed plan (pair
+                # deltas once, bounded explode over covering steps),
+                # no per-step jobs; the result is a histogram-valued
+                # GRID consumed by quantile/fraction/accessors
+                from .native_histogram import (
+                    native_histogram_range_increase,
+                    native_histogram_range_rate,
                 )
+
+                if node.fn not in ("rate", "increase"):
+                    raise ValueError(
+                        f"{node.fn} over a native-histogram selector is "
+                        "not supported (rate/increase only)"
+                    )
+                off = node.arg.offset_ms
+                hfn = (
+                    native_histogram_range_rate
+                    if node.fn == "rate"
+                    else native_histogram_range_increase
+                )
+                out = hfn(
+                    sel, label_columns(sel), start - off, end - off, step,
+                    node.window_ms,
+                ).drop("span_s")
+                return self._shift_steps(out, off)
             labels = label_columns(sel)
             off = node.arg.offset_ms
             if node.fn == "absent_over_time":
@@ -1546,6 +1616,20 @@ class PromQLEngine:
             from .promql import histogram_quantile
 
             arg = self._rng(node.arg, start, end, step)
+            if isinstance(arg, DataFrame) and "buckets" in arg.columns:
+                # native-histogram quantile per step: the sparse-bucket
+                # walk is label-generic — step_ts rides as one more
+                # grouping key, still one composed plan
+                from .native_histogram import (
+                    HIST_COLS,
+                    native_histogram_quantile,
+                )
+
+                labels = [c for c in arg.columns
+                          if c not in HIST_COLS and c != "step_ts"]
+                return native_histogram_quantile(
+                    arg, node.q, labels + ["step_ts"]
+                )
             if "label_le" not in arg.columns:
                 raise ValueError("histogram_quantile needs a label_le column")
             labels = [c for c in arg.columns
@@ -1553,6 +1637,30 @@ class PromQLEngine:
             return histogram_quantile(
                 arg, node.q, labels, time_col="step_ts"
             ).withColumnRenamed("quantile", VALUE_COL)
+        if isinstance(node, HistogramFraction):
+            # layout dispatch is shared with the instant path: the
+            # step_ts column rides as one more label through both the
+            # bucket walks and the two-bound null-safe join
+            return self._histogram_fraction(
+                node, self._rng(node.arg, start, end, step)
+            )
+        if isinstance(node, HistAccessor):
+            from .native_histogram import HIST_COLS
+
+            arg = self._rng(node.arg, start, end, step)
+            if not isinstance(arg, DataFrame) or "buckets" not in arg.columns:
+                raise ValueError(
+                    f"{node.fn} needs a native-histogram-valued vector"
+                )
+            labels = [c for c in arg.columns if c not in HIST_COLS]
+            col = {
+                "histogram_count": F.col("count").cast("double"),
+                "histogram_sum": F.col("sum").cast("double"),
+                "histogram_avg": (F.col("sum") / F.col("count")).cast(
+                    "double"
+                ),
+            }[node.fn]
+            return arg.select(*labels, col.alias(VALUE_COL))
         if isinstance(node, LabelFn):
             # pure projection — label columns rewrite identically whether
             # or not a step_ts axis is present
