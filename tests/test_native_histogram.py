@@ -547,6 +547,55 @@ def test_fraction_hi_le_lo_is_zero(spark):
     assert len(out) == 1 and out[0]["value"] == 0.0
 
 
+def test_histogram_stddev_native_matches_python(spark):
+    """Upstream funcHistogramStdDev semantics: geometric bucket
+    midpoints, zero bucket at 0, true mean sum/count."""
+    import math
+
+    from tsdb_parquet_spark.promql_expr import query_instant, query_range
+
+    df = _series_df(spark, [(0, 20, 30.0, 5, {1: 10, 2: 5})])
+    mean = 30.0 / 20
+    mids = {1: math.sqrt(1 * 2), 2: math.sqrt(2 * 4)}
+    var = (
+        5 * mean * mean
+        + 10 * (mids[1] - mean) ** 2
+        + 5 * (mids[2] - mean) ** 2
+    ) / 20
+    out = query_instant(df, "histogram_stddev(m)", 0).collect()
+    assert len(out) == 1 and out[0]["value"] == round(math.sqrt(var), 6)
+    out = query_instant(df, "histogram_stdvar(m)", 0).collect()
+    assert out[0]["value"] == round(var, 6)
+    # grid: step_ts rides as one more label through the same plan
+    grid = query_range(df, "histogram_stddev(m)", 0, 30000, 15000).collect()
+    assert {r["value"] for r in grid} == {round(math.sqrt(var), 6)}
+    assert {r["step_ts"] for r in grid} == {0, 15000, 30000}
+
+
+def test_histogram_stddev_classic_convention(spark):
+    """Classic layout: arithmetic midpoints, +Inf pinned at the highest
+    finite le, midpoint-estimated mean (documented engine extension)."""
+    import math
+
+    from tsdb_parquet_spark.promql_expr import query_instant
+
+    rows = [
+        (0, "mb", "h1", "0.1", 4.0),
+        (0, "mb", "h1", "0.5", 9.0),
+        (0, "mb", "h1", "+Inf", 10.0),
+    ]
+    cdf = spark.createDataFrame(
+        rows,
+        "time long, label_name string, label_handler string, "
+        "label_le string, value double",
+    )
+    c, mid, tot = [4, 5, 1], [0.05, 0.3, 0.5], 10
+    mean = sum(ci * mi for ci, mi in zip(c, mid)) / tot
+    var = sum(ci * (mi - mean) ** 2 for ci, mi in zip(c, mid)) / tot
+    out = query_instant(cdf, "histogram_stddev(mb)", 0).collect()
+    assert len(out) == 1 and out[0]["value"] == math.sqrt(var)
+
+
 def test_fraction_two_bound_rounds_once(spark):
     """fraction(lo, hi) == round(raw(hi) - raw(lo), 6) — the bounds are
     not individually rounded before the subtraction (advice r14)."""

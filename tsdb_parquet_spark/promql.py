@@ -472,6 +472,80 @@ def histogram_fraction(
     return hit.select(*keys, frac.alias("fraction"))
 
 
+def histogram_stddev(
+    df: DataFrame,
+    labels: list[str],
+    le_col: str = "label_le",
+    time_col: str | None = TIME_COL,
+    stdvar: bool = False,
+) -> DataFrame:
+    """``histogram_stddev`` / ``histogram_stdvar`` over CLASSIC
+    ``_bucket`` series — the classic-layout analog of the native
+    function (upstream Prometheus defines these for native histograms
+    only; this engine extends the layout dispatch the way
+    ``histogram_fraction`` does).  Engine convention, documented:
+
+    - each bucket's observations sit at its ARITHMETIC midpoint
+      ``(prev_le + le)/2`` (classic bounds are linear, not exponential
+      — the interpolation model histogram_quantile already uses);
+    - the ``+Inf`` bucket is pinned at the highest finite ``le`` (the
+      quantile walk's clamp convention);
+    - classic buckets carry no ``sum``, so the mean is the midpoint
+      estimate ``Σ c·mid / total``;
+    - ``variance = Σ c·(mid − mean)² / total``; stddev is its root.
+
+    Plan: one (labels[, time]) exchange — the lag window for bounds and
+    per-bucket counts, window sums for mean, one hash aggregate."""
+    from pyspark.sql import Window
+
+    le_num = F.when(F.col(le_col) == "+Inf", F.lit(float("inf"))).otherwise(
+        F.col(le_col).cast("double")
+    )
+    keys = [*labels, *([time_col] if time_col else [])]
+    w = Window.partitionBy(*keys).orderBy(le_num.asc())
+    wp = Window.partitionBy(*keys)
+    v = F.col(VALUE_COL)
+    enriched = (
+        df.withColumn("_le", le_num)
+        .withColumn("_prev_le", F.lag("_le", 1, 0.0).over(w))
+        .withColumn("_prev_ct", F.lag(VALUE_COL, 1, 0.0).over(w))
+        .withColumn("_total", F.max(VALUE_COL).over(wp))
+        .withColumn(
+            "_maxf",
+            F.max(
+                F.when(le_num != float("inf"), le_num)
+            ).over(wp),
+        )
+    )
+    c = v - F.col("_prev_ct")
+    mid = F.when(
+        F.col("_le") == float("inf"), F.col("_maxf")
+    ).otherwise((F.col("_prev_le") + F.col("_le")) / F.lit(2.0))
+    enriched = (
+        enriched.withColumn("_c", c)
+        .withColumn("_mid", mid)
+        .withColumn(
+            "_mean",
+            F.sum(F.col("_c") * F.col("_mid")).over(wp) / F.col("_total"),
+        )
+    )
+    g = (
+        enriched.filter(F.col("_total") > 0)
+        .groupBy(*keys)
+        .agg(
+            F.first("_total").alias("_n"),
+            F.sum(
+                F.col("_c")
+                * (F.col("_mid") - F.col("_mean"))
+                * (F.col("_mid") - F.col("_mean"))
+            ).alias("_sq"),
+        )
+    )
+    var = F.col("_sq") / F.col("_n")
+    val = var if stdvar else F.sqrt(var)
+    return g.select(*keys, val.alias("stddev" if not stdvar else "stdvar"))
+
+
 def label_replace(
     df: DataFrame,
     dst_label: str,

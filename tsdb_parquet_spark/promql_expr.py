@@ -465,7 +465,9 @@ class HistogramQuantile(Node):
 @dataclass
 class HistAccessor(Node):
     """histogram_count / histogram_sum / histogram_avg over a
-    NATIVE-histogram-valued vector (r14 — the accessor trio)."""
+    NATIVE-histogram-valued vector (r14 — the accessor trio), plus
+    histogram_stddev / histogram_stdvar (r15 — the last two Prometheus
+    histogram functions; layout-dispatched native + classic)."""
     fn: str
     arg: Node
 
@@ -740,7 +742,8 @@ class _Parser:
             if val == "histogram_fraction" and called:
                 return self.histogram_fraction()
             if val in ("histogram_count", "histogram_sum",
-                       "histogram_avg") and called:
+                       "histogram_avg", "histogram_stddev",
+                       "histogram_stdvar") and called:
                 self.eat(val)
                 self.eat("(")
                 arg = self.expr()
@@ -1301,27 +1304,57 @@ class PromQLEngine:
         if isinstance(node, HistogramFraction):
             return self._histogram_fraction(node, self._inst(node.arg, at))
         if isinstance(node, HistAccessor):
-            from .native_histogram import HIST_COLS
-
-            arg = self._inst(node.arg, at)
-            if not isinstance(arg, DataFrame) or "buckets" not in arg.columns:
-                raise ValueError(
-                    f"{node.fn} needs a native-histogram-valued vector"
-                )
-            labels = [c for c in arg.columns if c not in HIST_COLS]
-            col = {
-                "histogram_count": F.col("count").cast("double"),
-                "histogram_sum": F.col("sum").cast("double"),
-                "histogram_avg": (F.col("sum") / F.col("count")).cast(
-                    "double"
-                ),
-            }[node.fn]
-            return arg.select(*labels, col.alias(VALUE_COL))
+            return self._hist_accessor(node, self._inst(node.arg, at))
         if isinstance(node, LabelFn):
             return self._label_fn(node, self._inst(node.arg, at))
         if isinstance(node, BinOp):
             return self._binop(node, self._inst(node.left, at), self._inst(node.right, at), [])
         raise TypeError(f"unknown node {node!r}")
+
+    def _hist_accessor(self, node: HistAccessor, arg):
+        """The accessor trio + stddev/stdvar over a histogram-valued
+        vector, instant or grid (``step_ts`` rides as one more label).
+        count/sum/avg are native-only column arithmetic;
+        stddev/stdvar layout-dispatch like histogram_fraction —
+        native sparse buckets vs classic ``label_le`` series."""
+        from .native_histogram import HIST_COLS
+
+        if not isinstance(arg, DataFrame):
+            raise ValueError(f"{node.fn} needs a vector argument")
+        if node.fn in ("histogram_stddev", "histogram_stdvar"):
+            stdvar = node.fn == "histogram_stdvar"
+            if "buckets" in arg.columns:
+                from .native_histogram import native_histogram_stddev
+
+                labels = [c for c in arg.columns if c not in HIST_COLS]
+                return native_histogram_stddev(
+                    arg, labels, stdvar=stdvar
+                ).withColumnRenamed("value", VALUE_COL)
+            if "label_le" not in arg.columns:
+                raise ValueError(
+                    f"{node.fn} needs a label_le column or a "
+                    "native-histogram-valued vector"
+                )
+            from .promql import histogram_stddev as classic_stddev
+
+            labels = [c for c in arg.columns
+                      if c not in (VALUE_COL, "label_le")]
+            return classic_stddev(
+                arg, labels, time_col=None, stdvar=stdvar
+            ).withColumnRenamed("stdvar" if stdvar else "stddev", VALUE_COL)
+        if "buckets" not in arg.columns:
+            raise ValueError(
+                f"{node.fn} needs a native-histogram-valued vector"
+            )
+        labels = [c for c in arg.columns if c not in HIST_COLS]
+        col = {
+            "histogram_count": F.col("count").cast("double"),
+            "histogram_sum": F.col("sum").cast("double"),
+            "histogram_avg": (F.col("sum") / F.col("count")).cast(
+                "double"
+            ),
+        }[node.fn]
+        return arg.select(*labels, col.alias(VALUE_COL))
 
     def _histogram_fraction(self, node: HistogramFraction, arg):
         """Layout dispatch for histogram_fraction (mirrors
@@ -1645,22 +1678,12 @@ class PromQLEngine:
                 node, self._rng(node.arg, start, end, step)
             )
         if isinstance(node, HistAccessor):
-            from .native_histogram import HIST_COLS
-
-            arg = self._rng(node.arg, start, end, step)
-            if not isinstance(arg, DataFrame) or "buckets" not in arg.columns:
-                raise ValueError(
-                    f"{node.fn} needs a native-histogram-valued vector"
-                )
-            labels = [c for c in arg.columns if c not in HIST_COLS]
-            col = {
-                "histogram_count": F.col("count").cast("double"),
-                "histogram_sum": F.col("sum").cast("double"),
-                "histogram_avg": (F.col("sum") / F.col("count")).cast(
-                    "double"
-                ),
-            }[node.fn]
-            return arg.select(*labels, col.alias(VALUE_COL))
+            # shared with the instant path: step_ts is just one more
+            # label through both the native arithmetic and the classic
+            # stddev window walk
+            return self._hist_accessor(
+                node, self._rng(node.arg, start, end, step)
+            )
         if isinstance(node, LabelFn):
             # pure projection — label columns rewrite identically whether
             # or not a step_ts axis is present
