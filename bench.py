@@ -144,6 +144,11 @@ def main() -> None:
         # in the output JSON under "routes"
         "q114_mv",
         "q09_auto", "q16_auto", "q104_auto", "q129_auto", "q152_auto",
+        # r15: the remaining laddered families auto-routed (verdict r14
+        # #6) — q06 (mv -> series-dim -> raw), q14/q28 (bucketed ->
+        # raw), q91 (indexed -> raw), q132/q136 (mv -> raw)
+        "q06_auto", "q14_auto", "q28_auto", "q91_auto", "q132_auto",
+        "q136_auto",
     ]
     # optional subset (comma-separated names): the sf100 curve extension
     # runs only the cheapest queries — disk/time bound, SCALE.md §5l

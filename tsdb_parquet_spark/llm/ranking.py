@@ -182,6 +182,37 @@ def bm25_rank_indexed(
     return _score_topk(tf, stats, query_terms, k1, b, top_k, doc_id)
 
 
+def bm25_rank_indexed_peek(
+    spark,
+    name: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    num_buckets: int = 16,
+    doc_id: str = "doc_id",
+    source_paths: str | list[str] | None = None,
+) -> DataFrame | None:
+    """READ-ONLY resolution of the :func:`bm25_rank_indexed` layout —
+    the probe half for layout auto-routing (sources.route_at_rest):
+    serve the query from the committed fingerprint-fresh postings +
+    stats tables if BOTH exist, else return ``None`` without building
+    anything.  Identical scoring tail (same oracle as bm25_rank)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    from ..sources import peek_bucketed_table, peek_table
+
+    post = peek_bucketed_table(
+        spark, name, bucket_col="term", num_buckets=num_buckets,
+        sort_col="term", source_paths=source_paths,
+    )
+    stats = peek_table(spark, f"{name}_stats", source_paths=source_paths)
+    if post is None or stats is None:
+        return None
+    tf = post.filter(F.col("term").isin(list(query_terms)))
+    return _score_topk(tf, stats, query_terms, k1, b, top_k, doc_id)
+
+
 def rrf_fuse(
     ranked_lists: list[DataFrame],
     id_col: str = "doc_id",
