@@ -737,13 +737,21 @@ def make_audio_payload_table(spark, docs: DataFrame,
                              text_col: str = "text") -> DataFrame:
     """REAL-payload audio table: each document becomes a small valid
     mono 16-bit PCM WAV whose length/content derive deterministically
-    from crc32(text) — so :func:`decode_audio` exercises real RIFF
+    from the text — so :func:`decode_audio` exercises real RIFF
     parsing + full sample decode without any audio library.  Worker-side
-    mapInPandas generation, map stage."""
-    crc = F.crc32(F.encode(F.col(text_col), "utf-8"))
+    mapInPandas generation, map stage.
+
+    The payload length is md5-PORTABLE (r15 — verdict r14 #5: the
+    first-8-hex-chars integer of ``md5(text)``, the q87/corpus hashing
+    convention) rather than crc32-derived, so a replaying engine can
+    reconstruct every sample from (item_id, text) alone and the decode
+    digests graduate from rows-only to oracle-gated."""
+    h = F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast(
+        "long"
+    )
     base = docs.select(
         F.col(id_col).alias("item_id"),
-        (crc % 400 + 50).cast("int").alias("_n"),
+        (h % 400 + 50).cast("int").alias("_n"),
     )
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
