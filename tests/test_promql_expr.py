@@ -717,6 +717,76 @@ def test_promql_api_response_shapes(spark):
     assert ts == sorted(ts) and len(ts) >= 2
 
 
+def test_promql_api_histogram_envelope(spark):
+    """Histogram-typed values in the /api/v1/query envelope (r15 —
+    verdict r14 #8): a native-histogram instant vector emits the
+    Prometheus 3.x ``histogram`` member ``[ts, {count, sum, buckets}]``
+    with ``buckets`` rows ``[boundary_rule, "lower", "upper", "count"]``
+    (rule 0 = open-left positive bucket, 3 = closed zero bucket) —
+    the documented shape, values as strings."""
+    from tsdb_parquet_spark.promql_api import (
+        instant_response,
+        query_instant_response,
+        query_range_response,
+    )
+
+    rows = [
+        (
+            1000, "m", "i1", 20, 30.0, 5, 0,
+            [{"k": 1, "c": 10}, {"k": 2, "c": 5}],
+        ),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "time long, label_name string, label_instance string, "
+        "count long, sum double, zero_count long, schema int, "
+        "buckets array<struct<k: int, c: bigint>>",
+    )
+    r = query_instant_response(df, "m", 1000)
+    assert r["data"]["resultType"] == "vector"
+    e = r["data"]["result"][0]
+    assert e["metric"] == {"__name__": "m", "instance": "i1"}
+    assert "value" not in e
+    ts, h = e["histogram"]
+    assert ts == 1.0
+    assert h["count"] == "20" and h["sum"] == "30"
+    # zero bucket first (closed), then (1,2] and (2,4] open-left
+    assert h["buckets"] == [
+        [3, "0", "0", "5"],
+        [0, "1", "2", "10"],
+        [0, "2", "4", "5"],
+    ]
+    # rate() output stays histogram-typed through the envelope
+    df2 = df.unionByName(
+        spark.createDataFrame(
+            [(61000, "m", "i1", 30, 50.0, 7,
+              0, [{"k": 1, "c": 16}, {"k": 2, "c": 7}])],
+            df.schema,
+        )
+    )
+    r2 = query_instant_response(df2, "rate(m[2m])", 61000)
+    h2 = r2["data"]["result"][0]["histogram"][1]
+    assert float(h2["count"]) == pytest.approx(10 / 60)
+    # matrix: histograms member, time-ordered
+    m = query_range_response(df2, "m", 1000, 61000, 60000)
+    s = m["data"]["result"][0]
+    assert "values" not in s and len(s["histograms"]) == 2
+    tss = [t for t, _ in s["histograms"]]
+    assert tss == sorted(tss)
+    assert s["histograms"][0][1]["count"] == "20"
+    # guard still applies to histogram vectors
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        instant_response(
+            df2.selectExpr(
+                "label_name", "label_instance", "count", "sum",
+                "zero_count", "schema", "buckets"
+            ),
+            0, max_samples=1,
+        )
+
+
 def test_promql_api_discovery_endpoints(spark):
     # /api/v1/series, /labels, /label/<name>/values over the reference
     # block: __name__ mapping in selectors and outputs, schema-only

@@ -73,6 +73,36 @@ def _guard(df: DataFrame, max_samples: int) -> list:
     return rows
 
 
+def _hist_obj(row) -> dict:
+    """Prometheus 3.x native-histogram sample object (the HTTP API's
+    ``histogram``/``histograms`` value shape): ``{"count": ..., "sum":
+    ..., "buckets": [[boundary_rule, "lower", "upper", "count"], ...]}``
+    with values in string form and boundary_rule 0 = open-left (the
+    standard ``(lower, upper]`` positive bucket) / 3 = closed-both (the
+    zero bucket — this engine models all non-positive observations at
+    the zero point, so its bounds are ["0","0"]).  Bucket bounds come
+    from the row's own ``schema`` (``base = 2^(2^-schema)``)."""
+    s = int(row["schema"])
+    sf = float(1 << s)
+    buckets = []
+    zc = row["zero_count"]
+    if zc:
+        buckets.append([3, "0", "0", _fmt_value(float(zc))])
+    for b in row["buckets"] or []:
+        k = b["k"]
+        buckets.append([
+            0,
+            _fmt_value(2.0 ** ((k - 1) / sf)),
+            _fmt_value(2.0 ** (k / sf)),
+            _fmt_value(float(b["c"])),
+        ])
+    return {
+        "count": _fmt_value(float(row["count"])),
+        "sum": _fmt_value(float(row["sum"])),
+        "buckets": buckets,
+    }
+
+
 def instant_response(
     df: DataFrame,
     at_ms: int,
@@ -80,16 +110,31 @@ def instant_response(
     max_samples: int = 50_000,
 ) -> dict:
     """``/api/v1/query`` body (resultType ``vector``) from an instant
-    result (promql_expr.query_instant output: label_* + value)."""
+    result (promql_expr.query_instant output: label_* + value).
+
+    HISTOGRAM-valued vectors (r15 — verdict r14 #8: a ``buckets``
+    column, e.g. a native-histogram selector or ``rate(m[5m])`` before
+    an accessor) emit Prometheus 3.x's ``histogram`` member — ``[ts,
+    {count, sum, buckets}]`` — in place of ``value``, exactly as
+    ``/api/v1/query`` returns histogram-typed samples."""
     labels = _label_cols(df)
     ts = at_ms / 1000.0
-    result = [
-        {
-            "metric": _metric_map(r, labels, metric_label),
-            "value": [ts, _fmt_value(r["value"])],
-        }
-        for r in _guard(df, max_samples)
-    ]
+    if "buckets" in df.columns:
+        result = [
+            {
+                "metric": _metric_map(r, labels, metric_label),
+                "histogram": [ts, _hist_obj(r)],
+            }
+            for r in _guard(df, max_samples)
+        ]
+    else:
+        result = [
+            {
+                "metric": _metric_map(r, labels, metric_label),
+                "value": [ts, _fmt_value(r["value"])],
+            }
+            for r in _guard(df, max_samples)
+        ]
     result.sort(key=lambda e: sorted(e["metric"].items()))
     return {"status": "success",
             "data": {"resultType": "vector", "result": result}}
@@ -103,17 +148,26 @@ def range_response(
 ) -> dict:
     """``/api/v1/query_range`` body (resultType ``matrix``) from a range
     result (promql_expr.query_range output: label_* + step_ts + value),
-    one entry per series with its time-ordered ``values``."""
+    one entry per series with its time-ordered ``values``.
+
+    HISTOGRAM-valued grids (a ``buckets`` column) emit Prometheus
+    3.x's ``histograms`` member — ``[[ts, {count, sum, buckets}],
+    ...]`` — in place of ``values`` (r15, verdict r14 #8)."""
     labels = _label_cols(df)
+    hist = "buckets" in df.columns
+    member = "histograms" if hist else "values"
     series: dict[tuple, dict] = {}
     for r in _guard(df, max_samples):
         m = _metric_map(r, labels, metric_label)
         key = tuple(sorted(m.items()))
-        entry = series.setdefault(key, {"metric": m, "values": []})
-        entry["values"].append((r[ts_col], _fmt_value(r["value"])))
+        entry = series.setdefault(key, {"metric": m, member: []})
+        entry[member].append(
+            (r[ts_col], _hist_obj(r) if hist else _fmt_value(r["value"]))
+        )
     for entry in series.values():
-        entry["values"] = [
-            [t / 1000.0, v] for t, v in sorted(entry["values"])
+        entry[member] = [
+            [t / 1000.0, v]
+            for t, v in sorted(entry[member], key=lambda tv: tv[0])
         ]
     result = [series[k] for k in sorted(series)]
     return {"status": "success",
