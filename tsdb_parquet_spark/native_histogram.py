@@ -652,13 +652,21 @@ def native_histogram_quantile(
     2^(2^-schema)`` read from the hist rows — the Prometheus
     within-bucket model at any resolution (schema 0 reduces to exact
     integer powers of two).  Returns ``(labels..., value)``.  Runs on
-    bucket rows, never raw samples."""
+    bucket rows, never raw samples.
+
+    SINGLE-PASS plan (r15): the zero-bucket hit (``rank <=
+    zero_count`` → quantile 0) is a CASE on the first qualifying walk
+    row, not a separate ``union`` branch — the r14 shape evaluated the
+    whole upstream subtree TWICE (two exchanges, no reuse; at the end
+    of the range-grid pipeline that doubled the pair-delta work).
+    ``explode_outer`` keeps bucket-less label sets (all mass at the
+    zero point) as a null-k row so they still emit."""
     b = hist_df.select(
         *labels,
         F.col("count"),
         F.col("zero_count"),
         F.col("schema"),
-        F.posexplode("buckets").alias("_i", "_b"),
+        F.explode_outer("buckets").alias("_b"),
     ).select(
         *labels,
         "count",
@@ -669,36 +677,42 @@ def native_histogram_quantile(
     )
     w = (
         Window.partitionBy(*labels)
-        .orderBy("k")
+        .orderBy(F.asc_nulls_first("k"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     rank = F.lit(q) * F.col("count")
-    cum = (F.sum("c").over(w) + F.col("zero_count")).alias("cum")
+    cum = (
+        F.sum(F.coalesce(F.col("c"), F.lit(0))).over(w)
+        + F.col("zero_count")
+    ).alias("cum")
     walked = b.select(
         *labels, "count", "zero_count", "schema", "k", "c",
         cum, rank.alias("rank"),
     )
-    # rank inside the zero bucket -> quantile 0 (all non-positive obs
-    # are modeled at the zero point)
-    hit = walked.filter(
-        (F.col("cum") >= F.col("rank"))
-        & (F.col("rank") > F.col("zero_count"))
+    # the first bucket whose cumulative count reaches rank; when rank
+    # sits inside the zero bucket (rank <= zero_count) EVERY row
+    # qualifies and the first row carries the 0.0 case below
+    first = (
+        walked.filter(F.col("cum") >= F.col("rank"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*labels).orderBy(F.asc_nulls_first("k"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
     )
-    first = hit.withColumn(
-        "_rn",
-        F.row_number().over(Window.partitionBy(*labels).orderBy("k")),
-    ).filter(F.col("_rn") == 1)
     # (k-1)/2^schema: at schema 0 the division by 1.0 is exact, so the
     # bounds stay the bit-exact integer powers of two
     sf = F.pow(F.lit(2.0), F.col("schema").cast("double"))
     lower = F.pow(F.lit(2.0), (F.col("k") - 1).cast("double") / sf)
     upper = F.pow(F.lit(2.0), F.col("k").cast("double") / sf)
     frac = (F.col("rank") - (F.col("cum") - F.col("c"))) / F.col("c")
-    val = lower + (upper - lower) * frac
-    zero_hit = (
-        hist_df.filter(F.lit(q) * F.col("count") <= F.col("zero_count"))
-        .select(*labels, F.lit(0.0).alias("value"))
+    val = (
+        F.when(
+            (F.col("rank") <= F.col("zero_count")) | F.col("k").isNull(),
+            F.lit(0.0),
+        )
+        .otherwise(F.round(lower + (upper - lower) * frac, round_dp))
     )
-    return first.select(
-        *labels, F.round(val, round_dp).alias("value")
-    ).unionByName(zero_hit)
+    return first.select(*labels, val.alias("value"))
