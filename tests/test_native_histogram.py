@@ -527,6 +527,21 @@ def test_promql_hist_range_grid_matches_instant(spark):
             assert grid.get(ts) == want, (expr, ts, grid.get(ts), want)
 
 
+def test_range_grid_at_modifier_replicates_instant(spark):
+    """`m @ ts` over a native-histogram selector in a range query:
+    the fixed-time instant histogram replicated per step (the float @
+    convention) — previously crashed in the float instant_vector
+    path (code-review r15)."""
+    from tsdb_parquet_spark.promql_expr import query_range
+
+    df = _series_df(spark, _GRID_SAMPLES)
+    out = query_range(
+        df, "histogram_sum(m @ 15)", 0, 30000, 15000
+    ).collect()
+    assert {r["step_ts"] for r in out} == {0, 15000, 30000}
+    assert {r["value"] for r in out} == {160.0}
+
+
 def test_fraction_empty_vector_in_empty_out(spark):
     """Instant outside the staleness window: empty vector in, empty
     vector out (advice r14) — not a driver-side schema error."""

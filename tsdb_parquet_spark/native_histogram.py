@@ -370,6 +370,38 @@ def native_histogram_rate(
     )
 
 
+def _explode_covering_steps(
+    df: DataFrame,
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    reach_ms: int,
+    time_col: str,
+) -> DataFrame:
+    """Explode each sample over the grid steps whose ``reach_ms``
+    lookback contains it — ``step_ts ∈ [t, t + reach)`` clamped to the
+    grid, a bounded ``reach/step`` expansion independent of step count
+    (the float ``promql.range_rate`` composition's explode, shared by
+    the two native-histogram grid operators).  Adds ``step_ts``."""
+    t = F.col(time_col)
+    n_steps = (end_ms - start_ms) // step_ms
+    k_min = F.greatest(
+        F.lit(0),
+        F.ceil((t - F.lit(start_ms)) / F.lit(step_ms)).cast("bigint"),
+    )
+    k_max = F.least(
+        F.lit(n_steps),
+        F.floor(
+            (t + F.lit(reach_ms - 1) - F.lit(start_ms)) / F.lit(step_ms)
+        ).cast("bigint"),
+    )
+    return (
+        df.filter(k_min <= k_max)
+        .withColumn("_k", F.explode(F.sequence(k_min, k_max)))
+        .withColumn("step_ts", F.lit(start_ms) + F.col("_k") * F.lit(step_ms))
+    )
+
+
 def native_histogram_range_increase(
     df: DataFrame,
     labels: list[str],
@@ -404,21 +436,8 @@ def native_histogram_range_increase(
     t = F.col(time_col)
     win = df.filter((t <= end_ms) & (t > start_ms - window_ms))
     d = _pair_deltas(win, labels, time_col, pin)
-    n_steps = (end_ms - start_ms) // step_ms
-    k_min = F.greatest(
-        F.lit(0),
-        F.ceil((t - F.lit(start_ms)) / F.lit(step_ms)).cast("bigint"),
-    )
-    k_max = F.least(
-        F.lit(n_steps),
-        F.floor(
-            (t + F.lit(window_ms - 1) - F.lit(start_ms)) / F.lit(step_ms)
-        ).cast("bigint"),
-    )
-    exploded = (
-        d.filter(k_min <= k_max)
-        .withColumn("_k", F.explode(F.sequence(k_min, k_max)))
-        .withColumn("step_ts", F.lit(start_ms) + F.col("_k") * F.lit(step_ms))
+    exploded = _explode_covering_steps(
+        d, start_ms, end_ms, step_ms, window_ms, time_col
     )
     # a pair counts toward this step iff its previous sample is also in
     # the step's lookback window (strict >, the instant filter's bound)
@@ -497,21 +516,8 @@ def native_histogram_range_vector(
     and the per-step ``max_by(time)`` keeps the newest."""
     t = F.col(time_col)
     win = df.filter((t <= end_ms) & (t > start_ms - staleness_ms))
-    n_steps = (end_ms - start_ms) // step_ms
-    k_min = F.greatest(
-        F.lit(0),
-        F.ceil((t - F.lit(start_ms)) / F.lit(step_ms)).cast("bigint"),
-    )
-    k_max = F.least(
-        F.lit(n_steps),
-        F.floor(
-            (t + F.lit(staleness_ms - 1) - F.lit(start_ms)) / F.lit(step_ms)
-        ).cast("bigint"),
-    )
-    exploded = (
-        win.filter(k_min <= k_max)
-        .withColumn("_k", F.explode(F.sequence(k_min, k_max)))
-        .withColumn("step_ts", F.lit(start_ms) + F.col("_k") * F.lit(step_ms))
+    exploded = _explode_covering_steps(
+        win, start_ms, end_ms, step_ms, staleness_ms, time_col
     )
     return exploded.groupBy(*labels, "step_ts").agg(
         *[F.max_by(c, t).alias(c) for c in HIST_COLS]
@@ -636,6 +642,88 @@ def native_histogram_fraction(
     if round_dp is not None:
         frac = F.round(frac, round_dp)
     return b.groupBy(*labels).agg(frac.alias("fraction"))
+
+
+def native_histogram_fraction_expr(
+    hist_df: DataFrame,
+    lo: float,
+    hi: float,
+    labels: list[str],
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """``histogram_fraction(lo, hi, <native histogram>)`` as ONE
+    aggregation pass with ROW-SIDE schema arithmetic — the expression
+    evaluator's fraction kernel (r15: the dispatch previously
+    collect()ed the schema off the evaluated vector and walked it once
+    per bound, evaluating the upstream subtree up to three times; on a
+    range grid that upstream is the whole pair-delta pipeline).
+
+    The containing bucket index for each bound is computed per row
+    from the row's own ``schema`` (``ceil(log2(u) * 2^schema)`` with
+    the one-step candidate correction of
+    :func:`bucket_index_exact_float` — ``log2(u)`` is a driver
+    literal, everything else JVM columns), so mixed-schema vectors
+    work and no driver job runs.  Both bounds' contributions aggregate
+    in the SAME pass; ``lo = 0`` contributes nothing on the lower
+    side, reproducing :func:`native_histogram_fraction`'s arithmetic
+    bit-for-bit at schema 0.  Empty vector in → empty vector out;
+    ``explode_outer`` keeps all-zero-bucket label sets.  Returns
+    ``(labels..., value)``."""
+    import math
+
+    if hi <= 0:
+        raise ValueError("hi must be positive (zero bucket is the floor)")
+
+    sf = F.pow(F.lit(2.0), F.col("schema").cast("double"))
+
+    def _bound(u: float):
+        k0 = F.ceil(F.lit(math.log2(u)) * sf).cast("int")
+        p_lo = F.pow(F.lit(2.0), (k0 - F.lit(1)).cast("double") / sf)
+        p_hi = F.pow(F.lit(2.0), k0.cast("double") / sf)
+        k = (
+            F.when(p_lo >= F.lit(u), k0 - F.lit(1))
+            .when(p_hi < F.lit(u), k0 + F.lit(1))
+            .otherwise(k0)
+            .cast("int")
+        )
+        lo_b = F.pow(F.lit(2.0), (k - F.lit(1)).cast("double") / sf)
+        hi_b = F.pow(F.lit(2.0), k.cast("double") / sf)
+        part = (F.lit(u) - lo_b) / (hi_b - lo_b)
+        return k, part
+
+    b = hist_df.select(
+        *labels,
+        "count",
+        "zero_count",
+        "schema",
+        F.explode_outer("buckets").alias("_b"),
+    )
+    bk = F.col("_b.k")
+    bc = F.col("_b.c").cast("double")
+
+    def _contrib(u: float):
+        k, part = _bound(u)
+        return F.coalesce(
+            F.when(bk < k, bc).when(bk == k, bc * part).otherwise(F.lit(0.0)),
+            F.lit(0.0),
+        )
+
+    aggs = [F.sum(_contrib(hi)).alias("_chi")]
+    if lo > 0:
+        aggs.append(F.sum(_contrib(lo)).alias("_clo"))
+    g = b.groupBy(*labels).agg(
+        F.first("zero_count").alias("_z"),
+        F.first("count").alias("_n"),
+        *aggs,
+    )
+    frac_hi = (F.col("_z") + F.col("_chi")) / F.col("_n")
+    if lo > 0:
+        val = frac_hi - (F.col("_z") + F.col("_clo")) / F.col("_n")
+    else:
+        val = frac_hi
+    if round_dp is not None:
+        val = F.round(val, round_dp)
+    return g.select(*labels, val.alias("value"))
 
 
 def native_histogram_quantile(

@@ -1386,7 +1386,10 @@ class PromQLEngine:
             )
 
         if "buckets" in arg.columns:
-            from .native_histogram import HIST_COLS, native_histogram_fraction
+            from .native_histogram import (
+                HIST_COLS,
+                native_histogram_fraction_expr,
+            )
 
             labels = [c for c in arg.columns if c not in HIST_COLS]
             if hi <= lo:
@@ -1395,35 +1398,14 @@ class PromQLEngine:
                 return arg.select(*labels).distinct().withColumn(
                     VALUE_COL, F.lit(0.0)
                 )
-            schemas = [
-                r[0] for r in arg.select("schema").distinct().limit(3).collect()
-            ]
-            if not schemas:
-                # empty vector in (e.g. instant outside the staleness
-                # window) -> empty vector out, the PromQL contract —
-                # same as the classic path and native histogram_quantile
-                return arg.limit(0).select(
-                    *labels, F.lit(None).cast("double").alias(VALUE_COL)
-                )
-            if len(schemas) != 1:
-                raise ValueError(
-                    f"histogram_fraction: one bucket schema required, got {schemas}"
-                )
-            s = int(schemas[0])
-            if lo == 0:
-                return native_histogram_fraction(
-                    arg, hi, labels, schema=s
-                ).withColumnRenamed("fraction", VALUE_COL)
-            # two-bound: both walks UNROUNDED over the same evaluated
-            # vector; one 6dp round on the difference (advice r14 —
-            # rounding each bound first leaks ~1e-6 into the subtraction)
-            out_hi = native_histogram_fraction(
-                arg, hi, labels, schema=s, round_dp=None
-            )
-            out_lo = native_histogram_fraction(
-                arg, lo, labels, schema=s, round_dp=None
-            ).withColumnRenamed("fraction", "_flo")
-            return _sub(out_hi, out_lo, labels, 6)
+            # ONE aggregation pass, schema read per row, both bounds'
+            # contributions in the same aggregate, one 6dp round on the
+            # difference (advice r14) — the r15 single-pass kernel: the
+            # previous dispatch collect()ed the schema and walked once
+            # per bound, evaluating the upstream subtree (on a range
+            # grid: the whole pair-delta pipeline) up to three times.
+            # Empty vector in -> empty vector out falls out naturally.
+            return native_histogram_fraction_expr(arg, lo, hi, labels)
         if "label_le" not in arg.columns:
             raise ValueError(
                 "histogram_fraction needs a label_le column or a "
@@ -1482,14 +1464,37 @@ class PromQLEngine:
             )
         if isinstance(node, Selector):
             sel = apply_matchers(self.df, node.matchers)
-            if "buckets" in sel.columns and node.at_ms is None:
+            if "buckets" in sel.columns:
+                from .native_histogram import (
+                    HIST_COLS,
+                    native_histogram_range_vector,
+                )
+
+                labels = label_columns(sel)
+                if node.at_ms is not None:
+                    # fixed evaluation time (@): the instant histogram
+                    # vector (whole-sample max_by within staleness)
+                    # replicated per step — the float @ convention
+                    at_eff = self._at(node.at_ms, start, end) - node.offset_ms
+                    w = sel.filter(
+                        (F.col(TIME_COL) <= at_eff)
+                        & (F.col(TIME_COL) > at_eff - self.staleness_ms)
+                    )
+                    iv = w.groupBy(*labels).agg(
+                        *[F.max_by(c, F.col(TIME_COL)).alias(c)
+                          for c in HIST_COLS]
+                    )
+                    return iv.withColumn(
+                        "step_ts",
+                        F.explode(
+                            F.sequence(F.lit(start), F.lit(end), F.lit(step))
+                        ),
+                    )
                 # native-histogram selector on the step grid: per-step
                 # latest whole sample within the staleness lookback
-                from .native_histogram import native_histogram_range_vector
-
                 off = node.offset_ms
                 out = native_histogram_range_vector(
-                    sel, label_columns(sel), start - off, end - off, step,
+                    sel, labels, start - off, end - off, step,
                     self.staleness_ms,
                 )
                 return self._shift_steps(out, off)
