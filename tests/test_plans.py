@@ -547,12 +547,14 @@ def test_q159_market_share_fact_discipline(entry, spark):
 def test_q159_bucketed_no_lineitem_exchange(entry, spark):
     """q159 over the orderkey-bucketed layout (r12): the full-lineitem
     exchange — the raw plan's dominant cost at sf100 — must be gone;
-    the orderkey edge is a merge join consuming the at-rest buckets,
-    and no exchange keys on a lineitem attribute (the reduced remainder
+    the orderkey edge is a SHUFFLE-HASH join consuming the at-rest
+    buckets sort-free (r15 A/B: hash-build the reduced ocust, stream
+    the bucketed probe — −41% over the merge shape at sf100), and no
+    exchange keys on a lineitem attribute (the reduced remainder
     shuffles on part/supplier keys only)."""
     df = entry.q159_bucketed(spark, SF)
     plan = plan_of(df)
-    assert "SortMergeJoin" in plan, plan
+    assert "ShuffledHashJoin [o_orderkey" in plan, plan
     assert plan.count("Bucketed: true") == 1, plan  # lineitem only
     assert "hashpartitioning(l_orderkey" not in plan, plan
     # still never broadcasts an SF-scaling table
@@ -570,7 +572,7 @@ def test_q145_bucketed_shares_q159_layout_no_lineitem_exchange(entry, spark):
     df = entry.q145_bucketed(spark, SF)
     plan = plan_of(df)
     assert "q159b_lineitem" in plan, plan
-    assert "SortMergeJoin" in plan, plan
+    assert "ShuffledHashJoin [o_orderkey" in plan, plan
     assert plan.count("Bucketed: true") == 1, plan
     assert "hashpartitioning(l_orderkey" not in plan, plan
     assert plan.count("BroadcastHashJoin") == 2, plan
