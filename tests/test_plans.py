@@ -605,16 +605,16 @@ def test_q171_pipeline_linear_shape(entry, spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "pythonUDF" not in plan and "ArrowEval" not in plan, plan
-    # r14: the dedup+quality stage is localCheckpoint-materialized
-    # in-query, so decontaminate's n-hits join-back consumes the
-    # checkpointed stage (ExistingRDD scans) instead of recomputing
-    # the fingerprint-aggregate subtree — ZERO fingerprint exchanges
-    # remain in the downstream plan (the one real exchange lives
-    # inside the checkpointed lineage, evaluated exactly once)
+    # r15: the dedup+quality stage is referenced exactly ONCE — the
+    # narrow payload rides through the n-gram explode + broadcast
+    # hit-mark join into one combining hash aggregate, so the plan has
+    # exactly one fingerprint-keyed exchange (the dedup aggregate) and
+    # NO checkpoint materialization (the r14 localCheckpoint was
+    # measured real cost at sf100 — SCALE.md §5q).
     fp_exchanges = [ln for ln in plan.split("\n")
                     if "Exchange hashpartitioning(fingerprint" in ln]
-    assert len(fp_exchanges) == 0, plan
-    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+    assert len(fp_exchanges) == 1, plan
+    assert "ExistingRDD" not in plan, plan
 
 
 def test_q155_nullsafe_matching_plans_hash_join(entry, spark):

@@ -211,7 +211,20 @@ def decontaminate(
     the only aggregation is per-doc over matched n-grams.
     """
     bench_ngrams = _exploded_ngrams(benchmark, [], text_col, n).distinct()
-    doc_ngrams = _exploded_ngrams(docs, [id_col], text_col, n).distinct()
+    # Per-doc distinct computed MAP-SIDE (array_distinct before the
+    # explode): identical to .distinct() over (id, _ng) when ids are
+    # unique (the operator's contract — one row per document), and it
+    # removes the full-width exchange that .distinct() planned over
+    # EVERY exploded corpus n-gram (r15: at corpus scale that exchange
+    # was the single largest intermediate in the query; the only
+    # remaining shuffle is the hit-sized per-doc count).
+    staged = docs.select(id_col, tokens_col(text_col).alias("_dc_toks"))
+    doc_ngrams = staged.select(
+        id_col,
+        F.explode(
+            F.array_distinct(word_ngrams_from(F.col("_dc_toks"), n))
+        ).alias("_ng"),
+    )
     hits = (
         doc_ngrams.join(F.broadcast(bench_ngrams), "_ng")
         .groupBy(id_col)

@@ -413,7 +413,21 @@ def near_dup_pairs_from_band_index(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = docs.select(
+    # r15 OPTIMIZATION (guide §3.2 shape): semi-filter ``docs`` to the
+    # candidate ids BEFORE the shingle projection, so the md5-per-char
+    # shingle computation — the rerank's dominant per-row cost — and any
+    # movement of the resulting array<bigint> rows are CANDIDATE-BOUNDED
+    # instead of corpus-wide.  Without this the planner can also pick
+    # the shingle side as a broadcast build (its SCAN stats predate the
+    # ~8-bytes-per-char array inflation) — observed at sf0.1: the whole
+    # corpus's shingle arrays behind a BroadcastExchange.  The candidate
+    # id set is the banding's working set (ids only), hinted broadcast.
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = docs.join(F.broadcast(cand_ids), id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(
             portable_shingle_hashes(text_col, shingle_n)
