@@ -160,6 +160,52 @@ def test_semdedup_deterministic(spark):
     assert a == b and len(a) > 0
 
 
+def test_semdedup_production_k_arrow_path_matches_numpy_replay(spark):
+    """The k > 8 path (r15: mapInArrow assign + applyInArrow pairwise,
+    zero-copy buffer reshape, id-hash repartition) must produce exactly
+    the survivors a driver-side numpy replay of the documented contract
+    produces — assignment argmax with ties to the HIGHER seed index,
+    drop iff ANY earlier-(rank, id) cluster member reaches the
+    threshold."""
+    import hashlib
+
+    import numpy as np
+
+    from tsdb_parquet_spark.llm.dedup import semdedup
+
+    rng = random.Random(7)
+    n, dim, k, thr = 300, 8, 12, 0.97
+    rows = [(i, [float(rng.gauss(0, 1)) for _ in range(dim)])
+            for i in range(n)]
+    rows += [(1000 + i, rows[i][1]) for i in range(10)]  # exact dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["vec_id"], r["cluster"])
+           for r in semdedup(df, k=k, threshold=thr).collect()}
+
+    # ---- replay (float32 storage -> float64 math, like the engine)
+    ids = np.array([r[0] for r in rows])
+    embs = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    rk = np.array([hashlib.md5(f"{i}semdedup".encode()).hexdigest()
+                   for i in ids])
+    seed_order = np.lexsort((ids, rk))[:k]
+    mat = embs[seed_order].T
+    mat = mat / np.linalg.norm(mat, axis=0, keepdims=True)
+    norms = np.linalg.norm(embs, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    scores = (embs / norms) @ mat
+    cl = scores.shape[1] - 1 - np.argmax(scores[:, ::-1], axis=1)
+    want = set()
+    for c in np.unique(cl):
+        sel = np.where(cl == c)[0]
+        order = sel[np.lexsort((ids[sel], rk[sel]))]
+        e = embs[order] / norms[order]
+        s = e @ e.T
+        for i in range(len(order)):
+            if not any(s[i, j] >= thr for j in range(i)):
+                want.add((int(ids[order[i]]), int(c)))
+    assert got == want and len(got) < len(rows)
+
+
 # ------------------------------------------------------------- gopher rules
 
 def test_gopher_rules_flags(spark):

@@ -623,17 +623,23 @@ def semdedup(
         # per Arrow batch — the only viable shape for thousand-centroid k,
         # and already the faster one for k in the tens: the literal plan
         # is k x dim literals whose codegen alone costs seconds
-        # (measured 5.7 s at k=31/dim=64 vs sub-second numpy)
+        # (measured 5.7 s at k=31/dim=64 vs sub-second numpy).
+        # r15: mapInArrow, not mapInPandas — the list column's values
+        # buffer reshapes straight into the (n, dim) matrix (the
+        # cosine_topk_np zero-copy pattern); the pandas form boxed every
+        # embedding element into a Python float on BOTH sides of the
+        # boundary (O(rows x dim) interpreter work per batch).  Same
+        # float64 values, same matmul, bit-identical assignment.
         import numpy as np
-        import pandas as pd
 
-        from pyspark.sql.types import (IntegerType, StructField, StructType)
-
+        id_dt = base.schema["_id"].dataType.simpleString()
+        # mirror the INPUT embedding type (float embeddings stay float
+        # through the pass-through — casting the child vector would
+        # force a copy the zero-copy path exists to avoid)
+        emb_dt = base.schema["_emb"].dataType.simpleString()
         mat = np.array([v for _, v in seeds], dtype=np.float64).T  # dim x k
         mat = mat / np.linalg.norm(mat, axis=0, keepdims=True)
-        out_schema = StructType(
-            base.schema.fields + [StructField("_cl", IntegerType())]
-        )
+        out_schema = f"_id {id_dt}, _emb {emb_dt}, _rk string, _cl int"
 
         # Bound the scores matrix: rows_per_chunk x k doubles.  An
         # Arrow batch can be 10^6 rows (the bench profile raises
@@ -643,11 +649,31 @@ def semdedup(
         # chunk at 128 MB whatever k is.
         chunk_rows = max(1024, (1 << 24) // max(1, len(seeds)))
 
+        # r15: hash-repartition on the unique id BEFORE the map stage.
+        # Parquet scan parallelism is row-group-bound: a single-row-group
+        # embeddings file runs the whole scan+assign as ONE task (measured
+        # at sf10: one 12.6 s task, 31 idle cores).  The shuffle moves
+        # 4·dim bytes/row to buy 2·dim·k flops/row of parallel matmul —
+        # at any production k (hundreds+) the compute dwarfs the move, so
+        # this is scale-safe, not a local-mode tune; the count follows
+        # spark.sql.shuffle.partitions (conf-driven, AQE-coalescible).
+        base = base.repartition(F.col("_id"))
+
         def _assign(batches):
-            for pdf in batches:
-                for s0 in range(0, len(pdf), chunk_rows):
-                    part = pdf.iloc[s0:s0 + chunk_rows]
-                    embs = np.array(part["_emb"].tolist(), dtype=np.float64)
+            import pyarrow as pa  # noqa: PLC0415 — executor-side import
+
+            for b in batches:
+                for s0 in range(0, b.num_rows, chunk_rows):
+                    part = b.slice(s0, chunk_rows)
+                    col = part.column(1)  # _emb; slice keeps offsets valid
+                    flat = col.flatten().to_numpy(zero_copy_only=False)
+                    # constant-dim contract (as np.stack's): ragged or
+                    # null input would silently mis-reshape — fail loudly
+                    if flat.size % part.num_rows:
+                        raise ValueError(
+                            f"ragged _emb: {flat.size} / {part.num_rows}")
+                    embs = flat.reshape(part.num_rows, -1).astype(
+                        np.float64, copy=False)
                     norms = np.linalg.norm(embs, axis=1, keepdims=True)
                     norms[norms == 0.0] = 1.0
                     scores = (embs / norms) @ mat  # chunk x k
@@ -656,12 +682,13 @@ def semdedup(
                         scores.shape[1] - 1
                         - np.argmax(scores[:, ::-1], axis=1)
                     ).astype("int32")
-                    yield pd.DataFrame(
-                        {"_id": part["_id"], "_emb": part["_emb"],
-                         "_rk": part["_rk"], "_cl": best}
+                    yield pa.record_batch(
+                        [part.column(0), part.column(1), part.column(2),
+                         pa.array(best, type=pa.int32())],
+                        names=["_id", "_emb", "_rk", "_cl"],
                     )
 
-        assigned = base.mapInPandas(_assign, out_schema)
+        assigned = base.mapInArrow(_assign, out_schema)
     else:
 
         def _dot(col: Column, vec: list[float]) -> Column:
@@ -709,15 +736,28 @@ def semdedup(
         # from the left-fold in the last ulp, so like assignment this
         # path is capability-exact, not oracle-bit-exact — the k <= 8
         # HOF path below stays the driver-verified one.
+        # r15: applyInArrow, not applyInPandas — same zero-copy reshape
+        # as assignment (the pandas form re-boxed every embedding element
+        # per group); filter on an Arrow boolean mask replaces the pandas
+        # row copy.  Identical comparisons, bit-identical survivors.
         import numpy as np
-        import pandas as pd
 
-        def _survivors(pdf: pd.DataFrame) -> pd.DataFrame:
-            e = np.array(pdf["_emb"].tolist(), dtype=np.float64)
+        def _survivors(tbl):
+            import pyarrow as pa  # noqa: PLC0415 — executor-side import
+
+            ids = tbl.column("_id").to_numpy(zero_copy_only=False)
+            rks = tbl.column("_rk").to_numpy(zero_copy_only=False)
+            col = tbl.column("_emb")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            if len(ids) and flat.size % len(ids):
+                raise ValueError(f"ragged _emb: {flat.size} / {len(ids)}")
+            e = flat.reshape(len(ids), -1).astype(np.float64, copy=False)
             n = np.linalg.norm(e, axis=1, keepdims=True)
             n[n == 0.0] = 1.0
             e = e / n
-            order = np.lexsort((pdf["_id"].values, pdf["_rk"].values))
+            order = np.lexsort((ids, rks))
             eo = e[order]
             m = len(eo)
             # TILED any-earlier check: a full m x m similarity matrix is
@@ -744,12 +784,14 @@ def semdedup(
                         s = np.where(cols < rows, s, -np.inf)
                     hit |= (s >= threshold).any(axis=1)
                 drop_ordered[i0:i1] = hit
-            dropped = np.zeros(len(pdf), dtype=bool)
+            dropped = np.zeros(len(ids), dtype=bool)
             dropped[order] = drop_ordered
-            return pdf.loc[~dropped, ["_id", "_cl", "_rk"]]
+            return tbl.select(["_id", "_cl", "_rk"]).filter(
+                pa.array(~dropped))
 
-        out = assigned.groupBy("_cl").applyInPandas(
-            _survivors, schema=assigned.select("_id", "_cl", "_rk").schema
+        out = assigned.groupBy("_cl").applyInArrow(
+            _survivors, schema="_id {}, _cl int, _rk string".format(
+                assigned.schema["_id"].dataType.simpleString())
         )
         return out.select(
             F.col("_id").alias(id_col),

@@ -70,6 +70,16 @@ def get_spark(
         # Python DataSource filter pushdown (datasource.py pushes label
         # matchers to the TSDB block index, time bounds to chunk metadata)
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # numpy >= 1.18 madvise(MADV_HUGEPAGE)s every allocation >= 4 MB;
+        # under transparent_hugepage defrag=madvise the kernel then runs
+        # SYNCHRONOUS compaction on first touch.  With N Python workers
+        # each first-allocating a large scores/buffer matrix at once, the
+        # measured stall was 13-42 s PER WORKER on this box's kernel for
+        # a matmul that computes in 0.4 s (r15, reproduced outside Spark:
+        # 32 fresh processes, first-call median 21 s -> 0.6 s with this
+        # off).  Regular 4 KB pages cost a few percent of TLB efficiency;
+        # the first-touch compaction storm costs orders of magnitude.
+        .config("spark.executorEnv.NUMPY_MADVISE_HUGEPAGE", "0")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Scan-split sizing is BYTE-based on COMPRESSED file size, and
         # Spark floors the split at openCostInBytes (4 MB default, an
