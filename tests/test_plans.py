@@ -462,6 +462,11 @@ def test_q129_tfidf_two_aggs_one_topk_window(entry, spark):
     assert "partial_count" in plan  # map-side combine before the shuffle
     assert "row_number" in plan
     assert "CartesianProduct" not in plan
+    # r15: gdf is a window over the (group, term) aggregate, not a
+    # separate aggregate+join — the corpus is scanned and tokenized
+    # exactly ONCE (the join form planned two Generate subtrees because
+    # gdf-side pruning defeated ReuseExchange)
+    assert plan.count("Generate explode") == 1, plan
 
 
 def test_q133_keep_best_single_hash_exchange(entry, spark):

@@ -907,16 +907,31 @@ def tfidf_top_terms(
         )
         if n_groups is None:
             n_groups = df.select(group_col).distinct().count()  # one driver int
-    gdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("gdf"))
-    idf = gdf.select(
-        "term",
-        "gdf",
-        F.round(F.log(F.lit(float(n_groups)) / F.col("gdf").cast("double")) * F.lit(unit))
-        .cast("bigint")
-        .alias("_idf_li"),
-    )
-    scored = tf.join(idf, "term").withColumn(
-        "score_units", F.col("tf") * F.col("_idf_li")
+    # r15: gdf as a WINDOW over tf, not a separate aggregate+join — the
+    # join form referenced the tf subtree twice, and because the gdf
+    # side prunes the count function off its (group, term) aggregate
+    # the two subtrees canonicalize differently, so ReuseExchange never
+    # fired and the corpus was scanned + tokenized TWICE (two Generate
+    # subtrees in the executed plan; count("tf") doesn't help — the
+    # optimizer rewrites count(non-nullable) back to count(1) and
+    # prunes again).  count(*) over (partition by term) evaluates tf
+    # ONCE by construction: one corpus pass, the vocabulary-sized
+    # term exchange replaces both the gdf aggregate exchange and the
+    # broadcast build.  term cardinality is the window key, so the
+    # low-cardinality window trap (§5g) does not apply.  gdf values —
+    # and therefore every fixed-pointed idf and score — are unchanged.
+    from pyspark.sql import Window as _W
+
+    scored = (
+        tf.withColumn("gdf", F.count(F.lit(1)).over(_W.partitionBy("term")))
+        .withColumn(
+            "_idf_li",
+            F.round(
+                F.log(F.lit(float(n_groups)) / F.col("gdf").cast("double"))
+                * F.lit(unit)
+            ).cast("bigint"),
+        )
+        .withColumn("score_units", F.col("tf") * F.col("_idf_li"))
     )
     w = Window.partitionBy(group_col).orderBy(
         F.desc("score_units"), F.asc("term")
