@@ -403,6 +403,8 @@ def near_dup_pairs_from_band_index(
     the band index into the digest, so cross-band collisions need an
     md5 collision): returns (id_a, id_b, jaccard), id_a < id_b,
     jaccard >= threshold at 6dp."""
+    from pyspark.sql import Window
+
     from .dedup import portable_shingle_hashes
 
     a = band_index.select(F.col(id_col).alias("id_a"), "band_key")
@@ -420,11 +422,20 @@ def near_dup_pairs_from_band_index(
     # instead of corpus-wide.  Without this the planner can also pick
     # the shingle side as a broadcast build (its SCAN stats predate the
     # ~8-bytes-per-char array inflation) — observed at sf0.1: the whole
-    # corpus's shingle arrays behind a BroadcastExchange.  The candidate
-    # id set is the banding's working set (ids only), hinted broadcast.
+    # corpus's shingle arrays behind a BroadcastExchange.
+    #
+    # The id bound is a SUPERSET read off band-key multiplicity — one
+    # window pass over the bucketed index (no exchange), NOT a second
+    # evaluation of the self-join: an id is a candidate only if some
+    # band bucket holds it together with another row, so `count>1 per
+    # band_key` covers every true candidate, and extra ids only add
+    # unused shingle rows (the pair set stays fixed by ``cand``).
     cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
+        band_index.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("band_key"))
+        )
+        .filter(F.col("_n") > 1)
+        .select(id_col)
         .distinct()
     )
     sh = docs.join(F.broadcast(cand_ids), id_col, "left_semi").select(
@@ -433,12 +444,23 @@ def near_dup_pairs_from_band_index(
             portable_shingle_hashes(text_col, shingle_n)
         ).alias("_sh"),
     )
-    j = cand.join(
-        sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha")),
-        "id_a",
-    ).join(
-        sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb")),
-        "id_b",
+    # Join ``sh`` twice ON ITS OWN id column and alias AFTER each join:
+    # both sh subtrees then canonicalize identically (same projection,
+    # same join key), so ReuseExchange serves the second side from the
+    # first's exchange/broadcast — the shingle stage runs ONCE instead
+    # of once per pair side.  Aliasing the id inside each copy (the old
+    # shape) made the subtrees differ and defeated the reuse.
+    sha = sh.alias("_nd_sha")
+    shb = sh.alias("_nd_shb")
+    j = (
+        cand.join(sha, F.col("id_a") == F.col(f"_nd_sha.{id_col}"))
+        .join(shb, F.col("id_b") == F.col(f"_nd_shb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_nd_sha._sh").alias("_sha"),
+            F.col("_nd_shb._sh").alias("_shb"),
+        )
     )
     jac = F.size(F.array_intersect("_sha", "_shb")) / F.size(
         F.array_union("_sha", "_shb")
