@@ -175,7 +175,12 @@ def ngram_jaccard_pairs(
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    # |union| by inclusion-exclusion over the ALREADY-DISTINCT shingle
+    # arrays (char_shingles applies array_distinct): same integers as
+    # size(array_union(..)) without building the union array per pair —
+    # the union's hash-set + materialization was ~half the rerank's
+    # per-pair cost (r15, −10% wall at sf1 on the band rerank)
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
     out_jac = jac if round_dp is None else F.round(jac, round_dp)
     return (
@@ -1022,9 +1027,11 @@ def minhash_lsh_portable(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    jac = F.size(F.array_intersect("_sha", "_shb")) / F.size(
-        F.array_union("_sha", "_shb")
-    )
+    # |union| by inclusion-exclusion (the _sh arrays are array_distinct
+    # by construction in minhash_signatures_portable) — identical
+    # integers, no per-pair union array (r15)
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    jac = inter / (F.size("_sha") + F.size("_shb") - inter)
     return (
         pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)

@@ -462,9 +462,12 @@ def near_dup_pairs_from_band_index(
             F.col("_nd_shb._sh").alias("_shb"),
         )
     )
-    jac = F.size(F.array_intersect("_sha", "_shb")) / F.size(
-        F.array_union("_sha", "_shb")
-    )
+    # |union| by inclusion-exclusion (the _sh arrays are array_distinct
+    # by construction above) — identical integers, no per-pair union
+    # array (r15: the union's hash-set build + materialization was
+    # ~half the per-pair set-op cost; −10% rerank wall at sf1)
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    jac = inter / (F.size("_sha") + F.size("_shb") - inter)
     return (
         j.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
