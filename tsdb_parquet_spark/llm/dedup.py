@@ -190,6 +190,86 @@ def ngram_jaccard_pairs(
     )
 
 
+def _pair_jaccard_int64(
+    pairs_df: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard over (id_a, id_b, _sha, _shb) candidate rows, with
+    the INTEGER intersection count computed in a vectorized Arrow
+    kernel (r15, guide §4.2): Spark's ``ArrayIntersect`` builds a boxed
+    hash set per PAIR — measured as 2/3 of the whole rerank stage at
+    sf1 (join+shingles 3.0 s, +intersect 9.5 s) — whereas one
+    ``np.intersect1d`` sort-intersects every pair of an Arrow chunk at
+    once via (row << 31 | value) composite keys.  ONLY integers cross
+    back (inter, |a|, |b|); the int/int division and the HALF_UP
+    ``F.round`` stay JVM-side on exactly the operands the expression
+    form used, so results are bit-identical — no float crosses the
+    boundary.
+
+    Contract (asserted per chunk, fail loud): shingle values are
+    non-null int64 in [0, 2^31) — the portable mod-(2^31-1) hash
+    family — and per-row DISTINCT (both callers apply array_distinct),
+    which is what makes the composite keys unique per side.  A null
+    array on either side yields a null count → null jaccard → row
+    dropped by the threshold filter, matching ``size(array_intersect)``
+    null semantics.
+    """
+    src = pairs_df.select("id_a", "id_b", "_sha", "_shb")
+    id_a_t = src.schema["id_a"].dataType.simpleString()
+    id_b_t = src.schema["id_b"].dataType.simpleString()
+    out_schema = f"id_a {id_a_t}, id_b {id_b_t}, _inter int, _sa int, _sb int"
+
+    def _kernel(batches):
+        import numpy as np
+        import pyarrow as pa  # noqa: PLC0415 — executor-side import
+
+        # bound each np pass: 2^15 pairs x ~2 x shingle-set bytes
+        chunk_rows = 1 << 15
+
+        def _flat(col, n):
+            # list<int64> layout: monotonic offsets into one contiguous
+            # values buffer — all n rows' elements are one slice
+            if col.values.null_count:
+                raise ValueError("null shingle element")
+            off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = col.values.to_numpy(zero_copy_only=False)
+            elems = vals[off[0]:off[-1]]
+            if elems.size:
+                if elems.min() < 0 or elems.max() >= (1 << 31):
+                    raise ValueError("shingle hash outside [0, 2^31)")
+            lens = np.diff(off)
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            valid = (np.ones(n, dtype=bool) if col.null_count == 0
+                     else col.is_valid().to_numpy(zero_copy_only=False))
+            return (rows << 31) | elems, lens.astype(np.int32), valid
+
+        for b in batches:
+            for s0 in range(0, b.num_rows, chunk_rows):
+                part = b.slice(s0, chunk_rows)
+                n = part.num_rows
+                ka, sa, va = _flat(part.column(2), n)
+                kb, sb, vb = _flat(part.column(3), n)
+                common = np.intersect1d(ka, kb, assume_unique=True)
+                inter = np.bincount(common >> 31, minlength=n).astype(np.int32)
+                bad = ~(va & vb)
+                mask = bad if bad.any() else None
+                yield pa.record_batch(
+                    [part.column(0), part.column(1),
+                     pa.array(inter, type=pa.int32(), mask=mask),
+                     pa.array(sa, type=pa.int32(), mask=mask),
+                     pa.array(sb, type=pa.int32(), mask=mask)],
+                    names=["id_a", "id_b", "_inter", "_sa", "_sb"],
+                )
+
+    scored = src.mapInArrow(_kernel, out_schema)
+    jac = F.col("_inter") / (F.col("_sa") + F.col("_sb") - F.col("_inter"))
+    return (
+        scored.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -1027,16 +1107,11 @@ def minhash_lsh_portable(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # |union| by inclusion-exclusion (the _sh arrays are array_distinct
-    # by construction in minhash_signatures_portable) — identical
-    # integers, no per-pair union array (r15)
-    inter = F.size(F.array_intersect("_sha", "_shb"))
-    jac = inter / (F.size("_sha") + F.size("_shb") - inter)
-    return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    # r15: intersection counts via the vectorized Arrow kernel (the _sh
+    # arrays are array_distinct int64 mod-(2^31-1) hashes by
+    # construction in minhash_signatures_portable — the kernel's
+    # contract); division + round stay JVM-side, results bit-identical
+    return _pair_jaccard_int64(pairs, threshold)
 
 
 def simhash_portable_pairs(

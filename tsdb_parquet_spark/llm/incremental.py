@@ -462,17 +462,15 @@ def near_dup_pairs_from_band_index(
             F.col("_nd_shb._sh").alias("_shb"),
         )
     )
-    # |union| by inclusion-exclusion (the _sh arrays are array_distinct
-    # by construction above) — identical integers, no per-pair union
-    # array (r15: the union's hash-set build + materialization was
-    # ~half the per-pair set-op cost; −10% rerank wall at sf1)
-    inter = F.size(F.array_intersect("_sha", "_shb"))
-    jac = inter / (F.size("_sha") + F.size("_shb") - inter)
-    return (
-        j.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    # r15: intersection counts via the vectorized Arrow kernel (the _sh
+    # arrays are array_distinct int64 mod-(2^31-1) hashes — the
+    # kernel's asserted contract); the int/int division and HALF_UP
+    # round stay JVM-side on the same operands, results bit-identical.
+    # ArrayIntersect's per-pair boxed hash set was 2/3 of this stage's
+    # wall at sf1 (3.0 s join+shingles vs 9.5 s with the intersect).
+    from .dedup import _pair_jaccard_int64
+
+    return _pair_jaccard_int64(j, threshold)
 
 
 def incremental_near_dup(
