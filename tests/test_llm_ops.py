@@ -527,6 +527,50 @@ def test_decontaminate_flags_overlap(spark):
     assert out[1] == (0, False)
 
 
+def test_decontaminate_unique_id_contract(spark):
+    """decontaminate's map-side per-doc distinct (r15) equals the r14
+    global ``.distinct()`` over exploded (id, n-gram) rows ONLY under the
+    documented one-row-per-document contract.  Pin both halves: (a) on
+    unique ids the r15 form matches the r14 reference form exactly;
+    (b) on duplicate-id input the two forms DIVERGE — the contract is a
+    real precondition, not a redundancy (verdict r15 hygiene item)."""
+    from pyspark.sql import functions as F
+
+    from tsdb_parquet_spark.llm.corpus import _exploded_ngrams
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string")
+
+    def r14_reference(docs, n=8):
+        bench_ngrams = _exploded_ngrams(bench, [], "text", n).distinct()
+        doc_ngrams = _exploded_ngrams(docs, ["doc_id"], "text", n).distinct()
+        hits = (doc_ngrams.join(F.broadcast(bench_ngrams), "_ng")
+                .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits")))
+        return (docs.join(hits, "doc_id", "left")
+                .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0))))
+
+    hit_text = "intro alpha beta gamma delta epsilon zeta eta theta outro"
+    unique = spark.createDataFrame(
+        [(0, hit_text), (1, "entirely unrelated words that never collide ok")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_hits"]
+           for r in llm.decontaminate(unique, bench, n=8).collect()}
+    ref = {r["doc_id"]: r["n_hits"]
+           for r in r14_reference(unique).collect()}
+    assert got == ref
+
+    # duplicate ids: the r15 per-row form counts each row's hits (the
+    # join-back then pairs every docs row with the summed hit count),
+    # the r14 form merges the rows' n-gram sets first — different totals
+    dup = spark.createDataFrame(
+        [(0, hit_text), (0, hit_text)], "doc_id long, text string")
+    got_dup = sorted(r["n_hits"]
+                     for r in llm.decontaminate(dup, bench, n=8).collect())
+    ref_dup = sorted(r["n_hits"] for r in r14_reference(dup).collect())
+    assert got_dup != ref_dup
+
+
 def test_repetition_stats(spark):
     df = spark.createDataFrame(
         [

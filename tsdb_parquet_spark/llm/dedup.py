@@ -206,10 +206,12 @@ def _pair_jaccard_int64(
     form used, so results are bit-identical — no float crosses the
     boundary.
 
-    Contract (asserted per chunk, fail loud): shingle values are
-    non-null int64 in [0, 2^31) — the portable mod-(2^31-1) hash
-    family — and per-row DISTINCT (both callers apply array_distinct),
-    which is what makes the composite keys unique per side.  A null
+    Contract: shingle values are non-null int64 in [0, 2^31) — the
+    portable mod-(2^31-1) hash family — ASSERTED per chunk, fail loud;
+    per-row DISTINCTNESS is a CALLER OBLIGATION (both callers apply
+    array_distinct) that is NOT re-checked here — it is what makes the
+    composite keys unique per side, and ``np.intersect1d(assume_unique)``
+    silently over-counts if a caller ever violates it.  A null
     array on either side yields a null count → null jaccard → row
     dropped by the threshold filter, matching ``size(array_intersect)``
     null semantics.
@@ -234,13 +236,22 @@ def _pair_jaccard_int64(
             off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
             vals = col.values.to_numpy(zero_copy_only=False)
             elems = vals[off[0]:off[-1]]
-            if elems.size:
-                if elems.min() < 0 or elems.max() >= (1 << 31):
-                    raise ValueError("shingle hash outside [0, 2^31)")
             lens = np.diff(off)
             rows = np.repeat(np.arange(n, dtype=np.int64), lens)
             valid = (np.ones(n, dtype=bool) if col.null_count == 0
                      else col.is_valid().to_numpy(zero_copy_only=False))
+            if elems.size and not valid.all():
+                # the Arrow spec permits null list slots with NON-EMPTY
+                # offset ranges (Spark writes zero-length nulls, but a
+                # legal producer need not): elements under null slots
+                # must neither trip the range guard nor — once OR-ed
+                # into a composite key — collide into a valid row's
+                # count, so zero them (key row<<31|0 keeps the row bits
+                # of its own already-masked row)
+                elems = np.where(np.repeat(valid, lens), elems, 0)
+            if elems.size:
+                if elems.min() < 0 or elems.max() >= (1 << 31):
+                    raise ValueError("shingle hash outside [0, 2^31)")
             return (rows << 31) | elems, lens.astype(np.int32), valid
 
         for b in batches:

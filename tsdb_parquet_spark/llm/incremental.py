@@ -407,6 +407,11 @@ def near_dup_pairs_from_band_index(
 
     from .dedup import portable_shingle_hashes
 
+    if id_col in ("id_a", "id_b"):
+        # the pair-side joins reference unqualified id_a/id_b against
+        # alias-qualified sh columns; an id_col of either name would be
+        # ambiguous at analysis — fail early with a clear message
+        raise ValueError("id_col must not be 'id_a' or 'id_b'")
     a = band_index.select(F.col(id_col).alias("id_a"), "band_key")
     b = band_index.select(F.col(id_col).alias("id_b"), "band_key")
     cand = (

@@ -440,7 +440,8 @@ def peek_bucketed_table(
         f"CLUSTERED BY ({clustered}) {sort}INTO {num_buckets} BUCKETS "
         f"LOCATION '{loc}'"
     )
-    _RESOLVED.add(memo)
+    if memo is not None:
+        _RESOLVED.add(memo)
     return spark.table(table_name)
 
 
