@@ -210,7 +210,21 @@ def decontaminate(
     deduped and broadcast — the corpus side never shuffles for the join;
     the only aggregation is per-doc over matched n-grams.
     """
-    bench_ngrams = _exploded_ngrams(benchmark, [], text_col, n).distinct()
+    # r16: repartition BOTH raw-text sides before their tokenize+explode
+    # (the q136 r13 lesson finally applied here): row-group-bound scan
+    # parallelism ran the whole corpus n-gram explode + broadcast probe
+    # on ONE task over compact corpora — measured 47.2 s -> 9.1 s at
+    # sf10 (500 k docs, one parquet row group).  The docs side keys on
+    # id (consumed by the per-doc hit aggregate below); the benchmark
+    # side is round-robin (its n-grams feed an _ng-keyed distinct).
+    try:
+        _n_part = int(docs.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        _n_part = docs.sparkSession.sparkContext.defaultParallelism
+    bench_ngrams = _exploded_ngrams(
+        benchmark.select(text_col).repartition(_n_part), [], text_col, n
+    ).distinct()
     # Per-doc distinct computed MAP-SIDE (array_distinct before the
     # explode): identical to .distinct() over (id, _ng) when ids are
     # unique (the operator's contract — one row per document), and it
@@ -218,7 +232,11 @@ def decontaminate(
     # EVERY exploded corpus n-gram (r15: at corpus scale that exchange
     # was the single largest intermediate in the query; the only
     # remaining shuffle is the hit-sized per-doc count).
-    staged = docs.select(id_col, tokens_col(text_col).alias("_dc_toks"))
+    staged = (
+        docs.select(id_col, text_col)
+        .repartition(F.col(id_col))
+        .select(id_col, tokens_col(text_col).alias("_dc_toks"))
+    )
     doc_ngrams = staged.select(
         id_col,
         F.explode(
@@ -519,7 +537,18 @@ def bloom_decontaminate(
     At 1e8 benchmark 8-grams and 12 bits/item the bitmap is ~150 MB —
     broadcastable where the raw string set is not.
     """
-    bench_ngrams = _exploded_ngrams(benchmark, [], text_col, n).distinct()
+    # r16: spread both raw-text explodes (the q136 r13 lesson — see
+    # :func:`decontaminate`): the corpus-side n-gram explode + 7-hash
+    # bitmap probe otherwise runs at row-group scan parallelism (ONE
+    # task on compact corpora)
+    try:
+        _n_part = int(docs.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        _n_part = docs.sparkSession.sparkContext.defaultParallelism
+    bench_ngrams = _exploded_ngrams(
+        benchmark.select(text_col).repartition(_n_part), [], text_col, n
+    ).distinct()
     n_items = bench_ngrams.count()  # bounded: one agg, one scalar
     m_bits = max(64, ((n_items * bits_per_item + 63) // 64) * 64)
     n_words = m_bits // 64
@@ -559,7 +588,10 @@ def bloom_decontaminate(
     # distinct's shuffle ever runs — at corpus scale that shuffle is
     # the dominant cost, and post-probe it carries only hits + the
     # ~2^-num_hashes false-positive trickle
-    doc_ngrams = _exploded_ngrams(docs, [id_col], text_col, n)
+    doc_ngrams = _exploded_ngrams(
+        docs.select(id_col, text_col).repartition(F.col(id_col)),
+        [id_col], text_col, n,
+    )
     d = doc_ngrams.join(F.broadcast(bitmap_df))  # one-row broadcast
     hit_cols = []
     for i, p in enumerate(positions(F.col("_ng"))):

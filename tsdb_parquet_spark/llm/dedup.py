@@ -1021,6 +1021,16 @@ def minhash_signatures_portable(
     coeffs = portable_minhash_coeffs(num_hashes, seed)
     tmp = "_pmh_shingle_hashes"
     hashed = portable_shingle_hashes(text_col, shingle_n)
+    # r16: repartition the raw text by id before the signature map (the
+    # q136 r13 lesson): md5-prefix shingles + num_hashes affine mixes
+    # per doc are the pipeline's heaviest per-row compute, and the scan
+    # feeding them is row-group-parallelism-bound on compact corpora
+    # (ONE task at bench scale).  Batch-sized callers (q146c ingest)
+    # pay a batch-sized exchange — noise next to the map work it
+    # spreads.
+    df = df.select(F.col(id_col), F.col(text_col)).repartition(
+        F.col(id_col)
+    )
 
     def _minhash(a: int, b: int):
         return F.array_min(

@@ -443,11 +443,22 @@ def near_dup_pairs_from_band_index(
         .select(id_col)
         .distinct()
     )
-    sh = docs.join(F.broadcast(cand_ids), id_col, "left_semi").select(
-        F.col(id_col),
-        F.array_distinct(
-            portable_shingle_hashes(text_col, shingle_n)
-        ).alias("_sh"),
+    # r16: repartition the candidate-bounded texts BEFORE the shingle
+    # projection (the q136 r13 lesson): the semi-join inherits the raw
+    # scan's row-group-bound parallelism, so the md5-per-char shingle
+    # computation — this stage's dominant cost — otherwise runs on ONE
+    # task over compact corpora.  Candidate-bounded bytes move once to
+    # spread compute that is ~100x the moved bytes (the q113 trade).
+    sh = (
+        docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .select(id_col, text_col)
+        .repartition(F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                portable_shingle_hashes(text_col, shingle_n)
+            ).alias("_sh"),
+        )
     )
     # Join ``sh`` twice ON ITS OWN id column and alias AFTER each join:
     # both sh subtrees then canonicalize identically (same projection,

@@ -901,7 +901,24 @@ def tfidf_top_terms(
             src = df if df is not None else tf
             n_groups = src.select(group_col).distinct().count()
     else:
-        tok = df.select(F.col(group_col), F.explode(toks).alias("term"))
+        # round-robin repartition before the tokenize (the q136 r13
+        # lesson, the one raw text path the r13 sweep missed):
+        # row-group-bound scan parallelism starves the tokenize+explode
+        # +partial-agg map work on compact corpora — measured 13.6 s ->
+        # 2.0 s at sf10 (500 k docs, ONE parquet row group).  Round-
+        # robin, not group hash: group_col has few values (the
+        # lexical_stats rationale) and the term key only exists after
+        # the explode.
+        try:
+            n_part = int(df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            n_part = df.sparkSession.sparkContext.defaultParallelism
+        tok = (
+            df.select(F.col(group_col), F.col(text_col))
+            .repartition(n_part)
+            .select(F.col(group_col), F.explode(toks).alias("term"))
+        )
         tf = tok.groupBy(group_col, "term").agg(
             F.count(F.lit(1)).alias("tf")
         )
