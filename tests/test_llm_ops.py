@@ -1568,17 +1568,18 @@ def test_near_dup_pairs_from_band_index_matches_inline(spark, tmp_path):
     exchanged = set(re.findall(
         r"Exchange hashpartitioning\((band_key#\d+)", plan))
     assert band_attrs and not exchanged
-    # r15: the shingle side is computed ONCE — both pair sides join the
-    # SAME (id, shingles) subtree (aliasing applied after the join), so
-    # the second side is served by exchange reuse and exactly one docs
-    # (doc_id, text) scan survives in the executed FINAL plan (two
-    # before the reuse discipline, one per pair side).  Slice off the
-    # "== Initial Plan ==" section AQE appends, which reprints the
-    # pre-reuse tree.
+    # r16: the rerank is the COGROUPED kernel — the shingle side is a
+    # single (id, shingles) subtree feeding one cogroup input (arrays
+    # cross once per group, never once per pair), so exactly one docs
+    # (doc_id, text) scan survives in the executed FINAL plan, and the
+    # candidate subtree's two references (group keys + doc demand) are
+    # served by exchange reuse.  Slice off the "== Initial Plan =="
+    # section AQE appends, which reprints the pre-reuse tree.
     final = plan.split("== Initial Plan ==")[0]
     doc_scans = re.findall(r"FileScan parquet \[doc_id#\d+L?,text#", final)
     assert len(doc_scans) == 1, final
     assert "ReusedExchange" in final, final
+    assert "FlatMapCoGroupsInArrow" in final, final
 
 
 def test_incremental_band_param_guards(spark):

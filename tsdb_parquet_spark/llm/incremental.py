@@ -460,12 +460,23 @@ def near_dup_pairs_from_band_index(
             ).alias("_sh"),
         )
     )
-    # Join ``sh`` twice ON ITS OWN id column and alias AFTER each join:
-    # both sh subtrees then canonicalize identically (same projection,
-    # same join key), so ReuseExchange serves the second side from the
-    # first's exchange/broadcast — the shingle stage runs ONCE instead
-    # of once per pair side.  Aliasing the id inside each copy (the old
-    # shape) made the subtrees differ and defeated the reuse.
+    # r16: the rerank is the COGROUPED Arrow kernel — pairs stay narrow
+    # and each doc's shingle array crosses once per group that needs it
+    # instead of once per pair row (the r15 join form materialized both
+    # ~400-element arrays per pair: a doc in p pairs shipped its array
+    # ~2p times through the join output and the Python boundary).
+    # In-process A/B: pair stage 5.6-5.9 s -> 4.2-4.5 s (-24%) at sf1
+    # AND sf10, digests identical.  Integer-id contract (the kernel's
+    # group-local lookup is np.searchsorted); non-integer ids take the
+    # r15 per-pair join + mapInArrow kernel unchanged.
+    from .dedup import _pair_jaccard_int64, _pair_jaccard_int64_grouped
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    if id_type in ("tinyint", "smallint", "int", "bigint"):
+        return _pair_jaccard_int64_grouped(cand, sh, id_col, threshold)
+    # fallback: join the arrays onto the pairs (r15 shape) — alias
+    # AFTER each join so both sh subtrees canonicalize identically and
+    # ReuseExchange serves the second side from the first's broadcast
     sha = sh.alias("_nd_sha")
     shb = sh.alias("_nd_shb")
     j = (
@@ -478,14 +489,6 @@ def near_dup_pairs_from_band_index(
             F.col("_nd_shb._sh").alias("_shb"),
         )
     )
-    # r15: intersection counts via the vectorized Arrow kernel (the _sh
-    # arrays are array_distinct int64 mod-(2^31-1) hashes — the
-    # kernel's asserted contract); the int/int division and HALF_UP
-    # round stay JVM-side on the same operands, results bit-identical.
-    # ArrayIntersect's per-pair boxed hash set was 2/3 of this stage's
-    # wall at sf1 (3.0 s join+shingles vs 9.5 s with the intersect).
-    from .dedup import _pair_jaccard_int64
-
     return _pair_jaccard_int64(j, threshold)
 
 

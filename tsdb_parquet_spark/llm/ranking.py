@@ -69,8 +69,20 @@ def _tokenized(docs: DataFrame, doc_id: str, text_col: str) -> DataFrame:
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), _WS), lambda w: w != ""
     )
-    return docs.select(F.col(doc_id), toks.alias("toks")).select(
-        doc_id, F.size("toks").alias("dl"), "toks"
+    # r16: repartition the raw text by id before the tokenize (the q136
+    # r13 lesson): row-group-bound scan parallelism ran the tokenize +
+    # postings explode on ONE task over compact corpora — q91 raw at
+    # sf10 measured 14-20 s -> 8.3 s, digests identical.  Repartition
+    # of the TEXT, not the token arrays: the toks-level variant moves
+    # bigger rows and re-serializes the arrays (measured 13.8-15.6 s —
+    # worse than either), and ReuseExchange cannot serve the two
+    # consumers (stats/postings) either way because their pruned
+    # projections canonicalize differently.
+    return (
+        docs.select(F.col(doc_id), F.col(text_col))
+        .repartition(F.col(doc_id))
+        .select(F.col(doc_id), toks.alias("toks"))
+        .select(doc_id, F.size("toks").alias("dl"), "toks")
     )
 
 

@@ -141,7 +141,18 @@ def batch_cosine_topk(
         F.col(emb_col).alias("_qe"),
         norm_col(F.col(emb_col)).alias("_qn"),
     )
+    # r16: repartition the corpus vectors by id before the per-pair HOF
+    # folds (the q136 r13 lesson, embeddings edition): the embeddings
+    # scan is row-group-parallelism-bound (ONE row group at bench
+    # scales, 4 at sf100), and the |Q|-way dot/norm folds — interpreted
+    # per element, this form's dominant cost — otherwise run on one
+    # task.  sf10 x4 probes: 7.7-9.8 s -> 1.1-2.3 s, digests identical.
+    # The BLAS twin (batch_cosine_topk_np) measured the same exchange
+    # as a NET LOSS warm (0.6-0.8 s -> 0.9-1.0 s: its kernel is faster
+    # than the vector movement) and stays scan-partitioned.
     scored = corpus.select(
+        F.col(id_col), F.col(emb_col)
+    ).repartition(F.col(id_col)).select(
         F.col(id_col),
         F.col(emb_col),
         norm_col(F.col(emb_col)).alias("_cn"),
