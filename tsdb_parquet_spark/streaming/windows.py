@@ -402,10 +402,18 @@ def append_heartbeat(
     earlier one as unmatched) can surface sentinel rows.
     """
     schema = schema or spark.read.parquet(src_dir).schema
-    row = tuple(values.get(f.name) for f in schema.fields)
-    spark.createDataFrame([row], schema).coalesce(1).write.mode(
-        "append"
-    ).parquet(src_dir)
+    # r16: build the one row as a JVM literal projection over range(1)
+    # instead of createDataFrame([...]).coalesce(1) — the Arrow local
+    # relation parallelizes into defaultParallelism slices and the
+    # coalesce(1) task then pays one sequential Python-worker round per
+    # slice (measured 4.3-6 s PER 1-ROW WRITE on 32 cores; the literal
+    # plan writes in ~0.2 s).  Same file contents, one partition by
+    # construction.
+    row = spark.range(1).select(*[
+        F.lit(values.get(f.name)).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ])
+    row.write.mode("append").parquet(src_dir)
 
 
 def without_heartbeats(df: DataFrame, key_col: str, sentinel) -> DataFrame:
